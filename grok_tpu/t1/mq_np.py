@@ -1,0 +1,289 @@
+"""Batched MQ arithmetic coder (ITU-T T.88 / T.800 Annex C).
+
+Lane-parallel formulation: one MQ encoder/decoder *per codeblock*, with all
+register state held in [N]-shaped arrays so every ENCODE/DECODE step is a
+handful of vectorized ops across the block batch. This is the TPU-native
+reformulation of the reference's per-thread scalar coder
+(t1/t1_part1/mqc.h, mqc_enc.cpp, mqc_dec.cpp): lanes = codeblocks, the
+per-bit state machine runs in lockstep with per-lane masks.
+
+The same data layout ports to Pallas (lanes across the vector unit); this
+numpy version is the bit-exact host reference and fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# T.88 Table E.1 — probability state machine.
+QE = np.array(
+    [
+        0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+        0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+        0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+        0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+        0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+        0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601,
+    ],
+    dtype=np.int64,
+)
+NMPS = np.array(
+    [
+        1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16, 17, 18, 19,
+        20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36,
+        37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46,
+    ],
+    dtype=np.uint8,
+)
+NLPS = np.array(
+    [
+        1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14, 15, 16,
+        17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+        33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46,
+    ],
+    dtype=np.uint8,
+)
+SWITCH = np.array(
+    [
+        1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    ],
+    dtype=np.uint8,
+)
+
+# Context indices (19 contexts, T.800 D.2).
+NUM_CTX = 19
+CTX_ZC0 = 0  # zero coding, zero-neighborhood context
+CTX_SC0 = 9  # first sign-coding context
+CTX_MR0 = 14  # first magnitude-refinement context
+CTX_RL = 17  # run-length (aggregation) context
+CTX_UNI = 18  # uniform context
+
+# initial (state, mps) per context: all (0,0) except ZC0->4, RL->3, UNI->46
+_INIT_STATES = np.zeros(NUM_CTX, dtype=np.uint8)
+_INIT_STATES[CTX_ZC0] = 4
+_INIT_STATES[CTX_RL] = 3
+_INIT_STATES[CTX_UNI] = 46
+
+
+def initial_ctx_states(n: int) -> tuple[np.ndarray, np.ndarray]:
+    states = np.tile(_INIT_STATES, (n, 1))
+    mps = np.zeros((n, NUM_CTX), dtype=np.uint8)
+    return states, mps
+
+
+class MQEncoder:
+    """N independent MQ encoders advancing in lockstep.
+
+    Output layout: per-lane byte buffer [N, max_bytes] plus a write position;
+    the leading virtual byte absorbs carry propagation (dropped in data())."""
+
+    def __init__(self, n: int, max_bytes: int):
+        self.n = n
+        self.a = np.full(n, 0x8000, dtype=np.int64)
+        self.c = np.zeros(n, dtype=np.int64)
+        self.ct = np.full(n, 12, dtype=np.int64)
+        self.buf = np.zeros((n, max_bytes + 2), dtype=np.uint8)
+        self.pos = np.zeros(n, dtype=np.int64)  # index of current byte B
+        self.ctx_state, self.ctx_mps = initial_ctx_states(n)
+        self._lanes = np.arange(n)
+
+    # -- internals ---------------------------------------------------------
+    def _byteout(self, mask: np.ndarray) -> None:
+        if not mask.any():
+            return
+        lanes = self._lanes[mask]
+        pos = self.pos[lanes]
+        b = self.buf[lanes, pos]
+        c = self.c[lanes]
+
+        is_ff = b == 0xFF
+        carry = (c & 0x8000000) != 0
+
+        # carry propagation into the previous byte (only when it isn't 0xFF)
+        prop = (~is_ff) & carry
+        if prop.any():
+            self.buf[lanes[prop], pos[prop]] = ((b[prop] + 1) & 0xFF).astype(np.uint8)
+            b = self.buf[lanes, pos]  # re-read: byte may have become 0xFF
+            c = np.where(prop & (b == 0xFF), c & 0x7FFFFFF, c)
+            is_ff = b == 0xFF
+
+        # stuffed (7-bit) emission after an 0xFF byte, else full 8-bit
+        new_byte = np.where(is_ff, (c >> 20) & 0xFF, (c >> 19) & 0xFF)
+        new_c = np.where(is_ff, c & 0xFFFFF, c & 0x7FFFF)
+        new_ct = np.where(is_ff, 7, 8)
+
+        self.buf[lanes, pos + 1] = new_byte.astype(np.uint8)
+        self.pos[lanes] = pos + 1
+        self.c[lanes] = new_c
+        self.ct[lanes] = new_ct
+
+    def _renorm(self, mask: np.ndarray) -> None:
+        mask = mask.copy()
+        while mask.any():
+            self.a[mask] = self.a[mask] << 1
+            self.c[mask] = self.c[mask] << 1
+            self.ct[mask] -= 1
+            self._byteout(mask & (self.ct == 0))
+            mask &= (self.a & 0x8000) == 0
+
+    # -- public ------------------------------------------------------------
+    def encode(self, bit: np.ndarray, ctx: np.ndarray, mask: np.ndarray) -> None:
+        """Encode one decision per masked lane. bit/ctx are [N] arrays."""
+        if not mask.any():
+            return
+        state = self.ctx_state[self._lanes, ctx]
+        mps = self.ctx_mps[self._lanes, ctx]
+        qe = QE[state]
+        is_mps = (bit == mps) & mask
+        is_lps = (~(bit == mps)) & mask
+
+        a = self.a
+        a_sub = a - qe  # A - Qe, the MPS subinterval size
+
+        # ---- MPS path (T.88 CODEMPS)
+        no_renorm = is_mps & ((a_sub & 0x8000) != 0)
+        renorm_mps = is_mps & ((a_sub & 0x8000) == 0)
+        cond_ex = renorm_mps & (a_sub < qe)  # MPS takes the bottom interval
+        self.c = np.where(no_renorm | (renorm_mps & ~cond_ex), self.c + qe, self.c)
+        self.ctx_state[self._lanes[renorm_mps], ctx[renorm_mps]] = NMPS[state[renorm_mps]]
+
+        # ---- LPS path (T.88 CODELPS)
+        cond_ex_l = is_lps & (a_sub < qe)  # LPS takes the top interval (size A-Qe)
+        self.c = np.where(cond_ex_l, self.c + qe, self.c)
+        sw = is_lps & (SWITCH[state] == 1)
+        self.ctx_mps[self._lanes[sw], ctx[sw]] = 1 - mps[sw]
+        self.ctx_state[self._lanes[is_lps], ctx[is_lps]] = NLPS[state[is_lps]]
+
+        # ---- interval update (common)
+        self.a = np.where(mask, a_sub, a)
+        self.a = np.where(cond_ex | (is_lps & ~cond_ex_l), qe, self.a)
+
+        self._renorm(renorm_mps | is_lps)
+
+    def flush(self, mask: np.ndarray | None = None) -> None:
+        """Standard FLUSH termination for the masked lanes."""
+        if mask is None:
+            mask = np.ones(self.n, dtype=bool)
+        lanes_all = mask
+        # SETBITS
+        tempc = self.c + self.a
+        c = self.c | 0xFFFF
+        c = np.where(c >= tempc, c - 0x8000, c)
+        self.c = np.where(lanes_all, c, self.c)
+        # two byteouts with CT-shifted C (keep only the 32 register bits)
+        for _ in range(2):
+            self.c = np.where(lanes_all, (self.c << self.ct) & 0xFFFFFFFF, self.c)
+            self._byteout(lanes_all)
+        self.flushed = True
+
+    def lengths(self) -> np.ndarray:
+        """Flushed stream length per lane (current byte included unless 0xFF)."""
+        b = self.buf[self._lanes, self.pos]
+        return self.pos + np.where(b != 0xFF, 1, 0) - 1  # minus virtual byte
+
+    def data(self, lane: int, length: int | None = None) -> bytes:
+        if length is None:
+            length = int(self.lengths()[lane])
+        return bytes(self.buf[lane, 1 : 1 + length])
+
+
+class MQDecoder:
+    """N independent MQ decoders in lockstep over per-lane byte buffers."""
+
+    def __init__(self, data: np.ndarray, lengths: np.ndarray):
+        """data: [N, max_bytes] uint8; lengths: [N] actual segment lengths."""
+        self.n = data.shape[0]
+        # pad with 0xFF beyond each lane's end so BYTEIN feeds 1s
+        self.data = data
+        self.end = lengths.astype(np.int64)
+        self._lanes = np.arange(self.n)
+        self.bp = np.zeros(self.n, dtype=np.int64)
+        b0 = self._byte_at(self.bp)
+        self.c = b0.astype(np.int64) << 16
+        self.ct = np.zeros(self.n, dtype=np.int64)
+        self._bytein(np.ones(self.n, dtype=bool))
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = np.full(self.n, 0x8000, dtype=np.int64)
+        self.ctx_state, self.ctx_mps = initial_ctx_states(self.n)
+
+    def _byte_at(self, idx: np.ndarray) -> np.ndarray:
+        """Byte at idx, or 0xFF beyond each lane's end."""
+        clipped = np.minimum(idx, self.data.shape[1] - 1)
+        vals = self.data[self._lanes, clipped]
+        return np.where(idx < self.end, vals, np.uint8(0xFF)).astype(np.uint8)
+
+    def _bytein(self, mask: np.ndarray) -> None:
+        if not mask.any():
+            return
+        b = self._byte_at(self.bp)
+        b1 = self._byte_at(self.bp + 1)
+        is_ff = b == 0xFF
+        marker = is_ff & (b1 > 0x8F)  # marker (or end): feed 1 bits
+        adv7 = is_ff & ~marker
+
+        c = self.c
+        b1w = b1.astype(np.int64)
+        new_c = np.where(
+            marker, c + 0xFF00, np.where(adv7, c + (b1w << 9), c + (b1w << 8))
+        )
+        new_ct = np.where(marker, 8, np.where(adv7, 7, 8))
+        new_bp = np.where(marker, self.bp, self.bp + 1)
+
+        self.c = np.where(mask, new_c, c)
+        self.ct = np.where(mask, new_ct, self.ct)
+        self.bp = np.where(mask, new_bp, self.bp)
+
+    def _renorm(self, mask: np.ndarray) -> None:
+        mask = mask.copy()
+        while mask.any():
+            self._bytein(mask & (self.ct == 0))
+            self.a[mask] = self.a[mask] << 1
+            self.c[mask] = (self.c[mask] << 1) & 0xFFFFFFFF
+            self.ct[mask] -= 1
+            mask &= (self.a & 0x8000) == 0
+
+    def decode(self, ctx: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Decode one decision per masked lane; returns bit [N] (0 where unmasked)."""
+        if not mask.any():
+            return np.zeros(self.n, dtype=np.uint8)
+        state = self.ctx_state[self._lanes, ctx]
+        mps = self.ctx_mps[self._lanes, ctx]
+        qe = QE[state]
+
+        a = self.a - qe
+        chigh = (self.c >> 16) & 0xFFFF
+
+        lps_path = mask & (chigh < qe)
+        mps_path = mask & ~lps_path
+
+        # MPS region: Chigh -= Qe
+        self.c = np.where(mps_path, self.c - (qe << 16), self.c)
+        self.a = np.where(mask, a, self.a)
+
+        need_renorm_mps = mps_path & ((a & 0x8000) == 0)
+        # exchange on MPS renorm
+        ex_mps = need_renorm_mps & (a < qe)
+        d = np.zeros(self.n, dtype=np.uint8)
+        d = np.where(mps_path, mps, d)
+        d = np.where(ex_mps, 1 - mps, d)
+        sw_m = ex_mps & (SWITCH[state] == 1)
+        self.ctx_mps[self._lanes[sw_m], ctx[sw_m]] = 1 - mps[sw_m]
+        self.ctx_state[self._lanes[ex_mps], ctx[ex_mps]] = NLPS[state[ex_mps]]
+        nmps_m = need_renorm_mps & ~ex_mps
+        self.ctx_state[self._lanes[nmps_m], ctx[nmps_m]] = NMPS[state[nmps_m]]
+
+        # LPS region: conditional exchange
+        ex_lps = lps_path & (a < qe)  # actually MPS decision
+        d = np.where(lps_path, 1 - mps, d)
+        d = np.where(ex_lps, mps, d)
+        self.ctx_state[self._lanes[ex_lps], ctx[ex_lps]] = NMPS[state[ex_lps]]
+        nl = lps_path & ~ex_lps
+        sw_l = nl & (SWITCH[state] == 1)
+        self.ctx_mps[self._lanes[sw_l], ctx[sw_l]] = 1 - mps[sw_l]
+        self.ctx_state[self._lanes[nl], ctx[nl]] = NLPS[state[nl]]
+        self.a = np.where(lps_path, qe, self.a)
+
+        self._renorm(lps_path | need_renorm_mps)
+        return np.where(mask, d, 0).astype(np.uint8)
