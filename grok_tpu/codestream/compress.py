@@ -1,0 +1,137 @@
+"""Whole-image codestream encoder (parity target:
+codestream/CodeStreamCompress.cpp — initCompress/compress/endCompress and the
+marker writers).
+
+Host-side orchestration: builds the main header, runs per-tile
+TileProcessors (each of which drives batched device work), assembles tile
+parts in index order, and fixes up TLM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.errors import ParameterError
+from ..core.image import Image
+from ..core.params import CompressParams, QuantStyle
+from ..core.rect import ceil_div
+from ..tile.tile_processor import TileProcessor
+from . import markers as mk
+from .quantizer import compute_signalled_quant
+from .structs import Siz, SizComponent, Tcp, TccpStyle
+
+
+def build_siz(image: Image, params: CompressParams) -> Siz:
+    siz = Siz()
+    siz.rsiz = params.profile
+    siz.x0, siz.y0 = image.x0, image.y0
+    siz.x1, siz.y1 = image.x1, image.y1
+    if params.tile_size is None:
+        siz.tile_x0, siz.tile_y0 = image.x0, image.y0
+        siz.tile_w = image.x1 - image.x0
+        siz.tile_h = image.y1 - image.y0
+    else:
+        siz.tile_x0, siz.tile_y0 = params.tile_offset
+        siz.tile_w, siz.tile_h = params.tile_size
+    for c in image.components:
+        siz.comps.append(SizComponent(dx=c.dx, dy=c.dy, prec=c.prec, signed=c.signed))
+    return siz
+
+
+def build_tcp(image: Image, params: CompressParams) -> Tcp:
+    tcp = Tcp()
+    tcp.csty = 0
+    if params.use_sop:
+        tcp.csty |= 0x02
+    if params.use_eph:
+        tcp.csty |= 0x04
+    tcp.progression = params.progression
+    tcp.num_layers = params.num_layers
+    tcp.mct = 1 if params.resolved_mct(image.num_comps) else 0
+    qs = params.quant_style
+    if qs is None:
+        qs = QuantStyle.NO_QUANT if not params.irreversible else QuantStyle.SCALAR_EXPOUNDED
+    for c in range(image.num_comps):
+        t = TccpStyle(
+            num_resolutions=params.num_resolutions,
+            cblk_w_exp=params.cblk_width.bit_length() - 1,
+            cblk_h_exp=params.cblk_height.bit_length() - 1,
+            cblk_style=params.cblk_style,
+            irreversible=params.irreversible,
+            quant_style=qs,
+            guard_bits=params.guard_bits,
+        )
+        if params.precinct_sizes is not None:
+            t.precinct_exps = list(params.precinct_sizes)
+        prec = image.components[c].prec
+        if tcp.mct == 1 and not params.irreversible and c in (1, 2):
+            prec += 1  # RCT expands the chroma range by one bit
+        compute_signalled_quant(t, prec)
+        tcp.tccps.append(t)
+    return tcp
+
+
+def compress(image: Image, params: CompressParams | None = None) -> bytes:
+    """Encode an Image to a raw .j2k codestream."""
+    params = params or CompressParams()
+    params.validate()
+    image.finalize()
+    siz = build_siz(image, params)
+    tcp = build_tcp(image, params)
+
+    # validate resolution count against smallest tile-component
+    for ti in range(siz.num_tiles):
+        tb = siz.tile_bounds(ti)
+        if tb.empty():
+            raise ParameterError(f"tile {ti} empty")
+
+    out = bytearray()
+    out += mk._u16(mk.SOC)
+    out += mk.write_siz(siz)
+    out += mk.write_cod(tcp)
+    out += mk.write_qcd(tcp)
+    base = tcp.tccps[0]
+    for c in range(1, siz.num_comps):
+        t = tcp.tccps[c]
+        if t.step_exps != base.step_exps or t.step_mants != base.step_mants:
+            out += mk.write_qcc(tcp, c, siz.num_comps)
+    if params.comment:
+        out += mk.write_com(params.comment.encode())
+
+    tlm_offset = None
+    num_tiles = siz.num_tiles
+    if params.write_tlm:
+        tlm_offset = len(out)
+        # ST=1 if <=255 tiles else 2; SP=1 -> 32-bit lengths
+        st = 1 if num_tiles <= 255 else 2
+        entry = st + 4
+        out += mk.segment(mk.TLM, bytes(2 + entry * num_tiles))  # placeholder
+
+    tile_part_lengths: list[tuple[int, int]] = []
+    for ti in range(num_tiles):
+        tp = TileProcessor(siz, tcp, ti)
+        comp_arrays = _extract_tile(image, siz, ti)
+        body = tp.compress(comp_arrays)
+        psot = 12 + 2 + len(body)  # SOT seg (12) + SOD marker (2) + body
+        out += mk.write_sot(ti, psot, 0, 1)
+        out += mk._u16(mk.SOD)
+        out += body
+        tile_part_lengths.append((ti, psot))
+    out += mk._u16(mk.EOC)
+
+    if params.write_tlm and tlm_offset is not None:
+        tlm = mk.write_tlm(tile_part_lengths)
+        out[tlm_offset : tlm_offset + len(tlm)] = tlm
+    return bytes(out)
+
+
+def _extract_tile(image: Image, siz: Siz, tile_index: int) -> list[np.ndarray]:
+    tb = siz.tile_bounds(tile_index)
+    arrays = []
+    for c in image.components:
+        x0 = ceil_div(tb.x0, c.dx) - c.x0
+        y0 = ceil_div(tb.y0, c.dy) - c.y0
+        x1 = ceil_div(tb.x1, c.dx) - c.x0
+        y1 = ceil_div(tb.y1, c.dy) - c.y0
+        arrays.append(c.data[y0:y1, x0:x1])
+    return arrays

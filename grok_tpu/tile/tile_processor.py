@@ -1,0 +1,346 @@
+"""Per-tile encode/decode pipeline driver.
+
+Parity target: tile/TileProcessor.cpp (doCompress / decompressT2T1) — the
+orchestration of DC shift -> MCT -> DWT -> T1 -> T2 (and the mirror).
+
+Structure is TPU-native: all codeblocks of a tile are padded into one
+[N, cbh, cbw] batch and entropy-coded by the lane-parallel coder in one
+shot (the analogue of the reference's work-stealing block schedulers,
+t1/T1CompressScheduler.cpp, without threads); DWT/MCT run as array ops
+(numpy today, jax on device via ops.backend).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..codestream.quantizer import apply_band_quant
+from ..codestream.structs import Siz, Tcp
+from ..core.params import QuantStyle
+from ..core.rect import Rect, ceil_div
+from ..ops import dwt as dwt_ops
+from ..ops import mct as mct_ops
+from ..t1.ebcot_np import decode_cblks, encode_cblks
+from ..t2.packets import CblkDec, CblkEnc, PrecinctCtx, decode_packet, encode_packet
+from ..t2.progression import packet_order
+from .geometry import BAND_LL, TileCompGeom, build_tile_comp_geometry
+
+
+def _band_origin_in_packed(geom: TileCompGeom, res_idx: int, orient: int):
+    """Top-left of a band's data inside the Mallat-packed tile array."""
+    if orient == BAND_LL:
+        return 0, 0
+    prev = geom.resolutions[res_idx - 1].rect
+    ph, pw = prev.height, prev.width
+    if orient == 1:  # HL
+        return 0, pw
+    if orient == 2:  # LH
+        return ph, 0
+    return ph, pw  # HH
+
+
+@dataclass
+class _CblkRef:
+    comp: int
+    res: int
+    band_i: int
+    prec: int
+    cblk_i: int
+
+
+class TileProcessor:
+    def __init__(self, siz: Siz, tcp: Tcp, tile_index: int):
+        self.siz = siz
+        self.tcp = tcp
+        self.tile_index = tile_index
+        self.tile_rect = siz.tile_bounds(tile_index)
+        self.geoms: list[TileCompGeom] = []
+        for c in range(siz.num_comps):
+            comp = siz.comps[c]
+            tc = Rect(
+                ceil_div(self.tile_rect.x0, comp.dx),
+                ceil_div(self.tile_rect.y0, comp.dy),
+                ceil_div(self.tile_rect.x1, comp.dx),
+                ceil_div(self.tile_rect.y1, comp.dy),
+            )
+            self.geoms.append(build_tile_comp_geometry(c, tc, tcp.tccps[c]))
+
+    # ------------------------------------------------------------------ util
+    def _comp_prec(self, c: int) -> int:
+        """Bit depth incl. MCT range expansion (RCT chroma gains one bit)."""
+        prec = self.siz.comps[c].prec
+        if self.tcp.mct == 1 and not self.tcp.tccps[c].irreversible and c in (1, 2):
+            prec += 1
+        return prec
+
+    def _nominal_cblk(self) -> tuple[int, int]:
+        h = max(1 << t.cblk_h_exp for t in self.tcp.tccps)
+        w = max(1 << t.cblk_w_exp for t in self.tcp.tccps)
+        return h, w
+
+    # ==================================================================
+    # encode
+    # ==================================================================
+    def compress(self, comp_arrays: list[np.ndarray]) -> bytes:
+        """comp_arrays: per-component int32 tile data (natural range).
+
+        Returns the tile-part body (packet stream, no markers)."""
+        siz, tcp = self.siz, self.tcp
+        ncomp = siz.num_comps
+        irrev = tcp.tccps[0].irreversible
+
+        # ---- DC shift + MCT
+        shifted = []
+        for c in range(ncomp):
+            a = comp_arrays[c].astype(np.int32)
+            a = mct_ops.dc_shift_forward(np, a, siz.comps[c].prec, siz.comps[c].signed)
+            shifted.append(a)
+        if tcp.mct == 1 and ncomp >= 3:
+            if irrev:
+                r, g, b = (x.astype(np.float32) for x in shifted[:3])
+                y, cb, cr = mct_ops.ict_forward(np, r, g, b)
+                shifted[0], shifted[1], shifted[2] = y, cb, cr
+            else:
+                y, cb, cr = mct_ops.rct_forward(np, *shifted[:3])
+                shifted[0], shifted[1], shifted[2] = y, cb, cr
+
+        # ---- per-component DWT + quantization to int coefficients
+        coeff_arrays = []
+        for c in range(ncomp):
+            g = self.geoms[c]
+            tccp = tcp.tccps[c]
+            nl = tccp.num_resolutions - 1
+            a = shifted[c]
+            if irrev:
+                a = a.astype(np.float32)
+            packed = dwt_ops.forward(np, a.copy(), g.rect, nl, irrev)
+            apply_band_quant(g, tccp, self._comp_prec(c))
+            if irrev:
+                # deadzone scalar quantization per band
+                q = np.zeros(packed.shape, dtype=np.int32)
+                for res in g.resolutions:
+                    for band in res.bands:
+                        oy, ox = _band_origin_in_packed(g, res.r, band.orient)
+                        bh, bw = band.rect.height, band.rect.width
+                        sl = (slice(oy, oy + bh), slice(ox, ox + bw))
+                        vals = packed[sl]
+                        q[sl] = (np.sign(vals) * np.floor(np.abs(vals) / band.step)).astype(np.int32)
+                coeff_arrays.append(q)
+            else:
+                coeff_arrays.append(packed)
+
+        # ---- gather codeblocks into one batch
+        cbh, cbw = self._nominal_cblk()
+        refs: list[_CblkRef] = []
+        mats, hs, ws, ors = [], [], [], []
+        for c in range(ncomp):
+            g = self.geoms[c]
+            arr = coeff_arrays[c]
+            for res in g.resolutions:
+                for bi, band in enumerate(res.bands):
+                    oy, ox = _band_origin_in_packed(g, res.r, band.orient)
+                    for pi, prc in enumerate(band.precincts):
+                        for ci, cg in enumerate(prc.cblks):
+                            rect = cg.rect
+                            if rect.empty():
+                                refs.append(_CblkRef(c, res.r, bi, pi, ci))
+                                mats.append(None)
+                                hs.append(0)
+                                ws.append(0)
+                                ors.append(band.orient)
+                                continue
+                            y0 = rect.y0 - band.rect.y0 + oy
+                            x0 = rect.x0 - band.rect.x0 + ox
+                            blk = np.zeros((cbh, cbw), dtype=np.int64)
+                            blk[: rect.height, : rect.width] = arr[
+                                y0 : y0 + rect.height, x0 : x0 + rect.width
+                            ]
+                            refs.append(_CblkRef(c, res.r, bi, pi, ci))
+                            mats.append(blk)
+                            hs.append(rect.height)
+                            ws.append(rect.width)
+                            ors.append(band.orient)
+
+        n = len(refs)
+        if n == 0:
+            return b""
+        batch = np.stack([m if m is not None else np.zeros((cbh, cbw), np.int64) for m in mats])
+        heights = np.array(hs, dtype=np.int64)
+        widths = np.array(ws, dtype=np.int64)
+        orients = np.array(ors, dtype=np.int64)
+
+        t1res = encode_cblks(batch, heights, widths, orients)
+
+        # ---- build T2 state: single layer (all passes in layer 0) for now;
+        # PCRD layering slots in here.
+        prc_ctx_map: dict[tuple[int, int, int, int], PrecinctCtx] = {}
+        for c in range(ncomp):
+            for res in self.geoms[c].resolutions:
+                for bi, band in enumerate(res.bands):
+                    for pi, prc in enumerate(band.precincts):
+                        prc_ctx_map[(c, res.r, bi, pi)] = PrecinctCtx(band, prc)
+        for i, ref in enumerate(refs):
+            key = (ref.comp, ref.res, ref.band_i, ref.prec)
+            npasses = int(t1res.npasses[i])
+            length = int(t1res.lengths[i])
+            cb = CblkEnc(
+                data=t1res.data[i],
+                total_len=length,
+                npasses=npasses,
+                numbps=int(t1res.numbps[i]),
+                layer_passes=[npasses],
+                layer_bytes=[length],
+                first_layer=0 if npasses > 0 else tcp.num_layers,
+            )
+            prc_ctx_map[key].cblks[ref.cblk_i] = cb
+
+        for ctx in prc_ctx_map.values():
+            ctx.set_encoder_trees(tcp.num_layers)
+
+        # ---- emit packets in progression order
+        parts: list[bytes] = []
+        use_sop = bool(tcp.csty & 0x02)
+        use_eph = bool(tcp.csty & 0x04)
+        sop = 0
+        for pk in packet_order(siz, tcp, self.geoms):
+            res = self.geoms[pk.comp].resolutions[pk.res]
+            ctxs = [
+                prc_ctx_map[(pk.comp, pk.res, bi, pk.prec)]
+                for bi in range(len(res.bands))
+            ]
+            encode_packet(parts, ctxs, pk.layer, use_sop, use_eph, sop)
+            sop += 1
+        return b"".join(parts)
+
+    # ==================================================================
+    # decode
+    # ==================================================================
+    def decompress(
+        self, body: memoryview, max_layers: int = 0, reduce: int = 0
+    ) -> list[np.ndarray]:
+        """Decode a tile body (packet stream) into per-component arrays."""
+        siz, tcp = self.siz, self.tcp
+        ncomp = siz.num_comps
+        irrev = tcp.tccps[0].irreversible
+
+        # quantization info
+        for c in range(ncomp):
+            apply_band_quant(self.geoms[c], tcp.tccps[c], self._comp_prec(c))
+
+        # ---- T2: parse packets
+        prc_ctx_map: dict[tuple[int, int, int, int], PrecinctCtx] = {}
+        for c in range(ncomp):
+            g = self.geoms[c]
+            for res in g.resolutions:
+                for bi, band in enumerate(res.bands):
+                    for pi, prc in enumerate(band.precincts):
+                        ctx = PrecinctCtx(band, prc)
+                        for ci in range(len(prc.cblks)):
+                            ctx.cblks[ci] = CblkDec()
+                        prc_ctx_map[(c, res.r, bi, pi)] = ctx
+
+        use_sop = bool(tcp.csty & 0x02)
+        use_eph = bool(tcp.csty & 0x04)
+        pos = 0
+        for pk in packet_order(siz, tcp, self.geoms):
+            if max_layers and pk.layer >= max_layers:
+                continue
+            res = self.geoms[pk.comp].resolutions[pk.res]
+            ctxs = [
+                prc_ctx_map[(pk.comp, pk.res, bi, pk.prec)]
+                for bi in range(len(res.bands))
+            ]
+            if pos >= len(body):
+                break  # truncated stream: remaining packets empty
+            pos = decode_packet(body, pos, ctxs, pk.layer, use_sop, use_eph)
+
+        # ---- batch T1 decode
+        cbh, cbw = self._nominal_cblk()
+        refs, datas, lens, nps, nbps, hs, ws, ors = [], [], [], [], [], [], [], []
+        for (c, r, bi, pi), ctx in prc_ctx_map.items():
+            band = self.geoms[c].resolutions[r].bands[bi]
+            for ci, (cg, cb) in enumerate(zip(ctx.prc.cblks, ctx.cblks)):
+                if cb is None or cb.npasses == 0 or cg.rect.empty():
+                    continue
+                seg = b"".join(cb.segments)
+                refs.append(_CblkRef(c, r, bi, pi, ci))
+                datas.append(seg)
+                lens.append(len(seg))
+                nps.append(cb.npasses)
+                nbps.append(cb.numbps)
+                hs.append(cg.rect.height)
+                ws.append(cg.rect.width)
+                ors.append(band.orient)
+
+        coeff_arrays = [
+            np.zeros(
+                (g.resolutions[-1].rect.height, g.resolutions[-1].rect.width),
+                dtype=np.float32 if irrev else np.int64,
+            )
+            for g in self.geoms
+        ]
+
+        if refs:
+            n = len(refs)
+            maxlen = max(lens)
+            data = np.zeros((n, max(maxlen, 1)), dtype=np.uint8)
+            for i, d in enumerate(datas):
+                data[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+            coeffs, planes = decode_cblks(
+                data,
+                np.array(lens, dtype=np.int64),
+                np.array(nbps, dtype=np.int64),
+                np.array(nps, dtype=np.int64),
+                np.array(hs, dtype=np.int64),
+                np.array(ws, dtype=np.int64),
+                np.array(ors, dtype=np.int64),
+                cbh,
+                cbw,
+            )
+            # scatter into band positions (+ dequant for irreversible)
+            for i, ref in enumerate(refs):
+                g = self.geoms[ref.comp]
+                band = g.resolutions[ref.res].bands[ref.band_i]
+                cg = band.precincts[ref.prec].cblks[ref.cblk_i]
+                oy, ox = _band_origin_in_packed(g, ref.res, band.orient)
+                y0 = cg.rect.y0 - band.rect.y0 + oy
+                x0 = cg.rect.x0 - band.rect.x0 + ox
+                blk = coeffs[i, : cg.rect.height, : cg.rect.width]
+                if irrev:
+                    mag = np.abs(blk).astype(np.float32)
+                    rec = np.where(mag > 0, (mag + 0.5) * band.step, 0.0)
+                    vals = np.where(blk < 0, -rec, rec).astype(np.float32)
+                else:
+                    vals = blk
+                coeff_arrays[ref.comp][
+                    y0 : y0 + cg.rect.height, x0 : x0 + cg.rect.width
+                ] = vals
+
+        # ---- inverse DWT
+        out = []
+        for c in range(ncomp):
+            g = self.geoms[c]
+            nl = self.tcp.tccps[c].num_resolutions - 1
+            rec = dwt_ops.inverse(np, coeff_arrays[c], g.rect, nl, irrev)
+            out.append(rec)
+
+        # ---- inverse MCT + DC shift
+        if tcp.mct == 1 and ncomp >= 3:
+            if irrev:
+                r, gg, b = mct_ops.ict_inverse(np, out[0], out[1], out[2])
+                out[0], out[1], out[2] = r, gg, b
+            else:
+                r, gg, b = mct_ops.rct_inverse(np, out[0], out[1], out[2])
+                out[0], out[1], out[2] = r, gg, b
+        final = []
+        for c in range(ncomp):
+            a = out[c]
+            if irrev:
+                a = np.floor(a + 0.5).astype(np.int64)
+            a = mct_ops.dc_shift_inverse(
+                np, a, siz.comps[c].prec, siz.comps[c].signed
+            )
+            final.append(a.astype(np.int32))
+        return final
