@@ -90,53 +90,55 @@ class MQEncoder:
 
     # -- internals ---------------------------------------------------------
     def _byteout(self, mask: np.ndarray) -> None:
+        """Branch-free lockstep BYTEOUT for the masked lanes."""
         if not mask.any():
             return
-        lanes = self._lanes[mask]
-        pos = self.pos[lanes]
-        b = self.buf[lanes, pos]
-        c = self.c[lanes]
+        lanes = self._lanes
+        pos = self.pos
+        b = self.buf[lanes, pos].astype(np.int64)
+        c = self.c
 
         is_ff = b == 0xFF
         carry = (c & 0x8000000) != 0
 
         # carry propagation into the previous byte (only when it isn't 0xFF)
-        prop = (~is_ff) & carry
-        if prop.any():
-            self.buf[lanes[prop], pos[prop]] = ((b[prop] + 1) & 0xFF).astype(np.uint8)
-            b = self.buf[lanes, pos]  # re-read: byte may have become 0xFF
-            c = np.where(prop & (b == 0xFF), c & 0x7FFFFFF, c)
-            is_ff = b == 0xFF
+        prop = mask & ~is_ff & carry
+        b = np.where(prop, (b + 1) & 0xFF, b)
+        self.buf[lanes, pos] = np.where(mask, b, self.buf[lanes, pos]).astype(np.uint8)
+        c = np.where(prop & (b == 0xFF), c & 0x7FFFFFF, c)
+        is_ff = b == 0xFF
 
         # stuffed (7-bit) emission after an 0xFF byte, else full 8-bit
         new_byte = np.where(is_ff, (c >> 20) & 0xFF, (c >> 19) & 0xFF)
         new_c = np.where(is_ff, c & 0xFFFFF, c & 0x7FFFF)
         new_ct = np.where(is_ff, 7, 8)
 
-        self.buf[lanes, pos + 1] = new_byte.astype(np.uint8)
-        self.pos[lanes] = pos + 1
-        self.c[lanes] = new_c
-        self.ct[lanes] = new_ct
+        wpos = np.where(mask, pos + 1, pos)
+        prev = self.buf[lanes, wpos]
+        self.buf[lanes, wpos] = np.where(mask, new_byte, prev).astype(np.uint8)
+        self.pos = wpos
+        self.c = np.where(mask, new_c, self.c)
+        self.ct = np.where(mask, new_ct, self.ct)
 
     def _renorm(self, mask: np.ndarray) -> None:
-        mask = mask.copy()
         while mask.any():
-            self.a[mask] = self.a[mask] << 1
-            self.c[mask] = self.c[mask] << 1
-            self.ct[mask] -= 1
+            self.a = np.where(mask, self.a << 1, self.a)
+            self.c = np.where(mask, self.c << 1, self.c)
+            self.ct = np.where(mask, self.ct - 1, self.ct)
             self._byteout(mask & (self.ct == 0))
-            mask &= (self.a & 0x8000) == 0
+            mask = mask & ((self.a & 0x8000) == 0)
 
     # -- public ------------------------------------------------------------
     def encode(self, bit: np.ndarray, ctx: np.ndarray, mask: np.ndarray) -> None:
         """Encode one decision per masked lane. bit/ctx are [N] arrays."""
         if not mask.any():
             return
-        state = self.ctx_state[self._lanes, ctx]
-        mps = self.ctx_mps[self._lanes, ctx]
+        lanes = self._lanes
+        state = self.ctx_state[lanes, ctx]
+        mps = self.ctx_mps[lanes, ctx]
         qe = QE[state]
         is_mps = (bit == mps) & mask
-        is_lps = (~(bit == mps)) & mask
+        is_lps = (bit != mps) & mask
 
         a = self.a
         a_sub = a - qe  # A - Qe, the MPS subinterval size
@@ -145,15 +147,20 @@ class MQEncoder:
         no_renorm = is_mps & ((a_sub & 0x8000) != 0)
         renorm_mps = is_mps & ((a_sub & 0x8000) == 0)
         cond_ex = renorm_mps & (a_sub < qe)  # MPS takes the bottom interval
-        self.c = np.where(no_renorm | (renorm_mps & ~cond_ex), self.c + qe, self.c)
-        self.ctx_state[self._lanes[renorm_mps], ctx[renorm_mps]] = NMPS[state[renorm_mps]]
-
         # ---- LPS path (T.88 CODELPS)
-        cond_ex_l = is_lps & (a_sub < qe)  # LPS takes the top interval (size A-Qe)
-        self.c = np.where(cond_ex_l, self.c + qe, self.c)
+        cond_ex_l = is_lps & (a_sub < qe)  # LPS takes the top interval
+
+        self.c = np.where(
+            no_renorm | (renorm_mps & ~cond_ex) | cond_ex_l, self.c + qe, self.c
+        )
+        # context update: one gather/scatter pair
+        new_state = np.where(
+            renorm_mps, NMPS[state], np.where(is_lps, NLPS[state], state)
+        )
+        self.ctx_state[lanes, ctx] = new_state.astype(np.uint8)
         sw = is_lps & (SWITCH[state] == 1)
-        self.ctx_mps[self._lanes[sw], ctx[sw]] = 1 - mps[sw]
-        self.ctx_state[self._lanes[is_lps], ctx[is_lps]] = NLPS[state[is_lps]]
+        if sw.any():
+            self.ctx_mps[lanes, ctx] = np.where(sw, 1 - mps, mps).astype(np.uint8)
 
         # ---- interval update (common)
         self.a = np.where(mask, a_sub, a)
@@ -236,20 +243,20 @@ class MQDecoder:
         self.bp = np.where(mask, new_bp, self.bp)
 
     def _renorm(self, mask: np.ndarray) -> None:
-        mask = mask.copy()
         while mask.any():
             self._bytein(mask & (self.ct == 0))
-            self.a[mask] = self.a[mask] << 1
-            self.c[mask] = (self.c[mask] << 1) & 0xFFFFFFFF
-            self.ct[mask] -= 1
-            mask &= (self.a & 0x8000) == 0
+            self.a = np.where(mask, self.a << 1, self.a)
+            self.c = np.where(mask, (self.c << 1) & 0xFFFFFFFF, self.c)
+            self.ct = np.where(mask, self.ct - 1, self.ct)
+            mask = mask & ((self.a & 0x8000) == 0)
 
     def decode(self, ctx: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """Decode one decision per masked lane; returns bit [N] (0 where unmasked)."""
         if not mask.any():
             return np.zeros(self.n, dtype=np.uint8)
-        state = self.ctx_state[self._lanes, ctx]
-        mps = self.ctx_mps[self._lanes, ctx]
+        lanes = self._lanes
+        state = self.ctx_state[lanes, ctx]
+        mps = self.ctx_mps[lanes, ctx]
         qe = QE[state]
 
         a = self.a - qe
@@ -263,26 +270,25 @@ class MQDecoder:
         self.a = np.where(mask, a, self.a)
 
         need_renorm_mps = mps_path & ((a & 0x8000) == 0)
-        # exchange on MPS renorm
-        ex_mps = need_renorm_mps & (a < qe)
-        d = np.zeros(self.n, dtype=np.uint8)
-        d = np.where(mps_path, mps, d)
-        d = np.where(ex_mps, 1 - mps, d)
-        sw_m = ex_mps & (SWITCH[state] == 1)
-        self.ctx_mps[self._lanes[sw_m], ctx[sw_m]] = 1 - mps[sw_m]
-        self.ctx_state[self._lanes[ex_mps], ctx[ex_mps]] = NLPS[state[ex_mps]]
-        nmps_m = need_renorm_mps & ~ex_mps
-        self.ctx_state[self._lanes[nmps_m], ctx[nmps_m]] = NMPS[state[nmps_m]]
-
-        # LPS region: conditional exchange
-        ex_lps = lps_path & (a < qe)  # actually MPS decision
-        d = np.where(lps_path, 1 - mps, d)
-        d = np.where(ex_lps, mps, d)
-        self.ctx_state[self._lanes[ex_lps], ctx[ex_lps]] = NMPS[state[ex_lps]]
+        ex_mps = need_renorm_mps & (a < qe)  # exchange: decode LPS symbol
+        ex_lps = lps_path & (a < qe)  # exchange: decode MPS symbol
         nl = lps_path & ~ex_lps
-        sw_l = nl & (SWITCH[state] == 1)
-        self.ctx_mps[self._lanes[sw_l], ctx[sw_l]] = 1 - mps[sw_l]
-        self.ctx_state[self._lanes[nl], ctx[nl]] = NLPS[state[nl]]
+        nmps_m = need_renorm_mps & ~ex_mps
+
+        d = np.where(mps_path, mps, 1 - mps)
+        d = np.where(ex_mps, 1 - mps, d)
+        d = np.where(ex_lps, mps, d)
+
+        new_state = np.where(
+            nmps_m | ex_lps,
+            NMPS[state],
+            np.where(ex_mps | nl, NLPS[state], state),
+        )
+        self.ctx_state[lanes, ctx] = new_state.astype(np.uint8)
+        sw = (ex_mps | nl) & (SWITCH[state] == 1)
+        if sw.any():
+            self.ctx_mps[lanes, ctx] = np.where(sw, 1 - mps, mps).astype(np.uint8)
+
         self.a = np.where(lps_path, qe, self.a)
 
         self._renorm(lps_path | need_renorm_mps)

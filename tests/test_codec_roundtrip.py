@@ -1,0 +1,80 @@
+"""Self-roundtrip tests for the full codestream codec (no reference needed)."""
+
+import numpy as np
+import pytest
+
+import grok_tpu as gk
+from tests.conftest import natural_image
+
+
+def _lossless_roundtrip(arr, prec=8, **kw):
+    im = gk.Image.from_array(arr, prec=prec)
+    stream = gk.compress(im, gk.CompressParams(**kw))
+    out = gk.decompress(stream).to_array()
+    ref = arr if arr.ndim == 3 else arr[:, :, None]
+    assert np.array_equal(out, ref)
+    return stream
+
+
+def test_gray_256():
+    _lossless_roundtrip(natural_image(256, 256), num_resolutions=6)
+
+
+def test_rgb_rct():
+    _lossless_roundtrip(natural_image(128, 128, nc=3), num_resolutions=5)
+
+
+def test_odd_sizes():
+    _lossless_roundtrip(natural_image(77, 131), num_resolutions=4)
+
+
+def test_tiny():
+    _lossless_roundtrip(natural_image(8, 8), num_resolutions=2)
+
+
+def test_single_resolution():
+    _lossless_roundtrip(natural_image(65, 64), num_resolutions=1)
+
+
+def test_16bit():
+    _lossless_roundtrip(natural_image(96, 96, prec=16), prec=16, num_resolutions=4)
+
+
+def test_multitile():
+    _lossless_roundtrip(
+        natural_image(128, 128), num_resolutions=4, tile_size=(96, 96)
+    )
+
+
+@pytest.mark.parametrize(
+    "prog",
+    [
+        gk.ProgressionOrder.LRCP,
+        gk.ProgressionOrder.RLCP,
+        gk.ProgressionOrder.RPCL,
+        gk.ProgressionOrder.PCRL,
+        gk.ProgressionOrder.CPRL,
+    ],
+)
+def test_progressions(prog):
+    _lossless_roundtrip(natural_image(96, 96), num_resolutions=3, progression=prog)
+
+
+def test_precincts_sop_eph():
+    _lossless_roundtrip(
+        natural_image(128, 128),
+        num_resolutions=4,
+        precinct_sizes=[(6, 6)] * 4,
+        use_sop=True,
+        use_eph=True,
+    )
+
+
+def test_header_parse():
+    arr = natural_image(64, 64)
+    im = gk.Image.from_array(arr)
+    stream = gk.compress(im, gk.CompressParams(num_resolutions=3, comment="hello"))
+    ps = gk.parse_codestream(stream)
+    assert ps.header.siz.x1 == 64
+    assert ps.header.default_tcp.num_layers == 1
+    assert ps.header.comments and ps.header.comments[0] == b"hello"

@@ -1,0 +1,95 @@
+"""Bit-exact interop vs the reference Grok binaries (skipped if absent).
+
+Strategy per SURVEY.md §4: lossless decode must be bit-exact in BOTH
+directions (Grok decodes our streams; we decode Grok's)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import grok_tpu as gk
+from tests.conftest import (
+    grk_compress,
+    grk_decompress,
+    have_grok,
+    natural_image,
+    read_pgx,
+    save_pnm,
+)
+
+pytestmark = pytest.mark.skipif(not have_grok(), reason="reference grok not built")
+
+
+def _both_ways(tmp_path, name, arr, prec=8, cparams=None, grk_args=None):
+    nc = 1 if arr.ndim == 2 else arr.shape[2]
+    ref = arr if arr.ndim == 3 else arr[:, :, None]
+    src = str(tmp_path / (f"{name}.pgm" if nc == 1 else f"{name}.ppm"))
+    save_pnm(src, arr, prec)
+
+    im = gk.Image.from_array(arr, prec=prec)
+    stream = gk.compress(im, cparams or gk.CompressParams(num_resolutions=5))
+    ours = str(tmp_path / f"{name}_ours.j2k")
+    with open(ours, "wb") as f:
+        f.write(stream)
+
+    # 1) grok decodes our stream
+    gdec = str(tmp_path / f"{name}_gdec.pgx")
+    r = grk_decompress(["-i", ours, "-o", gdec])
+    assert r.returncode == 0, r.stderr + r.stdout
+    outs = sorted(glob.glob(str(tmp_path / f"{name}_gdec*.pgx")))
+    comps = [read_pgx(f) for f in outs]
+    for i in range(nc):
+        assert np.array_equal(comps[i], ref[:, :, i]), f"grok-dec comp {i}"
+
+    # 2) we decode grok's stream
+    gj2k = str(tmp_path / f"{name}_grok.j2k")
+    r = grk_compress(["-i", src, "-o", gj2k, *(grk_args or [])])
+    assert r.returncode == 0, r.stderr + r.stdout
+    with open(gj2k, "rb") as f:
+        out = gk.decompress(f.read()).to_array()
+    assert np.array_equal(out, ref), "we-dec-grok"
+
+
+def test_gray_lossless(tmp_path):
+    _both_ways(tmp_path, "g256", natural_image(256, 256),
+               cparams=gk.CompressParams(num_resolutions=6))
+
+
+def test_rgb_rct(tmp_path):
+    _both_ways(tmp_path, "rgb", natural_image(128, 128, nc=3),
+               cparams=gk.CompressParams(num_resolutions=5))
+
+
+def test_odd(tmp_path):
+    _both_ways(tmp_path, "odd", natural_image(77, 131),
+               cparams=gk.CompressParams(num_resolutions=4))
+
+
+def test_12bit(tmp_path):
+    _both_ways(tmp_path, "g12", natural_image(128, 128, prec=12), prec=12,
+               cparams=gk.CompressParams(num_resolutions=5))
+
+
+def test_multitile(tmp_path):
+    _both_ways(tmp_path, "tiles", natural_image(200, 200),
+               cparams=gk.CompressParams(num_resolutions=4, tile_size=(96, 96)),
+               grk_args=["-t", "96,96"])
+
+
+@pytest.mark.parametrize("prog", ["RLCP", "RPCL", "PCRL", "CPRL"])
+def test_progressions(tmp_path, prog):
+    _both_ways(tmp_path, f"p{prog}", natural_image(96, 96),
+               cparams=gk.CompressParams(
+                   num_resolutions=3,
+                   progression=gk.ProgressionOrder[prog]),
+               grk_args=["-p", prog])
+
+
+def test_precincts_sop_eph(tmp_path):
+    _both_ways(tmp_path, "prec", natural_image(128, 128),
+               cparams=gk.CompressParams(num_resolutions=4,
+                                         precinct_sizes=[(6, 6)] * 4,
+                                         use_sop=True, use_eph=True),
+               grk_args=["-c", "[64,64]", "-S", "-E"])

@@ -1,0 +1,36 @@
+"""MQ coder tests: batched roundtrip under biased/masked decision streams."""
+
+import numpy as np
+
+from grok_tpu.t1.mq_np import MQDecoder, MQEncoder
+
+
+def test_mq_roundtrip_fuzz(rng):
+    N, STEPS = 16, 2000
+    bits = rng.integers(0, 2, size=(STEPS, N)).astype(np.uint8)
+    bits[:, :8] = (rng.random((STEPS, 8)) < 0.9).astype(np.uint8)
+    ctxs = rng.integers(0, 19, size=(STEPS, N)).astype(np.int64)
+    masks = rng.random((STEPS, N)) < 0.85
+
+    enc = MQEncoder(N, max_bytes=STEPS)
+    for t in range(STEPS):
+        enc.encode(bits[t], ctxs[t], masks[t])
+    enc.flush()
+    lens = enc.lengths()
+
+    dec = MQDecoder(np.ascontiguousarray(enc.buf[:, 1:]), lens)
+    for t in range(STEPS):
+        d = dec.decode(ctxs[t], masks[t])
+        assert np.array_equal(d[masks[t]], bits[t][masks[t]]), f"step {t}"
+
+
+def test_mq_empty_lane():
+    enc = MQEncoder(2, 64)
+    enc.encode(
+        np.array([1, 0], np.uint8),
+        np.array([0, 0], np.int64),
+        np.array([True, False]),
+    )
+    enc.flush()
+    lens = enc.lengths()
+    assert lens[0] >= 1
