@@ -1,0 +1,155 @@
+"""ctypes bindings for the native batched T1 coder (native/t1_coder.cpp).
+
+Builds the shared library on first use (g++ -O3 -fopenmp); falls back to the
+numpy reference coder if no compiler is available. API mirrors
+grok_tpu/t1/ebcot_np.py exactly (bit-identical output by construction).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from .ebcot_np import T1EncodeResult
+
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "t1_coder.cpp")
+_OUT = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libgrok_tpu_native.so")
+
+
+def _build() -> str | None:
+    src = os.path.abspath(_SRC)
+    out = os.path.abspath(_OUT)
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", "-std=c++17",
+           "-o", out, src]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if r.returncode != 0:
+        from ..core import logging as log
+
+        log.warn("native T1 build failed: %s", r.stderr[-500:])
+        return None
+    return out
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        path = _build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.t1_encode_cblks.argtypes = [
+            i64p, i32p, i32p, i32p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            u8p, ctypes.c_int64,
+            i64p, i32p, i32p, i64p, f64p,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.t1_encode_cblks.restype = ctypes.c_int
+        lib.t1_decode_cblks.argtypes = [
+            u8p, i64p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, i64p, ctypes.c_int32,
+        ]
+        lib.t1_decode_cblks.restype = ctypes.c_int
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def encode_cblks(
+    coeffs: np.ndarray,
+    heights: np.ndarray,
+    widths: np.ndarray,
+    orients: np.ndarray,
+    num_threads: int = 0,
+) -> T1EncodeResult:
+    lib = get_lib()
+    assert lib is not None
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.int64)
+    n, h, w = coeffs.shape
+    heights32 = np.ascontiguousarray(heights, dtype=np.int32)
+    widths32 = np.ascontiguousarray(widths, dtype=np.int32)
+    orients32 = np.ascontiguousarray(orients, dtype=np.int32)
+
+    # worst-case magnitude bitplanes bound the buffer/pass sizes
+    maxmag = int(np.abs(coeffs).max(initial=0))
+    pmax = maxmag.bit_length()
+    max_passes = max(3 * pmax - 2, 1)
+    max_bytes = max(64, (pmax * h * w) // 4 + 128)
+
+    data = np.zeros((n, max_bytes), dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int64)
+    numbps = np.zeros(n, dtype=np.int32)
+    npasses = np.zeros(n, dtype=np.int32)
+    rates = np.zeros((n, max_passes), dtype=np.int64)
+    dists = np.zeros((n, max_passes), dtype=np.float64)
+
+    lib.t1_encode_cblks(
+        coeffs, heights32, widths32, orients32,
+        n, h, w, data, max_bytes,
+        lengths, numbps, npasses, rates, dists,
+        max_passes, num_threads,
+    )
+    # drop the per-lane virtual carry byte so data[i][:length] is the segment
+    return T1EncodeResult(
+        data=data[:, 1:],
+        lengths=lengths,
+        numbps=numbps.astype(np.int64),
+        npasses=npasses.astype(np.int64),
+        pass_rates=rates,
+        pass_dist=dists,
+    )
+
+
+def decode_cblks(
+    data: np.ndarray,
+    lengths: np.ndarray,
+    numbps: np.ndarray,
+    npasses: np.ndarray,
+    heights: np.ndarray,
+    widths: np.ndarray,
+    orients: np.ndarray,
+    block_h: int,
+    block_w: int,
+    num_threads: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    lib = get_lib()
+    assert lib is not None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    out = np.zeros((n, block_h, block_w), dtype=np.int64)
+    lib.t1_decode_cblks(
+        data,
+        np.ascontiguousarray(lengths, dtype=np.int64),
+        np.ascontiguousarray(numbps, dtype=np.int32),
+        np.ascontiguousarray(npasses, dtype=np.int32),
+        np.ascontiguousarray(heights, dtype=np.int32),
+        np.ascontiguousarray(widths, dtype=np.int32),
+        np.ascontiguousarray(orients, dtype=np.int32),
+        n, block_h, block_w, data.shape[1], out, num_threads,
+    )
+    planes = np.minimum((np.asarray(npasses) + 2) // 3, np.asarray(numbps))
+    return out, planes

@@ -22,7 +22,7 @@ from ..core.params import QuantStyle
 from ..core.rect import Rect, ceil_div
 from ..ops import dwt as dwt_ops
 from ..ops import mct as mct_ops
-from ..t1.ebcot_np import decode_cblks, encode_cblks
+from ..t1 import select_backend
 from ..t2.packets import CblkDec, CblkEnc, PrecinctCtx, decode_packet, encode_packet
 from ..t2.progression import packet_order
 from .geometry import BAND_LL, TileCompGeom, build_tile_comp_geometry
@@ -171,7 +171,8 @@ class TileProcessor:
         widths = np.array(ws, dtype=np.int64)
         orients = np.array(ors, dtype=np.int64)
 
-        t1res = encode_cblks(batch, heights, widths, orients)
+        t1 = select_backend()
+        t1res = t1.encode_cblks(batch, heights, widths, orients)
 
         # ---- build T2 state: single layer (all passes in layer 0) for now;
         # PCRD layering slots in here.
@@ -288,7 +289,8 @@ class TileProcessor:
             data = np.zeros((n, max(maxlen, 1)), dtype=np.uint8)
             for i, d in enumerate(datas):
                 data[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
-            coeffs, planes = decode_cblks(
+            t1 = select_backend()
+            coeffs, planes = t1.decode_cblks(
                 data,
                 np.array(lens, dtype=np.int64),
                 np.array(nbps, dtype=np.int64),
