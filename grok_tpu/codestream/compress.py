@@ -109,7 +109,7 @@ def compress(image: Image, params: CompressParams | None = None) -> bytes:
 
     tile_part_lengths: list[tuple[int, int]] = []
     for ti in range(num_tiles):
-        tp = TileProcessor(siz, tcp, ti)
+        tp = TileProcessor(siz, tcp, ti, enc_params=params)
         comp_arrays = _extract_tile(image, siz, ti)
         body = tp.compress(comp_arrays)
         psot = 12 + 2 + len(body)  # SOT seg (12) + SOD marker (2) + body

@@ -55,12 +55,16 @@ def _compute_dwt_norms(irreversible: bool, max_levels: int = 33) -> dict[int, li
 
     n_l, n_h = [], []
     cur = np.array([1.0])
-    for _ in range(max_levels):
+    exact = min(max_levels, 12)  # filter length doubles per level; beyond
+    for _ in range(exact):       # this the norms grow by exactly ~2x/level
         wave_l = np.convolve(upsample(cur) if len(cur) > 1 else cur, lo)
         wave_h = np.convolve(upsample(cur) if len(cur) > 1 else cur, hi)
         n_l.append(float(np.sqrt((wave_l ** 2).sum())))
         n_h.append(float(np.sqrt((wave_h ** 2).sum())))
         cur = wave_l
+    for _ in range(exact, max_levels):
+        n_l.append(n_l[-1] * (n_l[-1] / n_l[-2]))
+        n_h.append(n_h[-1] * (n_l[-2] / n_l[-3]))
 
     return {
         BAND_LL: [a * a for a in n_l],

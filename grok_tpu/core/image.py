@@ -83,7 +83,19 @@ class Image:
             arr = arr[:, :, None]
         h, w, nc = arr.shape
         if prec is None:
-            prec = 8 if arr.dtype.itemsize == 1 else 16
+            if arr.dtype.itemsize == 1:
+                prec = 8
+            elif arr.dtype == np.uint16:
+                prec = 16
+            else:
+                # infer the smallest precision covering the data range
+                hi = int(arr.max(initial=0))
+                lo = int(arr.min(initial=0))
+                if signed or lo < 0:
+                    signed = True
+                    prec = max(hi.bit_length(), (-lo - 1).bit_length() if lo < 0 else 0) + 1
+                else:
+                    prec = max(hi.bit_length(), 1)
         if color_space is None:
             color_space = ColorSpace.GRAY if nc == 1 else ColorSpace.SRGB
         img = Image(0, 0, w, h, color_space=color_space)

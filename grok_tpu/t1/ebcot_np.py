@@ -205,8 +205,8 @@ def encode_cblks(
         if not lane_mask.any():
             return
         idx = _local_pass_index(plane, kind, numbps)
-        # conservative rate bound: current bytes + registers not yet flushed
-        est = mq.pos + 5
+        # safe truncation length (Taubman): bytes + ceil((27 - CT)/8)
+        est = mq.pos + (27 - mq.ct + 7) // 8
         pass_rates[lane_mask, idx[lane_mask]] = est[lane_mask]
 
     for plane in range(pmax - 1, -1, -1):

@@ -1,0 +1,118 @@
+"""PCRD-opt rate control (Taubman; T.800 informative Annex J.10).
+
+Parity target: tile/TileProcessor.cpp rateAllocate/pcrdBisectFeasible +
+t2/RateControl.cpp convexHull — re-derived.
+
+Inputs are the batched T1 outputs: per-block cumulative pass rates [N, P]
+and per-pass distortion decreases [N, P] (coefficient-domain squared error,
+already weighted by step^2 * band-synthesis-norm^2 by the caller). The
+convex-hull + slope-threshold search is fully vectorized across blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def hull_effective_slopes(rates: np.ndarray, dists: np.ndarray, npasses: np.ndarray):
+    """Per-pass effective R-D slope after convex-hull pruning.
+
+    Returns slopes [N, P]: for each pass, the slope of the hull segment that
+    covers it (non-increasing along each row); 0 beyond npasses. Including
+    "all passes with eff_slope >= lambda" yields exactly the hull-feasible
+    truncation for threshold lambda.
+    """
+    n, pmax = rates.shape
+    slopes = np.zeros((n, pmax), dtype=np.float64)
+    for i in range(n):
+        np_i = int(npasses[i])
+        if np_i == 0:
+            continue
+        r = rates[i, :np_i].astype(np.float64)
+        d_cum = np.cumsum(dists[i, :np_i])
+
+        def R(j):
+            return r[j] if j >= 0 else 0.0
+
+        def D(j):
+            return d_cum[j] if j >= 0 else 0.0
+
+        hull: list[int] = []
+        for k in range(np_i):
+            if d_cum[k] <= D(hull[-1] if hull else -1):
+                continue  # adds no distortion reduction: never a vertex
+            while hull:
+                prev = hull[-2] if len(hull) >= 2 else -1
+                s_top = (D(hull[-1]) - D(prev)) / max(R(hull[-1]) - R(prev), 1e-9)
+                s_new = (d_cum[k] - D(prev)) / max(r[k] - R(prev), 1e-9)
+                if s_new >= s_top:
+                    hull.pop()
+                else:
+                    break
+            hull.append(k)
+
+        prev_idx = -1
+        r0 = d0 = 0.0
+        for h in hull:
+            seg_slope = (d_cum[h] - d0) / max(r[h] - r0, 1e-9)
+            slopes[i, prev_idx + 1 : h + 1] = seg_slope
+            r0, d0 = r[h], d_cum[h]
+            prev_idx = h
+        # passes after the last vertex keep slope 0 (never included)
+    return slopes
+
+
+def passes_for_threshold(slopes: np.ndarray, lam: float) -> np.ndarray:
+    """Number of included passes per block for slope threshold lam."""
+    return (slopes >= lam).sum(axis=1)
+
+
+def rate_for_threshold(rates: np.ndarray, slopes: np.ndarray, lam: float) -> float:
+    k = passes_for_threshold(slopes, lam)
+    idx = np.maximum(k - 1, 0)
+    r = np.take_along_axis(rates, idx[:, None], axis=1)[:, 0]
+    return float(np.where(k > 0, r, 0).sum())
+
+
+def allocate_layers(
+    rates: np.ndarray,
+    dists: np.ndarray,
+    npasses: np.ndarray,
+    layer_targets: list[float | None],
+    header_overhead_fn=None,
+) -> np.ndarray:
+    """Compute per-block cumulative pass counts per layer.
+
+    layer_targets: cumulative byte budgets per layer (None = include all).
+    header_overhead_fn(cum_passes [N]) -> estimated packet-header bytes for
+    an allocation (optional; refines the budget).
+    Returns [L, N] cumulative pass counts (non-decreasing across layers).
+    """
+    n, pmax = rates.shape
+    slopes = hull_effective_slopes(rates, dists, npasses)
+    pos = slopes[slopes > 0]
+    lo = float(pos.min()) if pos.size else 0.0
+    hi = float(pos.max()) if pos.size else 1.0
+
+    out = np.zeros((len(layer_targets), n), dtype=np.int64)
+    prev = np.zeros(n, dtype=np.int64)
+    for li, target in enumerate(layer_targets):
+        if target is None:
+            k = npasses.astype(np.int64)
+        else:
+            overhead = header_overhead_fn(prev) if header_overhead_fn else 0.0
+            budget = max(target - overhead, 0.0)
+            a, b = lo * 0.5, hi * 2.0 + 1.0
+            # bisect: find smallest lambda with rate <= budget... rate is
+            # non-increasing in lambda, so search for the threshold
+            for _ in range(64):
+                mid = 0.5 * (a + b)
+                if rate_for_threshold(rates, slopes, mid) <= budget:
+                    b = mid
+                else:
+                    a = mid
+            k = passes_for_threshold(slopes, b)
+        k = np.maximum(k, prev)
+        out[li] = k
+        prev = k
+    return out

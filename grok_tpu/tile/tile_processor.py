@@ -16,7 +16,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..codestream.quantizer import apply_band_quant
+from ..codestream.quantizer import apply_band_quant, band_norm
 from ..codestream.structs import Siz, Tcp
 from ..core.params import QuantStyle
 from ..core.rect import Rect, ceil_div
@@ -51,9 +51,10 @@ class _CblkRef:
 
 
 class TileProcessor:
-    def __init__(self, siz: Siz, tcp: Tcp, tile_index: int):
+    def __init__(self, siz: Siz, tcp: Tcp, tile_index: int, enc_params=None):
         self.siz = siz
         self.tcp = tcp
+        self.enc_params = enc_params  # CompressParams (encode side only)
         self.tile_index = tile_index
         self.tile_rect = siz.tile_bounds(tile_index)
         self.geoms: list[TileCompGeom] = []
@@ -174,26 +175,46 @@ class TileProcessor:
         t1 = select_backend()
         t1res = t1.encode_cblks(batch, heights, widths, orients)
 
-        # ---- build T2 state: single layer (all passes in layer 0) for now;
-        # PCRD layering slots in here.
+        # ---- PCRD layer allocation
+        cum_passes = self._allocate_layers(refs, t1res)
+
+        # ---- build T2 state
         prc_ctx_map: dict[tuple[int, int, int, int], PrecinctCtx] = {}
         for c in range(ncomp):
             for res in self.geoms[c].resolutions:
                 for bi, band in enumerate(res.bands):
                     for pi, prc in enumerate(band.precincts):
                         prc_ctx_map[(c, res.r, bi, pi)] = PrecinctCtx(band, prc)
+        num_layers = tcp.num_layers
         for i, ref in enumerate(refs):
             key = (ref.comp, ref.res, ref.band_i, ref.prec)
             npasses = int(t1res.npasses[i])
             length = int(t1res.lengths[i])
+            layer_passes: list[int] = []
+            layer_bytes: list[int] = []
+            first_layer = num_layers
+            prev_k = 0
+            prev_bytes = 0
+            for li in range(num_layers):
+                k = int(cum_passes[li, i])
+                if k > prev_k:
+                    nbytes = int(t1res.pass_rates[i, k - 1]) - prev_bytes
+                    if first_layer == num_layers:
+                        first_layer = li
+                else:
+                    nbytes = 0
+                layer_passes.append(k - prev_k)
+                layer_bytes.append(nbytes)
+                prev_bytes += nbytes
+                prev_k = k
             cb = CblkEnc(
                 data=t1res.data[i],
                 total_len=length,
                 npasses=npasses,
                 numbps=int(t1res.numbps[i]),
-                layer_passes=[npasses],
-                layer_bytes=[length],
-                first_layer=0 if npasses > 0 else tcp.num_layers,
+                layer_passes=layer_passes,
+                layer_bytes=layer_bytes,
+                first_layer=first_layer,
             )
             prc_ctx_map[key].cblks[ref.cblk_i] = cb
 
@@ -214,6 +235,76 @@ class TileProcessor:
             encode_packet(parts, ctxs, pk.layer, use_sop, use_eph, sop)
             sop += 1
         return b"".join(parts)
+
+    def _allocate_layers(self, refs, t1res) -> np.ndarray:
+        """PCRD: cumulative pass counts per layer [L, N] (parity:
+        TileProcessor.cpp rateAllocate/pcrdBisectFeasible)."""
+        from ..t2.rate_control import allocate_layers
+
+        tcp = self.tcp
+        num_layers = tcp.num_layers
+        n = len(refs)
+        p = self.enc_params
+        rates_cfg = getattr(p, "layer_rates", None) if p is not None else None
+        psnrs_cfg = getattr(p, "layer_psnrs", None) if p is not None else None
+
+        if num_layers == 1 and not rates_cfg and not psnrs_cfg:
+            return t1res.npasses[None, :].astype(np.int64)
+
+        # distortion weights: (step * band-synthesis-norm * mct-weight)^2
+        mct_w = self._mct_weights()
+        w2 = np.ones(n, dtype=np.float64)
+        for i, ref in enumerate(refs):
+            g = self.geoms[ref.comp]
+            band = g.resolutions[ref.res].bands[ref.band_i]
+            tccp = tcp.tccps[ref.comp]
+            nl = tccp.num_resolutions - 1
+            lvl = band.level if band.orient != 0 else nl
+            bn = band_norm(tccp.irreversible, band.orient, lvl)
+            w2[i] = (band.step * bn * mct_w[ref.comp]) ** 2
+        dists = t1res.pass_dist * w2[:, None]
+
+        # cumulative byte targets per layer
+        tile_bits = 0
+        for c in range(self.siz.num_comps):
+            g = self.geoms[c]
+            tile_bits += g.rect.area * self.siz.comps[c].prec
+        tile_bytes = tile_bits / 8.0
+        targets: list[float | None] = []
+        for li in range(num_layers):
+            ratio = rates_cfg[li] if rates_cfg and li < len(rates_cfg) else 0
+            if not ratio or ratio <= 1.0:
+                targets.append(None)
+            else:
+                targets.append(tile_bytes / float(ratio))
+
+        n_prc = sum(
+            res.num_precincts for g in self.geoms for res in g.resolutions
+        )
+
+        def header_overhead(cum):
+            # ~1 byte/packet header floor + ~4 bytes per included block
+            included = int((cum > 0).sum())
+            return n_prc * 1.2 + included * 4.0
+
+        return allocate_layers(
+            t1res.pass_rates, dists, t1res.npasses, targets, header_overhead
+        )
+
+    def _mct_weights(self) -> list[float]:
+        """L2 norms of the inverse MCT columns (error propagation weights)."""
+        ncomp = self.siz.num_comps
+        if self.tcp.mct != 1 or ncomp < 3:
+            return [1.0] * ncomp
+        if self.tcp.tccps[0].irreversible:
+            m = mct_ops._ICT_INV
+        else:
+            # linearized inverse RCT, rows (R,G,B) x cols (Y,Cb,Cr)
+            m = np.array(
+                [[1.0, -0.25, 0.75], [1.0, -0.25, -0.25], [1.0, 0.75, -0.25]]
+            )
+        w = [float(np.linalg.norm(m[:, j])) for j in range(3)]
+        return w + [1.0] * (ncomp - 3)
 
     # ==================================================================
     # decode

@@ -331,22 +331,19 @@ struct BlockCtx {
 // distortion decrease helpers (squared-error change in coefficient units of
 // 2^{2p}; caller scales by step^2 * bandnorm^2 outside)
 static inline double dd_sig(int64_t v, int p) {
-    double scale = std::ldexp(1.0, p);
-    double av = (double)v / scale;  // normalized magnitude, >= 1 when bit set
-    double before = av * av;
-    double after = (av - 1.5) * (av - 1.5);
-    return before - after;
+    // squared-error decrease in coefficient units when v becomes significant
+    // at plane p: decoder goes from 0 to 1.5 * 2^p
+    double dv = (double)v;
+    double rec = 1.5 * std::ldexp(1.0, p);
+    return dv * dv - (dv - rec) * (dv - rec);
 }
 static inline double dd_ref(int64_t v, int p) {
-    double scale = std::ldexp(1.0, p);
-    double av = (double)v / scale;
-    double frac = av - std::floor(av / 2.0) * 2.0;  // within the 2-ulp window
-    // before: bits >= p+1 known, offset 1.0 (= 0.5*2^{p+1}); after: bit p
-    // known, offset 0.5
-    double before = frac - 1.0;
-    double bitp = std::floor(frac);  // 0 or 1
-    double after = frac - bitp - 0.5;
-    return before * before - after * after;
+    // refinement at plane p: recon goes from (bits>=p+1) + 2^p
+    // to (bits>=p) + 2^(p-1)
+    double dv = (double)v;
+    double rb = (double)((v >> (p + 1)) << (p + 1)) + std::ldexp(1.0, p);
+    double ra = (double)((v >> p) << p) + std::ldexp(0.5, p);
+    return (dv - rb) * (dv - rb) - (dv - ra) * (dv - ra);
 }
 
 // --------------------------------------------------------------- encoder
@@ -617,21 +614,24 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
             int pass_i = 0;
             for (int plane = numbps - 1; plane >= 0; plane--) {
                 double d;
+                // safe truncation length for a non-terminated pass
+                // (Taubman): bytes so far + ceil((27 - CT) / 8)
+                auto safe_len = [&]() { return mq.pos + (27 - mq.ct + 7) / 8; };
                 if (plane < numbps - 1) {
                     d = 0;
                     enc_spp(B, mq, plane, &d);
-                    out_pass_rates[b * max_passes + pass_i] = mq.pos + 5;
+                    out_pass_rates[b * max_passes + pass_i] = safe_len();
                     out_pass_dist[b * max_passes + pass_i] = d;
                     pass_i++;
                     d = 0;
                     enc_mrp(B, mq, plane, &d);
-                    out_pass_rates[b * max_passes + pass_i] = mq.pos + 5;
+                    out_pass_rates[b * max_passes + pass_i] = safe_len();
                     out_pass_dist[b * max_passes + pass_i] = d;
                     pass_i++;
                 }
                 d = 0;
                 enc_cup(B, mq, plane, &d);
-                out_pass_rates[b * max_passes + pass_i] = mq.pos + 5;
+                out_pass_rates[b * max_passes + pass_i] = safe_len();
                 out_pass_dist[b * max_passes + pass_i] = d;
                 pass_i++;
                 std::memset(visited, 0, plane_sz);

@@ -1,0 +1,59 @@
+"""Lossy 9/7 + PCRD rate-control tests."""
+
+import numpy as np
+import pytest
+
+import grok_tpu as gk
+from tests.conftest import natural_image
+
+
+def psnr(a, b, peak=255.0):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(peak * peak / mse) if mse > 0 else float("inf")
+
+
+def test_97_default_near_lossless():
+    arr = natural_image(256, 256)
+    im = gk.Image.from_array(arr)
+    stream = gk.compress(im, gk.CompressParams(num_resolutions=5, irreversible=True))
+    out = gk.decompress(stream).to_array()[:, :, 0]
+    assert psnr(arr, out) > 42
+
+
+def test_97_rate_targets_and_layer_progression():
+    arr = natural_image(256, 256)
+    im = gk.Image.from_array(arr)
+    p = gk.CompressParams(
+        num_resolutions=5, irreversible=True, num_layers=3, layer_rates=[32, 16, 8]
+    )
+    stream = gk.compress(im, p)
+    target = 256 * 256 // 8
+    assert len(stream) <= target * 1.02, "rate overshoot"
+    assert len(stream) >= target * 0.75, "rate badly undershot"
+    prev = 0.0
+    for ml in (1, 2, 3):
+        out = gk.decompress(stream, gk.DecompressParams(max_layers=ml)).to_array()[:, :, 0]
+        q = psnr(arr, out)
+        assert q > prev, "PSNR must increase with layers"
+        prev = q
+    assert prev > 30
+
+
+def test_53_truncation_layers():
+    arr = natural_image(256, 256)
+    im = gk.Image.from_array(arr)
+    p = gk.CompressParams(num_resolutions=5, num_layers=2, layer_rates=[16, 1])
+    stream = gk.compress(im, p)
+    lossy = gk.decompress(stream, gk.DecompressParams(max_layers=1)).to_array()[:, :, 0]
+    full = gk.decompress(stream).to_array()[:, :, 0]
+    assert np.array_equal(full, arr), "final layer (ratio<=1) must be lossless"
+    assert psnr(arr, lossy) > 25
+
+
+def test_97_rgb_ict():
+    arr = natural_image(128, 128, nc=3)
+    im = gk.Image.from_array(arr)
+    p = gk.CompressParams(num_resolutions=4, irreversible=True, num_layers=1, layer_rates=[10])
+    stream = gk.compress(im, p)
+    out = gk.decompress(stream).to_array()
+    assert psnr(arr, out) > 28
