@@ -51,12 +51,13 @@ def build_tcp(image: Image, params: CompressParams) -> Tcp:
     qs = params.quant_style
     if qs is None:
         qs = QuantStyle.NO_QUANT if not params.irreversible else QuantStyle.SCALAR_EXPOUNDED
+    cblk_style = params.cblk_style | (0x40 if params.ht else 0)
     for c in range(image.num_comps):
         t = TccpStyle(
             num_resolutions=params.num_resolutions,
             cblk_w_exp=params.cblk_width.bit_length() - 1,
             cblk_h_exp=params.cblk_height.bit_length() - 1,
-            cblk_style=params.cblk_style,
+            cblk_style=cblk_style,
             irreversible=params.irreversible,
             quant_style=qs,
             guard_bits=params.guard_bits,
@@ -85,9 +86,28 @@ def compress(image: Image, params: CompressParams | None = None) -> bytes:
         if tb.empty():
             raise ParameterError(f"tile {ti} empty")
 
+    if params.ht:
+        siz.rsiz |= 0x4000  # JPH capability flag in Rsiz
+
     out = bytearray()
     out += mk._u16(mk.SOC)
     out += mk.write_siz(siz)
+    if params.ht:
+        # CAP: Pcap bit for Part 15, Ccap15 = MAGB encoding (T.814 A.3)
+        magb = max(
+            max(t.step_exps) + t.guard_bits - 1 for t in tcp.tccps
+        )
+        if magb <= 8:
+            bp = 0
+        elif magb < 28:
+            bp = magb - 8
+        elif magb < 48:
+            bp = 13 + (magb >> 2)
+        else:
+            bp = 31
+        ccap15 = bp | (0x20 if params.irreversible else 0)
+        ccap15 &= 0xFFDF  # HTONLY signalling matches the reference encoder
+        out += mk.write_cap(0x00020000, [ccap15])
     out += mk.write_cod(tcp)
     out += mk.write_qcd(tcp)
     base = tcp.tccps[0]

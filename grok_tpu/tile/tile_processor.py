@@ -172,7 +172,10 @@ class TileProcessor:
         widths = np.array(ws, dtype=np.int64)
         orients = np.array(ors, dtype=np.int64)
 
-        t1 = select_backend()
+        if tcp.tccps[0].cblk_style & 0x40:
+            from ..t1 import ht as t1
+        else:
+            t1 = select_backend()
         t1res = t1.encode_cblks(batch, heights, widths, orients)
 
         # ---- PCRD layer allocation
@@ -380,7 +383,10 @@ class TileProcessor:
             data = np.zeros((n, max(maxlen, 1)), dtype=np.uint8)
             for i, d in enumerate(datas):
                 data[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
-            t1 = select_backend()
+            if tcp.tccps[0].cblk_style & 0x40:
+                from ..t1 import ht as t1
+            else:
+                t1 = select_backend()
             coeffs, planes = t1.decode_cblks(
                 data,
                 np.array(lens, dtype=np.int64),
