@@ -638,7 +638,7 @@ def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0):
     from .ebcot_np import T1EncodeResult
     from . import native as _native
 
-    if _native.available() and hasattr(_native.get_lib(), "ht_encode_cblks"):
+    if _native.available():
         return _native.ht_encode_cblks(coeffs, heights, widths, orients, num_threads)
 
     coeffs = np.asarray(coeffs, dtype=np.int64)
@@ -679,7 +679,7 @@ def decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
                  block_h, block_w, num_threads: int = 0):
     from . import native as _native
 
-    if _native.available() and hasattr(_native.get_lib(), "ht_decode_cblks"):
+    if _native.available():
         return _native.ht_decode_cblks(
             data, lengths, numbps, npasses, heights, widths, orients,
             block_h, block_w, num_threads,

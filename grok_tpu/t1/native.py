@@ -20,17 +20,23 @@ _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 _TRIED = False
 
-_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "t1_coder.cpp")
-_OUT = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libgrok_tpu_native.so")
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SRCS = [
+    os.path.join(_NATIVE_DIR, "t1_coder.cpp"),
+    os.path.join(_NATIVE_DIR, "ht_coder.cpp"),
+]
+_OUT = os.path.join(_NATIVE_DIR, "libgrok_tpu_native.so")
 
 
 def _build() -> str | None:
-    src = os.path.abspath(_SRC)
+    srcs = [os.path.abspath(s) for s in _SRCS]
     out = os.path.abspath(_OUT)
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    if os.path.exists(out) and all(
+        os.path.getmtime(out) >= os.path.getmtime(s) for s in srcs
+    ):
         return out
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", "-std=c++17",
-           "-o", out, src]
+           "-o", out, *srcs]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
     except (OSError, subprocess.TimeoutExpired):
@@ -71,8 +77,95 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_int64, i64p, ctypes.c_int32,
         ]
         lib.t1_decode_cblks.restype = ctypes.c_int
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+        lib.ht_install_tables.argtypes = [u16p, u16p, u16p, u16p]
+        lib.ht_install_tables.restype = ctypes.c_int
+        lib.ht_encode_cblks_c.argtypes = [
+            i64p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            u8p, ctypes.c_int64, i64p, i32p, f64p, ctypes.c_int32,
+        ]
+        lib.ht_encode_cblks_c.restype = ctypes.c_int
+        lib.ht_decode_cblks_c.argtypes = [
+            u8p, i64p, i32p, i32p, i32p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64, i64p, ctypes.c_int32,
+        ]
+        lib.ht_decode_cblks_c.restype = ctypes.c_int
+        _install_ht_tables(lib)
         _LIB = lib
         return _LIB
+
+
+def _install_ht_tables(lib) -> None:
+    from .ht import DEC_TBL, ENC_TBL
+
+    enc0 = np.asarray(ENC_TBL[0], dtype=np.uint16)
+    enc1 = np.asarray(ENC_TBL[1], dtype=np.uint16)
+
+    def pack_dec(tbl):
+        out = np.zeros((8, 128), dtype=np.uint16)  # 0 = invalid (len 0 never occurs)
+        for cq in range(8):
+            for v in range(128):
+                e = tbl[cq][v]
+                if e is None:
+                    continue
+                rho, u_off, e_k, e_1, ln = e
+                out[cq, v] = rho | (u_off << 4) | (e_k << 5) | (e_1 << 9) | (ln << 13)
+        return out.reshape(-1)
+
+    lib.ht_install_tables(enc0, enc1, pack_dec(DEC_TBL[0]), pack_dec(DEC_TBL[1]))
+
+
+def ht_encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0):
+    from .ebcot_np import T1EncodeResult
+
+    lib = get_lib()
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.int64)
+    n, h, w = coeffs.shape
+    maxmag = int(np.abs(coeffs).max(initial=0))
+    bytes_per_sample = (2 * maxmag).bit_length() // 8 + 2
+    max_bytes = max(256, h * w * bytes_per_sample + (h * w) // 2 + 64)
+    data = np.zeros((n, max_bytes), dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int64)
+    numbps = np.zeros(n, dtype=np.int32)
+    dist = np.zeros(n, dtype=np.float64)
+    lib.ht_encode_cblks_c(
+        coeffs,
+        np.ascontiguousarray(heights, dtype=np.int32),
+        np.ascontiguousarray(widths, dtype=np.int32),
+        n, h, w, data, max_bytes, lengths, numbps, dist, num_threads,
+    )
+    npasses = np.where(numbps > 0, 1, 0).astype(np.int64)
+    return T1EncodeResult(
+        data=data,
+        lengths=lengths,
+        numbps=numbps.astype(np.int64),
+        npasses=npasses,
+        pass_rates=lengths[:, None].copy(),
+        pass_dist=dist[:, None].copy(),
+    )
+
+
+def ht_decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
+                    block_h, block_w, num_threads: int = 0):
+    lib = get_lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    out = np.zeros((n, block_h, block_w), dtype=np.int64)
+    rc = lib.ht_decode_cblks_c(
+        data,
+        np.ascontiguousarray(lengths, dtype=np.int64),
+        np.ascontiguousarray(npasses, dtype=np.int32),
+        np.ascontiguousarray(heights, dtype=np.int32),
+        np.ascontiguousarray(widths, dtype=np.int32),
+        n, block_h, block_w, data.shape[1], out, num_threads,
+    )
+    if rc != 0:
+        from ..core import logging as log
+
+        log.warn("HT decode reported block errors")
+    planes = np.asarray(numbps, dtype=np.int64).copy()
+    return out, planes
 
 
 def available() -> bool:

@@ -93,3 +93,26 @@ def test_precincts_sop_eph(tmp_path):
                                          precinct_sizes=[(6, 6)] * 4,
                                          use_sop=True, use_eph=True),
                grk_args=["-c", "[64,64]", "-S", "-E"])
+
+
+def test_ht_interop(tmp_path):
+    """HTJ2K: grok decodes our stream and vice versa, bit-exact."""
+    arr = natural_image(256, 256)
+    src = str(tmp_path / "ht.pgm")
+    save_pnm(src, arr)
+    im = gk.Image.from_array(arr)
+    stream = gk.compress(im, gk.CompressParams(num_resolutions=5, ht=True))
+    ours = str(tmp_path / "ht_ours.j2k")
+    with open(ours, "wb") as f:
+        f.write(stream)
+    gdec = str(tmp_path / "ht_gdec.pgx")
+    r = grk_decompress(["-i", ours, "-o", gdec])
+    assert r.returncode == 0, r.stderr + r.stdout
+    comps = [read_pgx(f) for f in sorted(glob.glob(str(tmp_path / "ht_gdec*.pgx")))]
+    assert np.array_equal(comps[0], arr)
+    gj2k = str(tmp_path / "ht_grok.j2k")
+    r = grk_compress(["-i", src, "-o", gj2k, "-M", "64"])
+    assert r.returncode == 0, r.stderr + r.stdout
+    with open(gj2k, "rb") as f:
+        out = gk.decompress(f.read()).to_array()[:, :, 0]
+    assert np.array_equal(out, arr)
