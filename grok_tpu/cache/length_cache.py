@@ -1,0 +1,124 @@
+"""TLM / PLT length caches for O(1) random access.
+
+Parity targets: cache/LengthCache.{h,cpp} (CodeStreamInfo/TilePartInfo, TLM
+skipTo) and cache/PacketLengthMarkers.{h,cpp} (PLT read/write) — the
+machinery behind the reference's headline fast random-access decode
+(README.md:14, CodeStreamDecompress.cpp:977-993).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..codestream import markers as mk
+from ..core.errors import CodestreamError
+
+
+@dataclass
+class TilePartSpan:
+    tile_index: int
+    tp_index: int
+    sot_offset: int  # offset of the SOT marker
+    body_start: int  # offset of first byte after SOD
+    body_end: int
+
+
+@dataclass
+class StreamIndex:
+    """Byte-level index of a codestream: where every tile part lives."""
+
+    first_sot: int
+    spans: dict[int, list[TilePartSpan]] = field(default_factory=dict)
+    from_tlm: bool = False
+
+
+def index_from_tlm(data: memoryview, header, first_sot: int) -> StreamIndex | None:
+    """Build the tile-part index directly from TLM entries: O(#tileparts),
+    no stream scanning (the reference's skipTo fast path)."""
+    if not header.tlm:
+        return None
+    idx = StreamIndex(first_sot=first_sot, from_tlm=True)
+    pos = first_sot
+    for (tile_index, psot) in header.tlm:
+        if pos + 12 > len(data):
+            return None  # TLM inconsistent with stream length
+        # SOT is 12 bytes; tile-part header may contain more markers, so
+        # locate SOD by scanning only this tile part's marker headers.
+        c = mk.Cursor(data, pos)
+        m = c.u16()
+        if m != mk.SOT:
+            return None
+        c.u16()  # Lsot
+        t_i, p_sot, tp_i, _ = mk.read_sot(c)
+        if t_i != tile_index or (psot and p_sot and psot != p_sot):
+            # trust the in-stream SOT
+            psot = p_sot
+        while True:
+            m2 = c.u16()
+            if m2 == mk.SOD:
+                break
+            if m2 < 0xFF00:
+                return None
+            ln = c.u16()
+            c.pos += ln - 2
+        span = TilePartSpan(t_i, tp_i, pos, c.pos, pos + psot)
+        idx.spans.setdefault(t_i, []).append(span)
+        pos += psot
+    return idx
+
+
+def index_by_scan(data: memoryview, first_sot: int) -> StreamIndex:
+    """Fallback: scan SOT markers sequentially (skipToTile equivalent)."""
+    idx = StreamIndex(first_sot=first_sot)
+    c = mk.Cursor(data, first_sot)
+    while c.remaining() >= 2:
+        m = c.u16()
+        if m == mk.EOC:
+            break
+        if m != mk.SOT:
+            raise CodestreamError("expected SOT while indexing")
+        c.u16()
+        t_i, psot, tp_i, _ = mk.read_sot(c)
+        sot_off = c.pos - 12
+        while True:
+            m2 = c.u16()
+            if m2 == mk.SOD:
+                break
+            ln = c.u16()
+            c.pos += ln - 2
+        end = sot_off + psot if psot else len(data)
+        idx.spans.setdefault(t_i, []).append(
+            TilePartSpan(t_i, tp_i, sot_off, c.pos, min(end, len(data)))
+        )
+        c.pos = min(end, len(data))
+    return idx
+
+
+class PacketLengthCache:
+    """Collects per-packet lengths at encode (PLT write) and replays them at
+    decode (packet skipping without header parsing)."""
+
+    def __init__(self) -> None:
+        self.lengths: list[int] = []
+
+    def push(self, n: int) -> None:
+        self.lengths.append(n)
+
+    def to_plt_segments(self, max_seg: int = 65000) -> list[bytes]:
+        """One or more PLT marker segments covering all packet lengths."""
+        out = []
+        cur: list[int] = []
+        cur_bytes = 0
+        z = 0
+        for ln in self.lengths:
+            nb = max(1, (ln.bit_length() + 6) // 7)
+            if cur_bytes + nb > max_seg:
+                out.append(mk.write_plt(cur, z))
+                z += 1
+                cur = []
+                cur_bytes = 0
+            cur.append(ln)
+            cur_bytes += nb
+        if cur or not out:
+            out.append(mk.write_plt(cur, z))
+        return out

@@ -131,16 +131,25 @@ def compress(image: Image, params: CompressParams | None = None) -> bytes:
     for ti in range(num_tiles):
         tp = TileProcessor(siz, tcp, ti, enc_params=params)
         comp_arrays = _extract_tile(image, siz, ti)
-        body = tp.compress(comp_arrays)
-        psot = 12 + 2 + len(body)  # SOT seg (12) + SOD marker (2) + body
+        body, pkt_lens = tp.compress(comp_arrays)
+        plt_bytes = b""
+        if params.write_plt:
+            from ..cache.length_cache import PacketLengthCache
+
+            plc = PacketLengthCache()
+            for ln in pkt_lens:
+                plc.push(ln)
+            plt_bytes = b"".join(plc.to_plt_segments())
+        psot = 12 + len(plt_bytes) + 2 + len(body)
         out += mk.write_sot(ti, psot, 0, 1)
+        out += plt_bytes
         out += mk._u16(mk.SOD)
         out += body
         tile_part_lengths.append((ti, psot))
     out += mk._u16(mk.EOC)
 
     if params.write_tlm and tlm_offset is not None:
-        tlm = mk.write_tlm(tile_part_lengths)
+        tlm = mk.write_tlm(tile_part_lengths, st=1 if num_tiles <= 255 else 2)
         out[tlm_offset : tlm_offset + len(tlm)] = tlm
     return bytes(out)
 

@@ -3,7 +3,8 @@ codestream/CodeStreamDecompress.cpp — readHeader/decompress/decompressTile
 and the marker state machine).
 
 Host-side: marker parsing and tile-part assembly are serial byte work; the
-per-tile decode fans out to the batched T1/DWT pipeline.
+per-tile decode fans out to the batched T1/DWT pipeline. TLM gives O(1)
+seeks to tiles; decoded tiles can be cached for repeated window reads.
 """
 
 from __future__ import annotations
@@ -12,10 +13,12 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..cache.length_cache import StreamIndex, index_by_scan, index_from_tlm
+from ..cache.tile_cache import TileCache, TileCacheStrategy
 from ..core.errors import CodestreamError, InvalidMarkerError
 from ..core.image import Component, Image
 from ..core.params import ColorSpace, DecompressParams
-from ..core.rect import ceil_div
+from ..core.rect import Rect, ceil_div, ceil_div_pow2
 from ..tile.tile_processor import TileProcessor
 from . import markers as mk
 from .structs import HeaderInfo, Tcp
@@ -33,115 +36,179 @@ class ParsedStream:
     header: HeaderInfo
     tile_tcps: dict[int, Tcp] = field(default_factory=dict)
     tile_parts: dict[int, list[TilePartData]] = field(default_factory=dict)
+    tile_plt: dict[int, list[int]] = field(default_factory=dict)
 
 
-def parse_codestream(data: bytes | memoryview) -> ParsedStream:
-    """Parse main header and collect tile-part byte ranges (no T1 work)."""
-    data = memoryview(data)
-    header, pos = mk.parse_main_header(data)
-    ps = ParsedStream(header=header)
-    siz = header.siz
+class Decoder:
+    """Random-access decoder (parity: grk_decompress_* codec object)."""
 
-    c = mk.Cursor(data, pos)
-    while True:
-        if c.remaining() < 2:
-            break  # tolerate missing EOC like the reference
-        m = c.u16()
-        if m == mk.EOC:
-            break
-        if m != mk.SOT:
-            raise InvalidMarkerError(f"expected SOT, got {mk.marker_name(m)}")
-        lsot = c.u16()
-        if lsot != 10:
-            raise CodestreamError("bad Lsot")
-        sot_start = c.pos - 4
-        tile_index, psot, tp_index, _num_tps = mk.read_sot(c)
-        if tile_index >= siz.num_tiles:
-            raise CodestreamError(f"SOT: tile index {tile_index} out of range")
-        # tile-part header markers until SOD
-        tcp = ps.tile_tcps.get(tile_index)
-        if tcp is None:
-            tcp = header.default_tcp.copy()
-            ps.tile_tcps[tile_index] = tcp
-        while True:
-            m2 = c.u16()
-            if m2 == mk.SOD:
-                break
-            if m2 < 0xFF00:
-                raise InvalidMarkerError("bad marker in tile-part header")
-            ln = c.u16()
-            sub = mk.Cursor(c.data, c.pos, c.pos + ln - 2)
-            if m2 == mk.COD:
-                mk.read_cod(sub, tcp, siz.num_comps)
-            elif m2 == mk.COC:
-                mk.read_coc(sub, tcp, siz.num_comps)
-            elif m2 == mk.QCD:
-                mk.read_qcd(sub, tcp)
-            elif m2 == mk.QCC:
-                mk.read_qcc(sub, tcp, siz.num_comps)
-            elif m2 == mk.POC:
-                mk.read_poc(sub, tcp, siz.num_comps)
-            elif m2 == mk.RGN:
-                mk.read_rgn(sub, tcp, siz.num_comps)
-            # PLT/PPT/COM: skipped (PLT fast paths handled by caches later)
-            c.pos += ln - 2
-        body_start = c.pos
-        if psot == 0:
-            body_end = len(data) - 2 if data[-2:] == b"\xff\xd9" else len(data)
-        else:
-            body_end = sot_start + psot
-        if body_end > len(data):
-            body_end = len(data)  # truncated stream tolerance
-        ps.tile_parts.setdefault(tile_index, []).append(
-            TilePartData(tile_index, tp_index, data[body_start:body_end])
+    def __init__(self, data: bytes | memoryview, params: DecompressParams | None = None):
+        self.data = memoryview(data)
+        self.params = params or DecompressParams()
+        self.header, self.first_sot = mk.parse_main_header(self.data)
+        self.index: StreamIndex | None = None
+        if self.header.has_tlm:
+            self.index = index_from_tlm(self.data, self.header, self.first_sot)
+        if self.index is None:
+            self.index = index_by_scan(self.data, self.first_sot)
+        self._tcps: dict[int, Tcp] = {}
+        self._plt: dict[int, list[int]] = {}
+        self.cache = TileCache(
+            TileCacheStrategy.ALL if self.params.tile_cache_all else TileCacheStrategy.NONE
         )
-        c.pos = body_end
-    return ps
+
+    # -------------------------------------------------------------- headers
+    def _parse_tile_headers(self, tile_index: int) -> tuple[Tcp, memoryview]:
+        """Parse this tile's tile-part headers; returns (tcp, body bytes)."""
+        siz = self.header.siz
+        spans = self.index.spans.get(tile_index, [])
+        tcp = self._tcps.get(tile_index)
+        if tcp is None:
+            tcp = self.header.default_tcp.copy()
+        bodies = []
+        plt: list[int] = []
+        for span in sorted(spans, key=lambda s: s.tp_index):
+            c = mk.Cursor(self.data, span.sot_offset)
+            if c.u16() != mk.SOT:
+                raise InvalidMarkerError("bad tile-part offset")
+            c.u16()
+            mk.read_sot(c)
+            while True:
+                m2 = c.u16()
+                if m2 == mk.SOD:
+                    break
+                if m2 < 0xFF00:
+                    raise InvalidMarkerError("bad marker in tile-part header")
+                ln = c.u16()
+                sub = mk.Cursor(c.data, c.pos, c.pos + ln - 2)
+                if m2 == mk.COD:
+                    mk.read_cod(sub, tcp, siz.num_comps)
+                elif m2 == mk.COC:
+                    mk.read_coc(sub, tcp, siz.num_comps)
+                elif m2 == mk.QCD:
+                    mk.read_qcd(sub, tcp)
+                elif m2 == mk.QCC:
+                    mk.read_qcc(sub, tcp, siz.num_comps)
+                elif m2 == mk.POC:
+                    mk.read_poc(sub, tcp, siz.num_comps)
+                elif m2 == mk.RGN:
+                    mk.read_rgn(sub, tcp, siz.num_comps)
+                elif m2 == mk.PLT:
+                    plt.extend(mk.read_plt(sub))
+                c.pos += ln - 2
+            bodies.append(self.data[c.pos : span.body_end])
+        self._tcps[tile_index] = tcp
+        if plt:
+            self._plt[tile_index] = plt
+        if len(bodies) == 1:
+            return tcp, bodies[0]
+        return tcp, memoryview(b"".join(bytes(b) for b in bodies))
+
+    # ---------------------------------------------------------------- tiles
+    def decompress_tile(self, tile_index: int) -> list[np.ndarray]:
+        cached = self.cache.get(tile_index)
+        if cached is not None:
+            return cached
+        siz = self.header.siz
+        if tile_index >= siz.num_tiles:
+            raise CodestreamError("tile index out of range")
+        if tile_index not in self.index.spans:
+            # missing tile: all-zero components
+            tp = TileProcessor(siz, self.header.default_tcp.copy(), tile_index)
+            out = tp.decompress(memoryview(b""), self.params.max_layers,
+                                self.params.reduce)
+        else:
+            tcp, body = self._parse_tile_headers(tile_index)
+            tp = TileProcessor(siz, tcp, tile_index)
+            out = tp.decompress(body, self.params.max_layers, self.params.reduce)
+        self.cache.put(tile_index, out)
+        return out
+
+    # ---------------------------------------------------------------- image
+    def _make_image(self, region: Rect | None = None) -> Image:
+        siz = self.header.siz
+        r = self.params.reduce
+        area = Rect(siz.x0, siz.y0, siz.x1, siz.y1)
+        if region is not None:
+            area = area.intersect(region)
+            if area.empty():
+                raise CodestreamError("window outside image")
+        img = Image(
+            x0=ceil_div_pow2(area.x0, r),
+            y0=ceil_div_pow2(area.y0, r),
+            x1=ceil_div_pow2(area.x1, r),
+            y1=ceil_div_pow2(area.y1, r),
+            color_space=ColorSpace.UNKNOWN,
+        )
+        for sc in siz.comps:
+            img.components.append(
+                Component(dx=sc.dx, dy=sc.dy, prec=sc.prec, signed=sc.signed)
+            )
+        img.alloc()
+        return img
+
+    def decompress(self) -> Image:
+        siz = self.header.siz
+        window = None
+        if self.params.window is not None:
+            window = Rect(*self.params.window)
+        if self.params.tile_index is not None:
+            tiles = [self.params.tile_index]
+            window = window or siz.tile_bounds(self.params.tile_index)
+        else:
+            tiles = [
+                ti
+                for ti in range(siz.num_tiles)
+                if window is None or not siz.tile_bounds(ti).intersect(window).empty()
+            ]
+        img = self._make_image(window)
+        for ti in tiles:
+            arrays = self.decompress_tile(ti)
+            self._paste_tile(img, ti, arrays)
+        return img
+
+    def _paste_tile(self, img: Image, tile_index: int, comp_arrays) -> None:
+        siz = self.header.siz
+        r = self.params.reduce
+        tb = siz.tile_bounds(tile_index)
+        for ci, c in enumerate(img.components):
+            sc = siz.comps[ci]
+            # tile-component rect at the reduced resolution
+            tcx0 = ceil_div_pow2(ceil_div(tb.x0, sc.dx), r)
+            tcy0 = ceil_div_pow2(ceil_div(tb.y0, sc.dy), r)
+            a = comp_arrays[ci]
+            # intersect with the image component's region
+            x0 = tcx0 - c.x0
+            y0 = tcy0 - c.y0
+            sy0 = max(0, -y0)
+            sx0 = max(0, -x0)
+            dy0 = max(0, y0)
+            dx0 = max(0, x0)
+            h = min(a.shape[0] - sy0, c.h - dy0)
+            w = min(a.shape[1] - sx0, c.w - dx0)
+            if h > 0 and w > 0:
+                c.data[dy0 : dy0 + h, dx0 : dx0 + w] = a[sy0 : sy0 + h, sx0 : sx0 + w]
 
 
+# -------------------------------------------------------- functional API
 def decompress(
     data: bytes | memoryview, params: DecompressParams | None = None
 ) -> Image:
     """Decode a raw .j2k codestream into an Image."""
-    params = params or DecompressParams()
-    ps = parse_codestream(data)
-    siz = ps.header.siz
-
-    img = Image(
-        x0=siz.x0,
-        y0=siz.y0,
-        x1=siz.x1,
-        y1=siz.y1,
-        color_space=ColorSpace.UNKNOWN,
-    )
-    for sc in siz.comps:
-        img.components.append(
-            Component(dx=sc.dx, dy=sc.dy, prec=sc.prec, signed=sc.signed)
-        )
-    img.alloc()
-
-    tiles = (
-        [params.tile_index]
-        if params.tile_index is not None
-        else list(range(siz.num_tiles))
-    )
-    for ti in tiles:
-        parts = ps.tile_parts.get(ti, [])
-        if not parts:
-            continue
-        parts.sort(key=lambda p: p.tp_index)
-        body = memoryview(b"".join(bytes(p.data) for p in parts))
-        tcp = ps.tile_tcps.get(ti, ps.header.default_tcp)
-        tp = TileProcessor(siz, tcp, ti)
-        comp_arrays = tp.decompress(body, max_layers=params.max_layers)
-        _paste_tile(img, siz, ti, comp_arrays)
-    return img
+    return Decoder(data, params).decompress()
 
 
-def _paste_tile(img: Image, siz, tile_index: int, comp_arrays) -> None:
-    tb = siz.tile_bounds(tile_index)
-    for ci, c in enumerate(img.components):
-        x0 = ceil_div(tb.x0, c.dx) - c.x0
-        y0 = ceil_div(tb.y0, c.dy) - c.y0
-        a = comp_arrays[ci]
-        c.data[y0 : y0 + a.shape[0], x0 : x0 + a.shape[1]] = a
+def parse_codestream(data: bytes | memoryview) -> ParsedStream:
+    """Parse main header and collect tile-part byte ranges (no T1 work)."""
+    dec = Decoder(data)
+    ps = ParsedStream(header=dec.header)
+    for ti, spans in dec.index.spans.items():
+        tcp, body = dec._parse_tile_headers(ti)
+        ps.tile_tcps[ti] = tcp
+        ps.tile_parts[ti] = [
+            TilePartData(ti, s.tp_index, dec.data[s.body_start : s.body_end])
+            for s in spans
+        ]
+        if ti in dec._plt:
+            ps.tile_plt[ti] = dec._plt[ti]
+    return ps

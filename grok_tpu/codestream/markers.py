@@ -365,9 +365,10 @@ def read_sot(c: Cursor) -> tuple[int, int, int, int]:
 
 
 # ---------------------------------------------------------------- TLM / PLT
-def write_tlm(entries: list[tuple[int, int]], ztlm: int = 0) -> bytes:
+def write_tlm(entries: list[tuple[int, int]], ztlm: int = 0, st: int | None = None) -> bytes:
     """TLM with ST=1 (8-bit tile indices) unless >255 tiles, SP=1 (32-bit)."""
-    st = 2 if any(t > 255 for t, _ in entries) else 1
+    if st is None:
+        st = 2 if any(t > 255 for t, _ in entries) else 1
     stlm = (st << 4) | (1 << 6)
     p = bytearray(_u8(ztlm) + _u8(stlm))
     for t, ln in entries:

@@ -84,10 +84,10 @@ class TileProcessor:
     # ==================================================================
     # encode
     # ==================================================================
-    def compress(self, comp_arrays: list[np.ndarray]) -> bytes:
+    def compress(self, comp_arrays: list[np.ndarray]) -> tuple[bytes, list[int]]:
         """comp_arrays: per-component int32 tile data (natural range).
 
-        Returns the tile-part body (packet stream, no markers)."""
+        Returns (tile-part body bytes, per-packet lengths for PLT)."""
         siz, tcp = self.siz, self.tcp
         ncomp = siz.num_comps
         irrev = tcp.tccps[0].irreversible
@@ -166,7 +166,7 @@ class TileProcessor:
 
         n = len(refs)
         if n == 0:
-            return b""
+            return b"", []
         batch = np.stack([m if m is not None else np.zeros((cbh, cbw), np.int64) for m in mats])
         heights = np.array(hs, dtype=np.int64)
         widths = np.array(ws, dtype=np.int64)
@@ -237,7 +237,7 @@ class TileProcessor:
             ]
             encode_packet(parts, ctxs, pk.layer, use_sop, use_eph, sop)
             sop += 1
-        return b"".join(parts)
+        return b"".join(parts), [len(p) for p in parts]
 
     def _allocate_layers(self, refs, t1res) -> np.ndarray:
         """PCRD: cumulative pass counts per layer [L, N] (parity:
@@ -315,7 +315,11 @@ class TileProcessor:
     def decompress(
         self, body: memoryview, max_layers: int = 0, reduce: int = 0
     ) -> list[np.ndarray]:
-        """Decode a tile body (packet stream) into per-component arrays."""
+        """Decode a tile body into per-component arrays.
+
+        ``reduce`` discards that many highest resolution levels (the
+        cp_reduce fast path: high-res codeblocks are never entropy-decoded,
+        the inverse DWT runs fewer levels)."""
         siz, tcp = self.siz, self.tcp
         ncomp = siz.num_comps
         irrev = tcp.tccps[0].irreversible
@@ -355,6 +359,8 @@ class TileProcessor:
         cbh, cbw = self._nominal_cblk()
         refs, datas, lens, nps, nbps, hs, ws, ors = [], [], [], [], [], [], [], []
         for (c, r, bi, pi), ctx in prc_ctx_map.items():
+            if reduce and r >= tcp.tccps[c].num_resolutions - reduce:
+                continue  # resolution discarded: never entropy-decode
             band = self.geoms[c].resolutions[r].bands[bi]
             for ci, (cg, cb) in enumerate(zip(ctx.prc.cblks, ctx.cblks)):
                 if cb is None or cb.npasses == 0 or cg.rect.empty():
@@ -369,13 +375,13 @@ class TileProcessor:
                 ws.append(cg.rect.width)
                 ors.append(band.orient)
 
-        coeff_arrays = [
-            np.zeros(
-                (g.resolutions[-1].rect.height, g.resolutions[-1].rect.width),
-                dtype=np.float32 if irrev else np.int64,
+        coeff_arrays = []
+        for c2, g in enumerate(self.geoms):
+            top = max(g.num_resolutions - 1 - reduce, 0)
+            rr = g.resolutions[top].rect
+            coeff_arrays.append(
+                np.zeros((rr.height, rr.width), dtype=np.float32 if irrev else np.int64)
             )
-            for g in self.geoms
-        ]
 
         if refs:
             n = len(refs)
@@ -417,12 +423,13 @@ class TileProcessor:
                     y0 : y0 + cg.rect.height, x0 : x0 + cg.rect.width
                 ] = vals
 
-        # ---- inverse DWT
+        # ---- inverse DWT (fewer levels under resolution reduction)
         out = []
         for c in range(ncomp):
             g = self.geoms[c]
-            nl = self.tcp.tccps[c].num_resolutions - 1
-            rec = dwt_ops.inverse(np, coeff_arrays[c], g.rect, nl, irrev)
+            nl = max(self.tcp.tccps[c].num_resolutions - 1 - reduce, 0)
+            rect = g.rect.ceil_div_pow2(reduce) if reduce else g.rect
+            rec = dwt_ops.inverse(np, coeff_arrays[c], rect, nl, irrev)
             out.append(rec)
 
         # ---- inverse MCT + DC shift

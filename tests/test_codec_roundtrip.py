@@ -78,3 +78,34 @@ def test_header_parse():
     assert ps.header.siz.x1 == 64
     assert ps.header.default_tcp.num_layers == 1
     assert ps.header.comments and ps.header.comments[0] == b"hello"
+
+
+def test_tlm_plt_random_access():
+    from grok_tpu.codestream.decompress import Decoder
+
+    arr = natural_image(200, 200)
+    im = gk.Image.from_array(arr)
+    stream = gk.compress(
+        im,
+        gk.CompressParams(
+            num_resolutions=4, tile_size=(96, 96), write_tlm=True, write_plt=True
+        ),
+    )
+    dec = Decoder(stream)
+    assert dec.index.from_tlm, "TLM fast path must be used"
+    # decode each tile out of order (j2k_random_tile_access parity)
+    siz = dec.header.siz
+    for ti in reversed(range(siz.num_tiles)):
+        arrays = dec.decompress_tile(ti)
+        tb = siz.tile_bounds(ti)
+        assert np.array_equal(arrays[0], arr[tb.y0 : tb.y1, tb.x0 : tb.x1])
+
+
+def test_reduce_and_window():
+    arr = natural_image(200, 200)
+    im = gk.Image.from_array(arr)
+    stream = gk.compress(im, gk.CompressParams(num_resolutions=5))
+    r = gk.decompress(stream, gk.DecompressParams(reduce=2))
+    assert r.components[0].data.shape == (50, 50)
+    w = gk.decompress(stream, gk.DecompressParams(window=(40, 60, 120, 110)))
+    assert np.array_equal(w.components[0].data, arr[60:110, 40:120])
