@@ -1,0 +1,131 @@
+"""grok-tpu-compress — CLI encoder (parity target: src/bin/jp2/grk_compress).
+
+Flag names follow the reference CLI where practical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+from ..core.params import CompressParams, ProgressionOrder
+from ..codestream.compress import compress
+from ..codestream.jp2 import wrap_jp2
+from ..io.formats import load_image
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="grok-tpu-compress",
+        description="TPU-native JPEG 2000 / HTJ2K encoder",
+    )
+    p.add_argument("-i", "--in_file", help="input image (png/tif/bmp/pnm/pgx/raw)")
+    p.add_argument("-o", "--out_file", help="output .j2k/.j2c/.jp2")
+    p.add_argument("-y", "--batch_src", help="directory of input images (batch mode)")
+    p.add_argument("-a", "--out_dir", help="output directory (batch mode)")
+    p.add_argument("-r", "--compression_ratios", help="per-layer ratios, e.g. 20,10,1")
+    p.add_argument("-q", "--quality", help="per-layer PSNR targets in dB")
+    p.add_argument("-n", "--resolutions", type=int, default=6)
+    p.add_argument("-I", "--irreversible", action="store_true", help="9/7 lossy transform")
+    p.add_argument("-t", "--tile_dims", help="tile size WxH or W,H")
+    p.add_argument("-T", "--tile_offset", default="0,0")
+    p.add_argument("-d", "--image_offset", default="0,0")
+    p.add_argument("-b", "--code_block_dims", default="64,64")
+    p.add_argument("-c", "--precinct_dims", help="precinct size exponents, e.g. [128,128]")
+    p.add_argument("-p", "--progression_order", default="LRCP",
+                   choices=["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"])
+    p.add_argument("-S", "--sop", action="store_true", help="SOP markers")
+    p.add_argument("-E", "--eph", action="store_true", help="EPH markers")
+    p.add_argument("-M", "--mode", type=int, default=0, help="codeblock style flags (64 = HT)")
+    p.add_argument("-u", "--tlm", action="store_true", help="write TLM markers")
+    p.add_argument("-L", "--plt", action="store_true", help="write PLT markers")
+    p.add_argument("-C", "--comment", default=None)
+    p.add_argument("-N", "--guard_bits", type=int, default=2)
+    p.add_argument("-H", "--num_threads", type=int, default=0)
+    p.add_argument("--mct", type=int, default=None, help="0 off / 1 on (default auto)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def params_from_args(args) -> CompressParams:
+    p = CompressParams()
+    p.num_resolutions = args.resolutions
+    p.irreversible = args.irreversible
+    p.progression = ProgressionOrder[args.progression_order]
+    p.use_sop = args.sop
+    p.use_eph = args.eph
+    p.write_tlm = args.tlm
+    p.write_plt = args.plt
+    p.guard_bits = args.guard_bits
+    p.num_threads = args.num_threads
+    p.mct = args.mct
+    if args.comment is not None:
+        p.comment = args.comment
+    if args.mode:
+        if args.mode & 0x40:
+            p.ht = True
+        p.cblk_style = args.mode & 0x3F
+    if args.tile_dims:
+        sep = "," if "," in args.tile_dims else "x"
+        w, h = (int(v) for v in args.tile_dims.split(sep))
+        p.tile_size = (w, h)
+        p.tile_offset = tuple(int(v) for v in args.tile_offset.split(","))
+    cbw, cbh = (int(v) for v in args.code_block_dims.split(","))
+    p.cblk_width, p.cblk_height = cbw, cbh
+    if args.precinct_dims:
+        dims = args.precinct_dims.strip("[]").split(",")
+        exps = []
+        for i in range(0, len(dims), 2):
+            pw = int(dims[i]).bit_length() - 1
+            ph = int(dims[i + 1]).bit_length() - 1
+            exps.append((pw, ph))
+        p.precinct_sizes = exps * 33 if len(exps) == 1 else exps
+        p.precinct_sizes = p.precinct_sizes[:33]
+    if args.compression_ratios:
+        rates = [float(v) for v in args.compression_ratios.split(",")]
+        p.layer_rates = rates
+        p.num_layers = len(rates)
+    elif args.quality:
+        q = [float(v) for v in args.quality.split(",")]
+        p.layer_psnrs = q
+        p.num_layers = len(q)
+    return p
+
+
+def run_one(in_file: str, out_file: str, params: CompressParams, verbose: bool) -> None:
+    img = load_image(in_file)
+    t0 = time.perf_counter()
+    stream = compress(img, params)
+    if out_file.lower().endswith(".jp2"):
+        stream = wrap_jp2(stream, img)
+    with open(out_file, "wb") as f:
+        f.write(stream)
+    if verbose:
+        dt = time.perf_counter() - t0
+        mp = (img.x1 - img.x0) * (img.y1 - img.y0) / 1e6
+        print(f"{in_file}: {len(stream)} bytes, {dt*1000:.1f} ms ({mp/dt:.2f} MP/s)")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    params = params_from_args(args)
+    if args.batch_src:
+        outdir = args.out_dir or args.batch_src
+        exts = ("*.png", "*.pgm", "*.ppm", "*.tif", "*.tiff", "*.bmp", "*.pgx")
+        files = sorted(sum((glob.glob(os.path.join(args.batch_src, e)) for e in exts), []))
+        for f in files:
+            out = os.path.join(outdir, os.path.splitext(os.path.basename(f))[0] + ".j2k")
+            run_one(f, out, params, args.verbose)
+        return 0
+    if not args.in_file or not args.out_file:
+        print("error: -i and -o required (or -y batch mode)", file=sys.stderr)
+        return 2
+    run_one(args.in_file, args.out_file, params, args.verbose)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,100 @@
+"""JP2 container, format I/O, and CLI tests."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import grok_tpu as gk
+from grok_tpu.codestream.jp2 import is_jp2, unwrap_jp2, wrap_jp2
+from grok_tpu.io.formats import load_image, save_image
+from tests.conftest import GRK_BIN, have_grok, natural_image
+
+
+def test_jp2_wrap_unwrap():
+    arr = natural_image(96, 96, nc=3)
+    im = gk.Image.from_array(arr)
+    stream = gk.compress(im, gk.CompressParams(num_resolutions=4))
+    jp2 = wrap_jp2(stream, im)
+    assert is_jp2(jp2)
+    info = unwrap_jp2(jp2)
+    assert info.codestream == stream
+    assert info.color_space == gk.ColorSpace.SRGB
+    out = gk.decompress(info.codestream).to_array()
+    assert np.array_equal(out, arr)
+
+
+def test_pgx_pnm_roundtrip(tmp_path):
+    arr = natural_image(40, 56, prec=12)
+    im = gk.Image.from_array(arr, prec=12)
+    p = str(tmp_path / "x.pgx")
+    save_image(p, im)
+    back = load_image(p)
+    assert np.array_equal(back.components[0].data, arr)
+    arr8 = natural_image(33, 47, nc=3)
+    p2 = str(tmp_path / "x.ppm")
+    save_image(p2, gk.Image.from_array(arr8))
+    back2 = load_image(p2)
+    assert np.array_equal(back2.to_array(), arr8)
+
+
+def test_cli_roundtrip(tmp_path):
+    from PIL import Image as PImage
+
+    arr = natural_image(64, 80)
+    src = str(tmp_path / "in.png")
+    PImage.fromarray(arr.astype(np.uint8)).save(src)
+    j2 = str(tmp_path / "out.jp2")
+    dec = str(tmp_path / "dec.png")
+    r = subprocess.run(
+        [sys.executable, "-m", "grok_tpu.cli.compress", "-i", src, "-o", j2, "-n", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "grok_tpu.cli.dump", "-i", j2],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0 and "Codestream" in r.stdout
+    r = subprocess.run(
+        [sys.executable, "-m", "grok_tpu.cli.decompress", "-i", j2, "-o", dec],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    assert np.array_equal(np.asarray(PImage.open(dec)), arr)
+
+
+@pytest.mark.skipif(not have_grok(), reason="no reference build")
+def test_grok_reads_our_jp2(tmp_path):
+    from tests.conftest import grk_decompress
+
+    arr = natural_image(96, 96)
+    im = gk.Image.from_array(arr)
+    jp2 = wrap_jp2(gk.compress(im, gk.CompressParams(num_resolutions=4)), im)
+    p = str(tmp_path / "x.jp2")
+    with open(p, "wb") as f:
+        f.write(jp2)
+    out = str(tmp_path / "x.pgm")
+    r = grk_decompress(["-i", p, "-o", out])
+    assert r.returncode == 0, r.stderr + r.stdout
+    from PIL import Image as PImage
+
+    assert np.array_equal(np.asarray(PImage.open(out)), arr)
+
+
+@pytest.mark.skipif(not have_grok(), reason="no reference build")
+def test_we_read_grok_jp2(tmp_path):
+    from tests.conftest import grk_compress, save_pnm
+
+    arr = natural_image(96, 96)
+    src = str(tmp_path / "g.pgm")
+    save_pnm(src, arr)
+    gj = str(tmp_path / "g.jp2")
+    r = grk_compress(["-i", src, "-o", gj])
+    assert r.returncode == 0
+    with open(gj, "rb") as f:
+        data = f.read()
+    info = unwrap_jp2(data)
+    out = gk.decompress(info.codestream).to_array()[:, :, 0]
+    assert np.array_equal(out, arr)
