@@ -4,11 +4,19 @@ run anywhere; locate reference Grok binaries for interop tests if present."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")  # this env's plugin ignores JAX_PLATFORMS
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+try:  # make doubly sure the virtual CPU mesh is used even if env is ignored
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 import shutil
 import subprocess
