@@ -59,3 +59,20 @@ def test_sparse(rng):
     widths = np.full(N, W)
     orients = np.arange(N) % 4
     _roundtrip(coeffs, heights, widths, orients)
+
+
+def test_jax_encoder_matches_numpy(rng):
+    """Device lockstep coder must produce bit-identical MQ streams."""
+    from grok_tpu.t1 import ebcot_jax
+
+    N, H, W = 4, 8, 8
+    coeffs = (rng.standard_normal((N, H, W)) * 20).astype(np.int64)
+    hs = np.array([8, 5, 8, 3])
+    ws = np.array([8, 8, 6, 8])
+    ors = np.array([0, 1, 2, 3])
+    r_np = encode_cblks(coeffs, hs, ws, ors)
+    r_jx = ebcot_jax.encode_cblks(coeffs, hs, ws, ors)
+    for i in range(N):
+        ln, lj = int(r_np.lengths[i]), int(r_jx.lengths[i])
+        assert ln == lj
+        assert np.array_equal(r_np.data[i, :ln], r_jx.data[i, :lj])
