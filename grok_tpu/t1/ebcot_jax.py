@@ -355,7 +355,11 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes):
     return make
 
 
-def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0):
+def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0, styles=None):
+    if styles is not None and int(np.max(np.asarray(styles), initial=0)) != 0:
+        from .ebcot_np import encode_cblks as _np_enc
+
+        return _np_enc(coeffs, heights, widths, orients, styles=styles)
     """Backend-API entry: host numpy in/out, device lockstep inside."""
     jax, jnp = _j()
     coeffs = np.ascontiguousarray(coeffs, dtype=np.int64)

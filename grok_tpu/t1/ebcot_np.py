@@ -104,7 +104,7 @@ class T1EncodeResult:
 class _State:
     """Shared scan state for one batch (padded by 1 on every side)."""
 
-    def __init__(self, mag, sgn, heights, widths, orients):
+    def __init__(self, mag, sgn, heights, widths, orients, styles=None):
         self.n, self.h, self.w = mag.shape
         n, h, w = self.n, self.h, self.w
         self.mag = np.zeros((n, h + 2, w + 2), dtype=np.int64)
@@ -118,17 +118,33 @@ class _State:
         self.widths = widths
         self.orients = orients.astype(np.int64)
         self.lanes = np.arange(n)
+        st = np.zeros(n, dtype=np.int64) if styles is None else np.asarray(styles)
+        self.vsc = (st & 0x08) != 0
+        self.reset = (st & 0x02) != 0
+        self.segsym = (st & 0x20) != 0
+
+    def _below_mask(self, y):
+        """VSC: rows at a stripe bottom see no significance below (per lane)."""
+        if ((y - 1) & 3) != 3:
+            return None
+        return self.vsc
 
     def zc_ctx(self, y, x):
         """(ctx, neighbor-count) at padded coords (y, x) = block pos +1."""
         s = self.sig
+        cut = self._below_mask(y)
+        below = lambda xx: (
+            s[:, y + 1, xx].astype(np.int64)
+            if cut is None
+            else np.where(cut, 0, s[:, y + 1, xx])
+        )
         hcnt = s[:, y, x - 1].astype(np.int64) + s[:, y, x + 1]
-        vcnt = s[:, y - 1, x].astype(np.int64) + s[:, y + 1, x]
+        vcnt = s[:, y - 1, x].astype(np.int64) + below(x)
         dcnt = (
             s[:, y - 1, x - 1].astype(np.int64)
             + s[:, y - 1, x + 1]
-            + s[:, y + 1, x - 1]
-            + s[:, y + 1, x + 1]
+            + below(x - 1)
+            + below(x + 1)
         )
         idx = hcnt * 15 + vcnt * 5 + dcnt
         ctx = _ZC_LUT[self.orients, idx]
@@ -139,8 +155,12 @@ class _State:
         s = self.sig
         g = self.sgn
         contrib = lambda yy, xx: s[:, yy, xx] * (1 - 2 * g[:, yy, xx].astype(np.int64))
+        cut = self._below_mask(y)
+        below = contrib(y + 1, x)
+        if cut is not None:
+            below = np.where(cut, 0, below)
         hbar = np.clip(contrib(y, x - 1) + contrib(y, x + 1), -1, 1)
-        vbar = np.clip(contrib(y - 1, x) + contrib(y + 1, x), -1, 1)
+        vbar = np.clip(contrib(y - 1, x) + below, -1, 1)
         idx = (hbar + 1) * 3 + (vbar + 1)
         return _SC_CTX[idx].astype(np.int64), _SC_XOR[idx].astype(np.int64)
 
@@ -176,6 +196,7 @@ def encode_cblks(
     widths: np.ndarray,
     orients: np.ndarray,
     max_bitplanes: int | None = None,
+    styles: np.ndarray | None = None,
 ) -> T1EncodeResult:
     """Encode a batch of codeblocks.
 
@@ -194,7 +215,7 @@ def encode_cblks(
     npasses = np.maximum(numbps * 3 - 2, 0)
     max_passes = int(npasses.max(initial=0))
 
-    st = _State(mag, sgn, heights, widths, orients)
+    st = _State(mag, sgn, heights, widths, orients, styles)
     max_bytes = max(64, (pmax * h * w) // 4 + 128)
     mq = MQEncoder(n, max_bytes)
 
@@ -215,10 +236,13 @@ def encode_cblks(
         if spp_lanes.any():
             _spp(st, mq, plane, spp_lanes, None)
             record_pass(plane, 0, spp_lanes)
+            mq.reset_ctx(st.reset & spp_lanes)
             _mrp(st, mq, plane, spp_lanes, None)
             record_pass(plane, 1, spp_lanes)
+            mq.reset_ctx(st.reset & spp_lanes)
         _cup(st, mq, plane, cup_lanes, None)
         record_pass(plane, 2, cup_lanes)
+        mq.reset_ctx(st.reset & cup_lanes)
         st.visited[:] = False
 
     mq.flush()
@@ -250,6 +274,7 @@ def decode_cblks(
     orients: np.ndarray,
     block_h: int,
     block_w: int,
+    styles: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode a batch of codeblock codeword segments.
 
@@ -265,6 +290,7 @@ def decode_cblks(
         heights,
         widths,
         orients.astype(np.int64),
+        styles,
     )
     mq = MQDecoder(data, lengths)
 
@@ -279,10 +305,13 @@ def decode_cblks(
         cup_lanes = cup_lanes | first_cup
         if spp_lanes.any():
             _spp(st, None, plane, spp_lanes, mq)
+            mq.reset_ctx(st.reset & spp_lanes)
         if mrp_lanes.any():
             _mrp(st, None, plane, mrp_lanes, mq)
+            mq.reset_ctx(st.reset & mrp_lanes)
         if cup_lanes.any():
             _cup(st, None, plane, cup_lanes, mq)
+            mq.reset_ctx(st.reset & cup_lanes)
         st.visited[:] = False
 
     coeffs = st.mag[:, 1 : h + 1, 1 : w + 1].copy()
@@ -476,3 +505,14 @@ def _cup(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec):
                             became, st.mag[:, py, px] | (1 << plane), st.mag[:, py, px]
                         )
                     sig[:, py, px] |= became
+
+    # segmentation symbol (SEGSYM style): 1010 in the UNIFORM context at the
+    # end of every cleanup pass
+    seg = st.segsym & lanes
+    if seg.any():
+        for b in (1, 0, 1, 0):
+            bits = np.full(n, b, dtype=np.uint8)
+            if enc is not None:
+                enc.encode(bits, uni_ctx, seg)
+            else:
+                dec.decode(uni_ctx, seg)

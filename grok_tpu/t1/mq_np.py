@@ -88,6 +88,12 @@ class MQEncoder:
         self.ctx_state, self.ctx_mps = initial_ctx_states(n)
         self._lanes = np.arange(n)
 
+    def reset_ctx(self, mask: np.ndarray) -> None:
+        """Per-lane context reset (RESET codeblock style)."""
+        init_s, init_m = initial_ctx_states(self.n)
+        self.ctx_state = np.where(mask[:, None], init_s, self.ctx_state)
+        self.ctx_mps = np.where(mask[:, None], init_m, self.ctx_mps)
+
     # -- internals ---------------------------------------------------------
     def _byteout(self, mask: np.ndarray) -> None:
         """Branch-free lockstep BYTEOUT for the masked lanes."""
@@ -214,6 +220,11 @@ class MQDecoder:
         self.ct -= 7
         self.a = np.full(self.n, 0x8000, dtype=np.int64)
         self.ctx_state, self.ctx_mps = initial_ctx_states(self.n)
+
+    def reset_ctx(self, mask: np.ndarray) -> None:
+        init_s, init_m = initial_ctx_states(self.n)
+        self.ctx_state = np.where(mask[:, None], init_s, self.ctx_state)
+        self.ctx_mps = np.where(mask[:, None], init_m, self.ctx_mps)
 
     def _byte_at(self, idx: np.ndarray) -> np.ndarray:
         """Byte at idx, or 0xFF beyond each lane's end."""

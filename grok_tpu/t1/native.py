@@ -64,7 +64,7 @@ def get_lib() -> ctypes.CDLL | None:
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.t1_encode_cblks.argtypes = [
-            i64p, i32p, i32p, i32p,
+            i64p, i32p, i32p, i32p, i32p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             u8p, ctypes.c_int64,
             i64p, i32p, i32p, i64p, f64p,
@@ -72,7 +72,7 @@ def get_lib() -> ctypes.CDLL | None:
         ]
         lib.t1_encode_cblks.restype = ctypes.c_int
         lib.t1_decode_cblks.argtypes = [
-            u8p, i64p, i32p, i32p, i32p, i32p, i32p,
+            u8p, i64p, i32p, i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64, i64p, ctypes.c_int32,
         ]
@@ -178,6 +178,7 @@ def encode_cblks(
     widths: np.ndarray,
     orients: np.ndarray,
     num_threads: int = 0,
+    styles: np.ndarray | None = None,
 ) -> T1EncodeResult:
     lib = get_lib()
     assert lib is not None
@@ -186,6 +187,9 @@ def encode_cblks(
     heights32 = np.ascontiguousarray(heights, dtype=np.int32)
     widths32 = np.ascontiguousarray(widths, dtype=np.int32)
     orients32 = np.ascontiguousarray(orients, dtype=np.int32)
+    styles32 = np.ascontiguousarray(
+        styles if styles is not None else np.zeros(n), dtype=np.int32
+    )
 
     # worst-case magnitude bitplanes bound the buffer/pass sizes
     maxmag = int(np.abs(coeffs).max(initial=0))
@@ -201,7 +205,7 @@ def encode_cblks(
     dists = np.zeros((n, max_passes), dtype=np.float64)
 
     lib.t1_encode_cblks(
-        coeffs, heights32, widths32, orients32,
+        coeffs, heights32, widths32, orients32, styles32,
         n, h, w, data, max_bytes,
         lengths, numbps, npasses, rates, dists,
         max_passes, num_threads,
@@ -228,6 +232,7 @@ def decode_cblks(
     block_h: int,
     block_w: int,
     num_threads: int = 0,
+    styles: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     lib = get_lib()
     assert lib is not None
@@ -242,6 +247,9 @@ def decode_cblks(
         np.ascontiguousarray(heights, dtype=np.int32),
         np.ascontiguousarray(widths, dtype=np.int32),
         np.ascontiguousarray(orients, dtype=np.int32),
+        np.ascontiguousarray(
+            styles if styles is not None else np.zeros(n), dtype=np.int32
+        ),
         n, block_h, block_w, data.shape[1], out, num_threads,
     )
     planes = np.minimum((np.asarray(npasses) + 2) // 3, np.asarray(numbps))

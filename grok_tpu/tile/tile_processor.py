@@ -41,6 +41,17 @@ def _band_origin_in_packed(geom: TileCompGeom, res_idx: int, orient: int):
     return ph, pw  # HH
 
 
+def _check_styles_supported(styles: np.ndarray) -> None:
+    from ..core.errors import UnsupportedFeatureError
+
+    bad = int(np.bitwise_or.reduce(styles, initial=0)) & (0x01 | 0x04 | 0x10)
+    if bad:
+        raise UnsupportedFeatureError(
+            f"codeblock style bits 0x{bad:02X} (bypass/termall/pterm) "
+            "not supported yet"
+        )
+
+
 @dataclass
 class _CblkRef:
     comp: int
@@ -172,11 +183,17 @@ class TileProcessor:
         widths = np.array(ws, dtype=np.int64)
         orients = np.array(ors, dtype=np.int64)
 
+        styles = np.array(
+            [tcp.tccps[r.comp].cblk_style & 0x3F for r in refs], dtype=np.int32
+        )
         if tcp.tccps[0].cblk_style & 0x40:
             from ..t1 import ht as t1
+
+            t1res = t1.encode_cblks(batch, heights, widths, orients)
         else:
+            _check_styles_supported(styles)
             t1 = select_backend()
-        t1res = t1.encode_cblks(batch, heights, widths, orients)
+            t1res = t1.encode_cblks(batch, heights, widths, orients, styles=styles)
 
         # ---- PCRD layer allocation
         cum_passes = self._allocate_layers(refs, t1res)
@@ -389,21 +406,38 @@ class TileProcessor:
             data = np.zeros((n, max(maxlen, 1)), dtype=np.uint8)
             for i, d in enumerate(datas):
                 data[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+            styles = np.array(
+                [tcp.tccps[r.comp].cblk_style & 0x3F for r in refs], dtype=np.int32
+            )
             if tcp.tccps[0].cblk_style & 0x40:
                 from ..t1 import ht as t1
+
+                coeffs, planes = t1.decode_cblks(
+                    data,
+                    np.array(lens, dtype=np.int64),
+                    np.array(nbps, dtype=np.int64),
+                    np.array(nps, dtype=np.int64),
+                    np.array(hs, dtype=np.int64),
+                    np.array(ws, dtype=np.int64),
+                    np.array(ors, dtype=np.int64),
+                    cbh,
+                    cbw,
+                )
             else:
+                _check_styles_supported(styles)
                 t1 = select_backend()
-            coeffs, planes = t1.decode_cblks(
-                data,
-                np.array(lens, dtype=np.int64),
-                np.array(nbps, dtype=np.int64),
-                np.array(nps, dtype=np.int64),
-                np.array(hs, dtype=np.int64),
-                np.array(ws, dtype=np.int64),
-                np.array(ors, dtype=np.int64),
-                cbh,
-                cbw,
-            )
+                coeffs, planes = t1.decode_cblks(
+                    data,
+                    np.array(lens, dtype=np.int64),
+                    np.array(nbps, dtype=np.int64),
+                    np.array(nps, dtype=np.int64),
+                    np.array(hs, dtype=np.int64),
+                    np.array(ws, dtype=np.int64),
+                    np.array(ors, dtype=np.int64),
+                    cbh,
+                    cbw,
+                    styles=styles,
+                )
             # scatter into band positions (+ dequant for irreversible)
             for i, ref in enumerate(refs):
                 g = self.geoms[ref.comp]

@@ -45,6 +45,10 @@ static const MQTables MQT = {
 constexpr int NUM_CTX = 19;
 constexpr int CTX_ZC0 = 0, CTX_SC0 = 9, CTX_MR0 = 14, CTX_RL = 17, CTX_UNI = 18;
 
+// codeblock style flags (T.800 Table A-19)
+constexpr int STY_BYPASS = 0x01, STY_RESET = 0x02, STY_TERMALL = 0x04,
+              STY_VSC = 0x08, STY_PTERM = 0x10, STY_SEGSYM = 0x20;
+
 struct MQEncoder {
     uint32_t a = 0x8000, c = 0;
     int ct = 12;
@@ -53,14 +57,18 @@ struct MQEncoder {
     uint8_t state[NUM_CTX];
     uint8_t mps[NUM_CTX];
 
-    void init(uint8_t* b) {
-        buf = b;
-        buf[0] = 0;
+    void reset_ctx() {
         std::memset(state, 0, sizeof(state));
         std::memset(mps, 0, sizeof(mps));
         state[CTX_ZC0] = 4;
         state[CTX_RL] = 3;
         state[CTX_UNI] = 46;
+    }
+
+    void init(uint8_t* b) {
+        buf = b;
+        buf[0] = 0;
+        reset_ctx();
     }
 
     void byteout() {
@@ -172,6 +180,14 @@ struct MQDecoder {
         }
     }
 
+    void reset_ctx() {
+        std::memset(state, 0, sizeof(state));
+        std::memset(mps, 0, sizeof(mps));
+        state[CTX_ZC0] = 4;
+        state[CTX_RL] = 3;
+        state[CTX_UNI] = 46;
+    }
+
     void init(const uint8_t* b, int64_t len) {
         buf = b;
         end = len;
@@ -181,11 +197,7 @@ struct MQDecoder {
         c <<= 7;
         ct -= 7;
         a = 0x8000;
-        std::memset(state, 0, sizeof(state));
-        std::memset(mps, 0, sizeof(mps));
-        state[CTX_ZC0] = 4;
-        state[CTX_RL] = 3;
-        state[CTX_UNI] = 46;
+        reset_ctx();
     }
 
     inline void renorm() {
@@ -286,6 +298,7 @@ static const ZCLuts ZC;
 struct BlockCtx {
     int h, w, orient;       // actual extents
     int stride;             // padded row stride = w + 2
+    bool vsc = false;       // vertically stripe-causal contexts
     // padded (h+2) x (w+2) state planes
     std::int64_t* mag;
     int8_t* sgn;
@@ -295,21 +308,27 @@ struct BlockCtx {
 
     inline int idx(int y, int x) const { return (y + 1) * stride + (x + 1); }
 
+    // VSC: at a stripe's bottom row the row below is treated insignificant
+    inline bool cut_below(int y) const { return vsc && (y & 3) == 3; }
+
     inline int ncount(int y, int x) const {
         const uint8_t* s = sig;
         int i = idx(y, x);
-        return s[i - 1] + s[i + 1] + s[i - stride] + s[i + stride] +
-               s[i - stride - 1] + s[i - stride + 1] + s[i + stride - 1] +
-               s[i + stride + 1];
+        int n = s[i - 1] + s[i + 1] + s[i - stride] + s[i - stride - 1] +
+                s[i - stride + 1];
+        if (!cut_below(y))
+            n += s[i + stride] + s[i + stride - 1] + s[i + stride + 1];
+        return n;
     }
 
     inline int zc_ctx(int y, int x) const {
         const uint8_t* s = sig;
         int i = idx(y, x);
+        bool cb = cut_below(y);
         int hc = s[i - 1] + s[i + 1];
-        int vc = s[i - stride] + s[i + stride];
-        int dc = s[i - stride - 1] + s[i - stride + 1] + s[i + stride - 1] +
-                 s[i + stride + 1];
+        int vc = s[i - stride] + (cb ? 0 : s[i + stride]);
+        int dc = s[i - stride - 1] + s[i - stride + 1] +
+                 (cb ? 0 : s[i + stride - 1] + s[i + stride + 1]);
         return ZC.lut[orient][hc * 15 + vc * 5 + dc];
     }
 
@@ -319,7 +338,7 @@ struct BlockCtx {
             return sig[j] ? (sgn[j] ? -1 : 1) : 0;
         };
         int hb = contrib(i - 1) + contrib(i + 1);
-        int vb = contrib(i - stride) + contrib(i + stride);
+        int vb = contrib(i - stride) + (cut_below(y) ? 0 : contrib(i + stride));
         hb = hb < -1 ? -1 : (hb > 1 ? 1 : hb);
         vb = vb < -1 ? -1 : (vb > 1 ? 1 : vb);
         int k = (hb + 1) * 3 + (vb + 1);
@@ -397,7 +416,8 @@ static void enc_mrp(BlockCtx& B, MQEncoder& mq, int plane, double* dist) {
     }
 }
 
-static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist) {
+static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
+                    bool segsym) {
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         bool full = rows == 4;
@@ -447,6 +467,12 @@ static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist) {
             }
         }
     }
+    if (segsym) {  // segmentation symbol 1010 in the UNIFORM context
+        mq.encode(1, CTX_UNI);
+        mq.encode(0, CTX_UNI);
+        mq.encode(1, CTX_UNI);
+        mq.encode(0, CTX_UNI);
+    }
 }
 
 // --------------------------------------------------------------- decoder
@@ -492,7 +518,7 @@ static void dec_mrp(BlockCtx& B, MQDecoder& mq, int plane) {
     }
 }
 
-static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane) {
+static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         bool full = rows == 4;
@@ -536,6 +562,12 @@ static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane) {
             }
         }
     }
+    if (segsym) {  // consume (and ignore) the 1010 segmentation symbol
+        mq.decode(CTX_UNI);
+        mq.decode(CTX_UNI);
+        mq.decode(CTX_UNI);
+        mq.decode(CTX_UNI);
+    }
 }
 
 struct Workspace {
@@ -551,7 +583,8 @@ struct Workspace {
 extern "C" {
 
 int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
-                    const int32_t* widths, const int32_t* orients, int64_t n,
+                    const int32_t* widths, const int32_t* orients,
+                    const int32_t* styles, int64_t n,
                     int32_t H, int32_t W, uint8_t* out_data, int64_t max_bytes,
                     int64_t* out_lengths, int32_t* out_numbps,
                     int32_t* out_npasses, int64_t* out_pass_rates,
@@ -607,9 +640,13 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
                 continue;
             }
 
-            BlockCtx B{h, w, orients[b], stride, mag, sgn, sig, visited, refined};
+            int style = styles ? styles[b] : 0;
+            BlockCtx B{h, w, orients[b], stride,
+                       (style & STY_VSC) != 0, mag, sgn, sig, visited, refined};
             MQEncoder mq;
             mq.init(out_data + b * max_bytes);
+            bool reset = (style & STY_RESET) != 0;
+            bool segsym = (style & STY_SEGSYM) != 0;
 
             int pass_i = 0;
             for (int plane = numbps - 1; plane >= 0; plane--) {
@@ -623,17 +660,20 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
                     out_pass_rates[b * max_passes + pass_i] = safe_len();
                     out_pass_dist[b * max_passes + pass_i] = d;
                     pass_i++;
+                    if (reset) mq.reset_ctx();
                     d = 0;
                     enc_mrp(B, mq, plane, &d);
                     out_pass_rates[b * max_passes + pass_i] = safe_len();
                     out_pass_dist[b * max_passes + pass_i] = d;
                     pass_i++;
+                    if (reset) mq.reset_ctx();
                 }
                 d = 0;
-                enc_cup(B, mq, plane, &d);
+                enc_cup(B, mq, plane, &d, segsym);
                 out_pass_rates[b * max_passes + pass_i] = safe_len();
                 out_pass_dist[b * max_passes + pass_i] = d;
                 pass_i++;
+                if (reset) mq.reset_ctx();
                 std::memset(visited, 0, plane_sz);
             }
             mq.flush();
@@ -658,7 +698,8 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
 int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
                     const int32_t* numbps, const int32_t* npasses,
                     const int32_t* heights, const int32_t* widths,
-                    const int32_t* orients, int64_t n, int32_t H, int32_t W,
+                    const int32_t* orients, const int32_t* styles,
+                    int64_t n, int32_t H, int32_t W,
                     int64_t max_bytes, int64_t* out_coeffs,
                     int32_t num_threads) {
     const int stride = W + 2;
@@ -692,7 +733,11 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
             int np = npasses[b];
             if (nb <= 0 || np <= 0) continue;
 
-            BlockCtx B{h, w, orients[b], stride, mag, sgn, sig, visited, refined};
+            int style = styles ? styles[b] : 0;
+            BlockCtx B{h, w, orients[b], stride,
+                       (style & STY_VSC) != 0, mag, sgn, sig, visited, refined};
+            bool reset = (style & STY_RESET) != 0;
+            bool segsym = (style & STY_SEGSYM) != 0;
             MQDecoder mq;
             mq.init(data + b * max_bytes, lengths[b]);
 
@@ -703,13 +748,16 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
                     if (pass_i >= np) { done = true; break; }
                     dec_spp(B, mq, plane);
                     pass_i++;
+                    if (reset) mq.reset_ctx();
                     if (pass_i >= np) { done = true; break; }
                     dec_mrp(B, mq, plane);
                     pass_i++;
+                    if (reset) mq.reset_ctx();
                 }
                 if (pass_i >= np) { done = true; break; }
-                dec_cup(B, mq, plane);
+                dec_cup(B, mq, plane, segsym);
                 pass_i++;
+                if (reset) mq.reset_ctx();
                 std::memset(visited, 0, plane_sz);
             }
             for (int y = 0; y < h; y++)

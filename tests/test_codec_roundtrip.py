@@ -109,3 +109,9 @@ def test_reduce_and_window():
     assert r.components[0].data.shape == (50, 50)
     w = gk.decompress(stream, gk.DecompressParams(window=(40, 60, 120, 110)))
     assert np.array_equal(w.components[0].data, arr[60:110, 40:120])
+
+
+@pytest.mark.parametrize("mode", [2, 8, 32, 42])
+def test_cblk_styles(mode):
+    """RESET / VSC / SEGSYM codeblock styles roundtrip."""
+    _lossless_roundtrip(natural_image(96, 96), num_resolutions=3, cblk_style=mode)
