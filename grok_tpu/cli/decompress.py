@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--layers", type=int, default=0, help="max quality layers")
     p.add_argument("-t", "--tile", type=int, default=None, help="decode a single tile")
     p.add_argument("-d", "--region", help="decode window x0,y0,x1,y1")
+    p.add_argument("--force_rgb", action="store_true",
+                   help="convert to RGB (sYCC/CMYK/gray)")
+    p.add_argument("--upsample", action="store_true",
+                   help="replicate subsampled components to full resolution")
     p.add_argument("-H", "--num_threads", type=int, default=0)
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -51,6 +55,10 @@ def main(argv=None) -> int:
         img.color_space = jp2_info.color_space
         img.icc_profile = jp2_info.icc_profile
         img = apply_palette(img, jp2_info)
+    if args.force_rgb or args.upsample:
+        from ..io.color import force_rgb, upsample_components
+
+        img = force_rgb(img) if args.force_rgb else upsample_components(img)
     save_image(args.out_file, img)
     if args.verbose:
         mp = sum(c.w * c.h for c in img.components) / 1e6

@@ -47,7 +47,11 @@ def build_tcp(image: Image, params: CompressParams) -> Tcp:
         tcp.csty |= 0x04
     tcp.progression = params.progression
     tcp.num_layers = params.num_layers
-    tcp.mct = 1 if params.resolved_mct(image.num_comps) else 0
+    cs = image.components
+    equal = len(cs) >= 3 and all(
+        (c.dx, c.dy) == (cs[0].dx, cs[0].dy) for c in cs[:3]
+    )
+    tcp.mct = 1 if params.resolved_mct(image.num_comps, equal) else 0
     qs = params.quant_style
     if qs is None:
         qs = QuantStyle.NO_QUANT if not params.irreversible else QuantStyle.SCALAR_EXPOUNDED
@@ -67,6 +71,9 @@ def build_tcp(image: Image, params: CompressParams) -> Tcp:
         prec = image.components[c].prec
         if tcp.mct == 1 and not params.irreversible and c in (1, 2):
             prec += 1  # RCT expands the chroma range by one bit
+        if params.roi_comp == c and params.roi_shift > 0:
+            t.roi_shift = params.roi_shift
+            prec += params.roi_shift  # ROI upshift widens the dynamic range
         compute_signalled_quant(t, prec)
         tcp.tccps.append(t)
     return tcp
@@ -115,6 +122,8 @@ def compress(image: Image, params: CompressParams | None = None) -> bytes:
         t = tcp.tccps[c]
         if t.step_exps != base.step_exps or t.step_mants != base.step_mants:
             out += mk.write_qcc(tcp, c, siz.num_comps)
+    if params.roi_comp >= 0 and params.roi_shift > 0:
+        out += mk.write_rgn(params.roi_comp, params.roi_shift, siz.num_comps)
     if params.comment:
         out += mk.write_com(params.comment.encode())
 

@@ -152,7 +152,9 @@ class CompressParams:
     # --- misc ---
     num_threads: int = 0  # 0 = auto; host-side pool for T2/IO
 
-    def resolved_mct(self, num_comps: int) -> bool:
+    def resolved_mct(self, num_comps: int, equal_sampling: bool = True) -> bool:
+        if not equal_sampling:
+            return False  # MCT requires identically-sampled first 3 comps
         if self.mct is None:
             return num_comps >= 3
         return bool(self.mct)

@@ -139,8 +139,12 @@ class TileProcessor:
                         sl = (slice(oy, oy + bh), slice(ox, ox + bw))
                         vals = packed[sl]
                         q[sl] = (np.sign(vals) * np.floor(np.abs(vals) / band.step)).astype(np.int32)
+                if tccp.roi_shift:
+                    q = q << tccp.roi_shift
                 coeff_arrays.append(q)
             else:
+                if tccp.roi_shift:
+                    packed = packed << tccp.roi_shift
                 coeff_arrays.append(packed)
 
         # ---- gather codeblocks into one batch
@@ -447,6 +451,12 @@ class TileProcessor:
                 y0 = cg.rect.y0 - band.rect.y0 + oy
                 x0 = cg.rect.x0 - band.rect.x0 + ox
                 blk = coeffs[i, : cg.rect.height, : cg.rect.width]
+                rs = tcp.tccps[ref.comp].roi_shift
+                if rs:
+                    mag = np.abs(blk)
+                    thresh = np.int64(1) << rs
+                    mag = np.where(mag >= thresh, mag >> rs, mag)
+                    blk = np.where(blk < 0, -mag, mag)
                 if irrev:
                     mag = np.abs(blk).astype(np.float32)
                     rec = np.where(mag > 0, (mag + 0.5) * band.step, 0.0)

@@ -115,3 +115,47 @@ def test_reduce_and_window():
 def test_cblk_styles(mode):
     """RESET / VSC / SEGSYM codeblock styles roundtrip."""
     _lossless_roundtrip(natural_image(96, 96), num_resolutions=3, cblk_style=mode)
+
+
+def test_roi_maxshift():
+    """Component ROI (RGN marker): lossless maxshift roundtrip.
+
+    Note: the reference's encoder-side ROI is decode-only (its own ROI
+    encode->decode is lossy); ours implements the full maxshift path."""
+    arr = natural_image(96, 96)
+    im = gk.Image.from_array(arr)
+    stream = gk.compress(
+        im, gk.CompressParams(num_resolutions=3, roi_comp=0, roi_shift=4)
+    )
+    ps = gk.parse_codestream(stream)
+    assert ps.header.default_tcp.tccps[0].roi_shift == 4
+    out = gk.decompress(stream).to_array()[:, :, 0]
+    assert np.array_equal(out, arr)
+
+
+def test_subsampled_420():
+    from grok_tpu.core.image import Component, Image as GImage
+
+    y = natural_image(128, 160)
+    cb = natural_image(64, 80, seed=5)
+    cr = natural_image(64, 80, seed=6)
+    img = GImage(0, 0, 160, 128)
+    img.components = [
+        Component(dx=1, dy=1, prec=8, data=y.astype(np.int32)),
+        Component(dx=2, dy=2, prec=8, data=cb.astype(np.int32)),
+        Component(dx=2, dy=2, prec=8, data=cr.astype(np.int32)),
+    ]
+    img.finalize()
+    stream = gk.compress(img, gk.CompressParams(num_resolutions=4))
+    dec = gk.decompress(stream)
+    assert np.array_equal(dec.components[0].data, y)
+    assert np.array_equal(dec.components[1].data, cb)
+    assert np.array_equal(dec.components[2].data, cr)
+    # app-level conversions
+    from grok_tpu.io.color import force_rgb, upsample_components
+
+    up = upsample_components(dec)
+    assert up.components[1].data.shape == (128, 160)
+    rgb = force_rgb(dec)
+    assert rgb.num_comps == 3
+    assert rgb.components[2].data.shape == (128, 160)
