@@ -72,8 +72,7 @@ def build_tcp(image: Image, params: CompressParams) -> Tcp:
         if tcp.mct == 1 and not params.irreversible and c in (1, 2):
             prec += 1  # RCT expands the chroma range by one bit
         if params.roi_comp == c and params.roi_shift > 0:
-            t.roi_shift = params.roi_shift
-            prec += params.roi_shift  # ROI upshift widens the dynamic range
+            t.roi_shift = params.roi_shift  # Mb grows by the shift (E.1.1)
         compute_signalled_quant(t, prec)
         tcp.tccps.append(t)
     return tcp

@@ -158,7 +158,8 @@ def apply_band_quant(geom: TileCompGeom, tccp: TccpStyle, prec: int) -> None:
                 mant = tccp.step_mants[i]
             band.exp = exp
             band.mant = mant
-            band.num_bps = tccp.guard_bits + exp - 1
+            # Mb includes the ROI upshift (T.800 E.1: Mb = G + eps - 1 + s)
+            band.num_bps = tccp.guard_bits + exp - 1 + tccp.roi_shift
             if tccp.quant_style == QuantStyle.NO_QUANT:
                 band.step = 1.0
             else:
