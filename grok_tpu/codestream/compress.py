@@ -52,6 +52,7 @@ def build_tcp(image: Image, params: CompressParams) -> Tcp:
         (c.dx, c.dy) == (cs[0].dx, cs[0].dy) for c in cs[:3]
     )
     tcp.mct = 1 if params.resolved_mct(image.num_comps, equal) else 0
+    tcp.pocs = list(params.progression_changes)
     qs = params.quant_style
     if qs is None:
         qs = QuantStyle.NO_QUANT if not params.irreversible else QuantStyle.SCALAR_EXPOUNDED
@@ -121,6 +122,8 @@ def compress(image: Image, params: CompressParams | None = None) -> bytes:
         t = tcp.tccps[c]
         if t.step_exps != base.step_exps or t.step_mants != base.step_mants:
             out += mk.write_qcc(tcp, c, siz.num_comps)
+    if tcp.pocs:
+        out += mk.write_poc(tcp, siz.num_comps)
     if params.roi_comp >= 0 and params.roi_shift > 0:
         out += mk.write_rgn(params.roi_comp, params.roi_shift, siz.num_comps)
     if params.comment:
@@ -139,7 +142,18 @@ def compress(image: Image, params: CompressParams | None = None) -> bytes:
     for ti in range(num_tiles):
         tp = TileProcessor(siz, tcp, ti, enc_params=params)
         comp_arrays = _extract_tile(image, siz, ti)
-        body, pkt_lens = tp.compress(comp_arrays)
+        hdrs: list[bytes] | None = [] if params.write_ppt else None
+        body, pkt_lens = tp.compress(comp_arrays, packed_headers=hdrs)
+        ppt_bytes = b""
+        if hdrs is not None:
+            blob = b"".join(hdrs)
+            z = 0
+            pos2 = 0
+            while pos2 < len(blob) or z == 0:
+                chunk = blob[pos2 : pos2 + 65000]
+                ppt_bytes += mk.segment(mk.PPT, bytes([z]) + chunk)
+                pos2 += len(chunk)
+                z += 1
         plt_bytes = b""
         if params.write_plt:
             from ..cache.length_cache import PacketLengthCache
@@ -148,8 +162,9 @@ def compress(image: Image, params: CompressParams | None = None) -> bytes:
             for ln in pkt_lens:
                 plc.push(ln)
             plt_bytes = b"".join(plc.to_plt_segments())
-        psot = 12 + len(plt_bytes) + 2 + len(body)
+        psot = 12 + len(ppt_bytes) + len(plt_bytes) + 2 + len(body)
         out += mk.write_sot(ti, psot, 0, 1)
+        out += ppt_bytes
         out += plt_bytes
         out += mk._u16(mk.SOD)
         out += body

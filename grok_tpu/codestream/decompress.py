@@ -56,9 +56,29 @@ class Decoder:
         self.cache = TileCache(
             TileCacheStrategy.ALL if self.params.tile_cache_all else TileCacheStrategy.NONE
         )
+        self._ppm_chunks: list[bytes] | None = None
+        self._tp_seq: dict[tuple[int, int], int] | None = None
+        if self.header.ppm_segments:
+            blob = b"".join(p for _, p in sorted(self.header.ppm_segments))
+            chunks = []
+            pos = 0
+            while pos + 4 <= len(blob):
+                n = int.from_bytes(blob[pos : pos + 4], "big")
+                pos += 4
+                chunks.append(blob[pos : pos + n])
+                pos += n
+            self._ppm_chunks = chunks
+            # global tile-part order assigns PPM groups
+            all_spans = sorted(
+                (s for spans in self.index.spans.values() for s in spans),
+                key=lambda s: s.sot_offset,
+            )
+            self._tp_seq = {
+                (s.tile_index, s.tp_index): i for i, s in enumerate(all_spans)
+            }
 
     # -------------------------------------------------------------- headers
-    def _parse_tile_headers(self, tile_index: int) -> tuple[Tcp, memoryview]:
+    def _parse_tile_headers(self, tile_index: int):
         """Parse this tile's tile-part headers; returns (tcp, body bytes)."""
         siz = self.header.siz
         spans = self.index.spans.get(tile_index, [])
@@ -67,7 +87,13 @@ class Decoder:
             tcp = self.header.default_tcp.copy()
         bodies = []
         plt: list[int] = []
+        ppt: list[tuple[int, bytes]] = []
+        packed: list[bytes] = []
         for span in sorted(spans, key=lambda s: s.tp_index):
+            if self._ppm_chunks is not None and self._tp_seq is not None:
+                seq = self._tp_seq.get((span.tile_index, span.tp_index))
+                if seq is not None and seq < len(self._ppm_chunks):
+                    packed.append(self._ppm_chunks[seq])
             c = mk.Cursor(self.data, span.sot_offset)
             if c.u16() != mk.SOT:
                 raise InvalidMarkerError("bad tile-part offset")
@@ -95,14 +121,20 @@ class Decoder:
                     mk.read_rgn(sub, tcp, siz.num_comps)
                 elif m2 == mk.PLT:
                     plt.extend(mk.read_plt(sub))
+                elif m2 == mk.PPT:
+                    zppt = sub.u8()
+                    ppt.append((zppt, sub.take(sub.remaining())))
                 c.pos += ln - 2
             bodies.append(self.data[c.pos : span.body_end])
         self._tcps[tile_index] = tcp
         if plt:
             self._plt[tile_index] = plt
+        if ppt:
+            packed = [p for _, p in sorted(ppt)]
+        packed_blob = b"".join(packed) if packed else None
         if len(bodies) == 1:
-            return tcp, bodies[0]
-        return tcp, memoryview(b"".join(bytes(b) for b in bodies))
+            return tcp, bodies[0], packed_blob
+        return tcp, memoryview(b"".join(bytes(b) for b in bodies)), packed_blob
 
     # ---------------------------------------------------------------- tiles
     def decompress_tile(self, tile_index: int) -> list[np.ndarray]:
@@ -118,9 +150,10 @@ class Decoder:
             out = tp.decompress(memoryview(b""), self.params.max_layers,
                                 self.params.reduce)
         else:
-            tcp, body = self._parse_tile_headers(tile_index)
+            tcp, body, packed = self._parse_tile_headers(tile_index)
             tp = TileProcessor(siz, tcp, tile_index)
-            out = tp.decompress(body, self.params.max_layers, self.params.reduce)
+            out = tp.decompress(body, self.params.max_layers, self.params.reduce,
+                                packed_headers=packed)
         self.cache.put(tile_index, out)
         return out
 
@@ -203,7 +236,7 @@ def parse_codestream(data: bytes | memoryview) -> ParsedStream:
     dec = Decoder(data)
     ps = ParsedStream(header=dec.header)
     for ti, spans in dec.index.spans.items():
-        tcp, body = dec._parse_tile_headers(ti)
+        tcp, body, _packed = dec._parse_tile_headers(ti)
         ps.tile_tcps[ti] = tcp
         ps.tile_parts[ti] = [
             TilePartData(ti, s.tp_index, dec.data[s.body_start : s.body_end])

@@ -477,6 +477,7 @@ def parse_main_header(data: memoryview | bytes) -> tuple[HeaderInfo, int]:
             hi.tlm.extend(fixed)
             hi.has_tlm = True
         elif m == PPM:
-            raise CodestreamError("PPM packed headers not supported yet")
+            zppm = sub.u8()
+            hi.ppm_segments.append((zppm, sub.take(sub.remaining())))
         # PLM/CRG/PRF/CPF/MCT/MCC/MCO: skip (tolerated)
         c.pos = c.pos + ln - 2

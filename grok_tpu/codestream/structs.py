@@ -129,4 +129,5 @@ class HeaderInfo:
     # TLM: tile-part lengths keyed in write order
     tlm: list[tuple[int, int]] | None = None  # (tile_index, length)
     ppm: bytes | None = None
+    ppm_segments: list[tuple[int, bytes]] = field(default_factory=list)
     has_tlm: bool = False

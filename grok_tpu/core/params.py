@@ -142,6 +142,7 @@ class CompressParams:
     use_eph: bool = False
     write_tlm: bool = False
     write_plt: bool = False
+    write_ppt: bool = False  # packed packet headers in tile-part headers
     comment: str | None = "grok_tpu"
     profile: int = PROFILE_NONE
     framerate: int = 0  # for cinema caps

@@ -115,6 +115,7 @@ def encode_packet(
     use_sop: bool = False,
     use_eph: bool = False,
     sop_index: int = 0,
+    packed_headers: list[bytes] | None = None,
 ) -> bytes:
     """Encode one packet (all bands of one precinct of one res/comp/layer).
 
@@ -176,9 +177,17 @@ def encode_packet(
     pkt = bytearray()
     if use_sop:
         pkt += b"\xff\x91" + (4).to_bytes(2, "big") + (sop_index & 0xFFFF).to_bytes(2, "big")
-    pkt += out
-    if use_eph:
-        pkt += b"\xff\x92"
+    if packed_headers is not None:
+        # PPT/PPM mode: header (+EPH) goes to the packed stream, only the
+        # body (and SOP) stays in the bitstream
+        hdr = bytearray(out)
+        if use_eph:
+            hdr += b"\xff\x92"
+        packed_headers.append(bytes(hdr))
+    else:
+        pkt += out
+        if use_eph:
+            pkt += b"\xff\x92"
     pkt += body
     bio_parts.append(bytes(pkt))
     return bytes(pkt)
@@ -192,16 +201,22 @@ def decode_packet(
     layer: int,
     use_sop: bool = False,
     use_eph: bool = False,
+    hdr_reader: BitReader | None = None,
 ) -> int:
-    """Parse one packet starting at data[pos]; returns new position."""
+    """Parse one packet starting at data[pos]; returns new position.
+
+    With packed packet headers (PPM/PPT), hdr_reader supplies the header
+    bits and ``data`` carries only the packet bodies."""
     n = len(data)
     if use_sop and pos + 6 <= n and data[pos] == 0xFF and data[pos + 1] == 0x91:
         pos += 6
-    bio = BitReader(data, pos)
+    packed = hdr_reader is not None
+    bio = hdr_reader if packed else BitReader(data, pos)
     contributions: list[tuple[CblkDec, int, int]] = []  # (cblk, npasses, nbytes)
     if not bio.read_bit():
         bio.align()
-        pos = bio.byte_pos
+        if not packed:
+            pos = bio.byte_pos
     else:
         for ctx in prc_ctxs:
             for geom, cb in zip(ctx.prc.cblks, ctx.cblks):
@@ -225,9 +240,15 @@ def decode_packet(
                 nbytes = bio.read_bits(cb.lblock + _floor_log2(npl))
                 contributions.append((cb, npl, nbytes))
         bio.align()
-        pos = bio.byte_pos
+        if not packed:
+            pos = bio.byte_pos
     if use_eph:
-        if pos + 2 <= n and data[pos] == 0xFF and data[pos + 1] == 0x92:
+        if packed:
+            hb = hdr_reader._data
+            hp = hdr_reader.byte_pos
+            if hp + 2 <= len(hb) and hb[hp] == 0xFF and hb[hp + 1] == 0x92:
+                hdr_reader._pos = hp + 2
+        elif pos + 2 <= n and data[pos] == 0xFF and data[pos + 1] == 0x92:
             pos += 2
     for cb, npl, nbytes in contributions:
         if pos + nbytes > n:

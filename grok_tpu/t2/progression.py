@@ -47,45 +47,93 @@ def _precinct_anchors(siz: Siz, geoms: list[TileCompGeom]):
     return out
 
 
-def packet_order(
-    siz: Siz, tcp: Tcp, geoms: list[TileCompGeom]
+def _segment_order(
+    order: ProgressionOrder,
+    geoms: list[TileCompGeom],
+    anchors,
+    layer_end: int,
+    res_range: tuple[int, int],
+    comp_range: tuple[int, int],
 ) -> list[PacketIndex]:
-    """Full packet sequence for one tile in the tile's progression order."""
-    order = tcp.progression
-    layers = tcp.num_layers
-    anchors = _precinct_anchors(siz, geoms)
+    """Packets of one progression segment, in the given order and bounds."""
+    r0, r1 = res_range
+    c0, c1 = comp_range
     out: list[PacketIndex] = []
+    sel = [
+        a for a in anchors if r0 <= a[1] < r1 and c0 <= a[0] < c1
+    ]
 
     if order == ProgressionOrder.LRCP:
-        max_res = max(g.num_resolutions for g in geoms)
-        for l in range(layers):
-            for r in range(max_res):
-                for c, g in enumerate(geoms):
+        for l in range(layer_end):
+            for r in range(r0, r1):
+                for c in range(c0, min(c1, len(geoms))):
+                    g = geoms[c]
                     if r >= g.num_resolutions:
                         continue
                     for p in range(g.resolutions[r].num_precincts):
                         out.append(PacketIndex(l, c, r, p))
     elif order == ProgressionOrder.RLCP:
-        max_res = max(g.num_resolutions for g in geoms)
-        for r in range(max_res):
-            for l in range(layers):
-                for c, g in enumerate(geoms):
+        for r in range(r0, r1):
+            for l in range(layer_end):
+                for c in range(c0, min(c1, len(geoms))):
+                    g = geoms[c]
                     if r >= g.num_resolutions:
                         continue
                     for p in range(g.resolutions[r].num_precincts):
                         out.append(PacketIndex(l, c, r, p))
     elif order == ProgressionOrder.RPCL:
-        for (c, r, p, x, y) in sorted(anchors, key=lambda t: (t[1], t[4], t[3], t[0])):
-            for l in range(layers):
+        for (c, r, p, x, y) in sorted(sel, key=lambda t: (t[1], t[4], t[3], t[0])):
+            for l in range(layer_end):
                 out.append(PacketIndex(l, c, r, p))
     elif order == ProgressionOrder.PCRL:
-        for (c, r, p, x, y) in sorted(anchors, key=lambda t: (t[4], t[3], t[0], t[1])):
-            for l in range(layers):
+        for (c, r, p, x, y) in sorted(sel, key=lambda t: (t[4], t[3], t[0], t[1])):
+            for l in range(layer_end):
                 out.append(PacketIndex(l, c, r, p))
     elif order == ProgressionOrder.CPRL:
-        for (c, r, p, x, y) in sorted(anchors, key=lambda t: (t[0], t[4], t[3], t[1])):
-            for l in range(layers):
+        for (c, r, p, x, y) in sorted(sel, key=lambda t: (t[0], t[4], t[3], t[1])):
+            for l in range(layer_end):
                 out.append(PacketIndex(l, c, r, p))
     else:
         raise ValueError(f"unknown progression {order}")
+    return out
+
+
+def packet_order(
+    siz: Siz, tcp: Tcp, geoms: list[TileCompGeom]
+) -> list[PacketIndex]:
+    """Full packet sequence for one tile, honoring POC progression changes
+    (T.800 B.12: each POC segment emits its bounded packet set in its own
+    order, skipping packets already emitted by earlier segments)."""
+    anchors = _precinct_anchors(siz, geoms)
+    max_res = max(g.num_resolutions for g in geoms)
+
+    if not tcp.pocs:
+        return _segment_order(
+            tcp.progression, geoms, anchors, tcp.num_layers,
+            (0, max_res), (0, len(geoms)),
+        )
+
+    out: list[PacketIndex] = []
+    seen: set[PacketIndex] = set()
+    for poc in tcp.pocs:
+        seg = _segment_order(
+            poc.order, geoms, anchors,
+            min(poc.layer_end, tcp.num_layers),
+            (poc.res_start, min(poc.res_end, max_res)),
+            (poc.comp_start, min(poc.comp_end, len(geoms))),
+        )
+        for pk in seg:
+            if pk not in seen:
+                seen.add(pk)
+                out.append(pk)
+    # safety net: any packet not covered by the POC segments goes last in
+    # the tile's base order (lenient; conforming streams cover everything)
+    base = _segment_order(
+        tcp.progression, geoms, anchors, tcp.num_layers,
+        (0, max_res), (0, len(geoms)),
+    )
+    for pk in base:
+        if pk not in seen:
+            seen.add(pk)
+            out.append(pk)
     return out

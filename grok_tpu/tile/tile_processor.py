@@ -95,10 +95,14 @@ class TileProcessor:
     # ==================================================================
     # encode
     # ==================================================================
-    def compress(self, comp_arrays: list[np.ndarray]) -> tuple[bytes, list[int]]:
+    def compress(
+        self, comp_arrays: list[np.ndarray], packed_headers: list[bytes] | None = None
+    ) -> tuple[bytes, list[int]]:
         """comp_arrays: per-component int32 tile data (natural range).
 
-        Returns (tile-part body bytes, per-packet lengths for PLT)."""
+        Returns (tile-part body bytes, per-packet lengths for PLT). With
+        ``packed_headers`` (a list to append to), packet headers go there
+        (PPT writing) and the body stream carries only packet bodies."""
         siz, tcp = self.siz, self.tcp
         ncomp = siz.num_comps
         irrev = tcp.tccps[0].irreversible
@@ -256,7 +260,8 @@ class TileProcessor:
                 prc_ctx_map[(pk.comp, pk.res, bi, pk.prec)]
                 for bi in range(len(res.bands))
             ]
-            encode_packet(parts, ctxs, pk.layer, use_sop, use_eph, sop)
+            encode_packet(parts, ctxs, pk.layer, use_sop, use_eph, sop,
+                          packed_headers)
             sop += 1
         return b"".join(parts), [len(p) for p in parts]
 
@@ -334,7 +339,8 @@ class TileProcessor:
     # decode
     # ==================================================================
     def decompress(
-        self, body: memoryview, max_layers: int = 0, reduce: int = 0
+        self, body: memoryview, max_layers: int = 0, reduce: int = 0,
+        packed_headers: bytes | None = None,
     ) -> list[np.ndarray]:
         """Decode a tile body into per-component arrays.
 
@@ -364,6 +370,11 @@ class TileProcessor:
         use_sop = bool(tcp.csty & 0x02)
         use_eph = bool(tcp.csty & 0x04)
         pos = 0
+        hdr_reader = None
+        if packed_headers is not None:
+            from ..codestream.bitio import BitReader
+
+            hdr_reader = BitReader(packed_headers, 0)
         for pk in packet_order(siz, tcp, self.geoms):
             if max_layers and pk.layer >= max_layers:
                 continue
@@ -372,9 +383,11 @@ class TileProcessor:
                 prc_ctx_map[(pk.comp, pk.res, bi, pk.prec)]
                 for bi in range(len(res.bands))
             ]
-            if pos >= len(body):
+            if pos >= len(body) and hdr_reader is None:
                 break  # truncated stream: remaining packets empty
-            pos = decode_packet(body, pos, ctxs, pk.layer, use_sop, use_eph)
+            pos = decode_packet(
+                body, pos, ctxs, pk.layer, use_sop, use_eph, hdr_reader
+            )
 
         # ---- batch T1 decode
         cbh, cbw = self._nominal_cblk()

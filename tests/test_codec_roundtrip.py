@@ -159,3 +159,26 @@ def test_subsampled_420():
     rgb = force_rgb(dec)
     assert rgb.num_comps == 3
     assert rgb.components[2].data.shape == (128, 160)
+
+
+def test_poc_progression_changes():
+    from grok_tpu.core.params import ProgressionChange
+
+    arr = natural_image(128, 128)
+    pocs = [
+        ProgressionChange(0, 0, 2, 2, 1, gk.ProgressionOrder.CPRL),
+        ProgressionChange(0, 0, 2, 4, 1, gk.ProgressionOrder.LRCP),
+    ]
+    stream = _lossless_roundtrip(
+        arr, num_resolutions=4, num_layers=2, layer_rates=[16, 1],
+        progression_changes=pocs,
+    )
+    ps = gk.parse_codestream(stream)
+    assert len(ps.header.default_tcp.pocs) == 2
+
+
+def test_ppt_packed_headers():
+    arr = natural_image(144, 144)
+    _lossless_roundtrip(
+        arr, num_resolutions=4, write_ppt=True, num_layers=2, layer_rates=[16, 1]
+    )

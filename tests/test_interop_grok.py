@@ -124,3 +124,31 @@ def test_cblk_styles_interop(tmp_path, mode):
     _both_ways(tmp_path, f"sty{mode}", natural_image(96, 96),
                cparams=gk.CompressParams(num_resolutions=3, cblk_style=mode),
                grk_args=["-M", str(mode)])
+
+
+def test_poc_interop(tmp_path):
+    from grok_tpu.core.params import ProgressionChange
+
+    arr = natural_image(128, 128)
+    _both_ways(tmp_path, "poc", arr,
+               cparams=gk.CompressParams(
+                   num_resolutions=4,
+                   progression_changes=[
+                       ProgressionChange(0, 0, 1, 2, 1, gk.ProgressionOrder.CPRL),
+                       ProgressionChange(0, 0, 1, 4, 1, gk.ProgressionOrder.LRCP),
+                   ]),
+               grk_args=["-n", "4", "-P", "T0=0,0,1,2,1,CPRL/T0=0,0,1,4,1,LRCP"])
+
+
+def test_ppt_grok_decodes(tmp_path):
+    arr = natural_image(144, 144)
+    im = gk.Image.from_array(arr)
+    stream = gk.compress(im, gk.CompressParams(num_resolutions=4, write_ppt=True))
+    f = str(tmp_path / "ppt.j2k")
+    with open(f, "wb") as fh:
+        fh.write(stream)
+    out = str(tmp_path / "ppt_dec.pgx")
+    r = grk_decompress(["-i", f, "-o", out])
+    assert r.returncode == 0, r.stderr + r.stdout
+    comps = [read_pgx(x) for x in sorted(glob.glob(str(tmp_path / "ppt_dec*.pgx")))]
+    assert np.array_equal(comps[0], arr)
