@@ -84,6 +84,10 @@ def compress(image: Image, params: CompressParams | None = None) -> bytes:
     params = params or CompressParams()
     params.validate()
     image.finalize()
+    if params.profile:
+        from .profile import apply_profile
+
+        apply_profile(params, image)
     siz = build_siz(image, params)
     tcp = build_tcp(image, params)
 

@@ -150,10 +150,24 @@ class Decoder:
             out = tp.decompress(memoryview(b""), self.params.max_layers,
                                 self.params.reduce)
         else:
-            tcp, body, packed = self._parse_tile_headers(tile_index)
-            tp = TileProcessor(siz, tcp, tile_index)
-            out = tp.decompress(body, self.params.max_layers, self.params.reduce,
-                                packed_headers=packed)
+            # corrupt-tile tolerance (parity: m_corrupt_packet /
+            # DecodeUnknownMarkerAtEndOfTileException handling): a broken
+            # tile decodes to zeros instead of failing the whole image
+            from ..core.errors import GrokTpuError
+            from ..core import logging as log
+
+            try:
+                tcp, body, packed = self._parse_tile_headers(tile_index)
+                tp = TileProcessor(siz, tcp, tile_index)
+                out = tp.decompress(body, self.params.max_layers,
+                                    self.params.reduce, packed_headers=packed)
+            except (GrokTpuError, ValueError, IndexError, OverflowError) as e:
+                log.warn("tile %d failed to decode (%s); zero-filled",
+                         tile_index, e)
+                tp = TileProcessor(siz, self.header.default_tcp.copy(),
+                                   tile_index)
+                out = tp.decompress(memoryview(b""), self.params.max_layers,
+                                    self.params.reduce)
         self.cache.put(tile_index, out)
         return out
 

@@ -237,7 +237,11 @@ def decode_packet(
                 npl = read_numpasses(bio)
                 while bio.read_bit():
                     cb.lblock += 1
+                    if cb.lblock > 32:
+                        raise CorruptPacketError("runaway lblock")
                 nbytes = bio.read_bits(cb.lblock + _floor_log2(npl))
+                if cb.npasses + npl > 165:
+                    raise CorruptPacketError("too many coding passes")
                 contributions.append((cb, npl, nbytes))
         bio.align()
         if not packed:

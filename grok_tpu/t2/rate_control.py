@@ -101,7 +101,7 @@ def allocate_layers(
             k = npasses.astype(np.int64)
         else:
             overhead = header_overhead_fn(prev) if header_overhead_fn else 0.0
-            budget = max(target - overhead, 0.0)
+            budget = max(target * 0.998 - overhead, 0.0)
             a, b = lo * 0.5, hi * 2.0 + 1.0
             # bisect: find smallest lambda with rate <= budget... rate is
             # non-increasing in lambda, so search for the threshold

@@ -111,5 +111,7 @@ class TagTree:
         while not self.decode(bio, x, y, t):
             t += 1
             if t > limit:
-                raise ValueError("tag tree value out of range")
+                from ..core.errors import CorruptPacketError
+
+                raise CorruptPacketError("tag tree value out of range")
         return int(self.values[0][y, x])

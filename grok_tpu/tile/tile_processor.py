@@ -310,11 +310,13 @@ class TileProcessor:
         n_prc = sum(
             res.num_precincts for g in self.geoms for res in g.resolutions
         )
+        per_pkt = 1.2 + (2 if (tcp.csty & 0x04) else 0) + (6 if (tcp.csty & 0x02) else 0)
 
         def header_overhead(cum):
-            # ~1 byte/packet header floor + ~4 bytes per included block
+            # per-packet floor (incl. EPH/SOP markers) + ~4 bytes per
+            # included block's header contribution
             included = int((cum > 0).sum())
-            return n_prc * 1.2 + included * 4.0
+            return n_prc * per_pkt + included * 4.0
 
         return allocate_layers(
             t1res.pass_rates, dists, t1res.npasses, targets, header_overhead

@@ -182,3 +182,33 @@ def test_ppt_packed_headers():
     _lossless_roundtrip(
         arr, num_resolutions=4, write_ppt=True, num_layers=2, layer_rates=[16, 1]
     )
+
+
+def test_cinema_profile():
+    from grok_tpu.core.params import PROFILE_CINEMA_2K, CINEMA_24_CS
+    from grok_tpu.codestream.profile import validate_cinema_stream
+
+    arr = natural_image(1080, 2048, nc=3, prec=12)
+    im = gk.Image.from_array(arr, prec=12)
+    p = gk.CompressParams(profile=PROFILE_CINEMA_2K, framerate=24)
+    stream = gk.compress(im, p)
+    assert len(stream) <= CINEMA_24_CS, "DCI codestream cap violated"
+    assert validate_cinema_stream(stream, p)
+    ps = gk.parse_codestream(stream)
+    assert ps.header.siz.rsiz == PROFILE_CINEMA_2K
+    assert ps.header.default_tcp.progression == gk.ProgressionOrder.CPRL
+    t = ps.header.default_tcp.tccps[0]
+    assert (1 << t.cblk_w_exp) == 32 and t.irreversible
+    out = gk.decompress(stream).to_array()
+    mse = np.mean((out.astype(np.float64) - arr) ** 2)
+    assert 10 * np.log10((4095**2) / mse) > 30
+
+
+def test_imf_profile():
+    from grok_tpu.core.params import PROFILE_IMF_2K_R
+
+    arr = natural_image(256, 512, nc=3)
+    im = gk.Image.from_array(arr)
+    stream = gk.compress(im, gk.CompressParams(profile=PROFILE_IMF_2K_R))
+    out = gk.decompress(stream).to_array()
+    assert np.array_equal(out, arr), "IMF reversible profile must be lossless"
