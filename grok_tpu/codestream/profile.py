@@ -69,7 +69,8 @@ def _apply_cinema(params: CompressParams, image) -> None:
     cap = CINEMA_24_CS if fps <= 24 else CINEMA_48_CS
     comp_cap = CINEMA_24_COMP if fps <= 24 else CINEMA_48_COMP
     total_bytes = sum((c.w * c.h * c.prec + 7) // 8 for c in image.components)
-    ratio = max(total_bytes / cap, 1.0)
+    # reserve room for main/tile header markers outside the packet budget
+    ratio = max(total_bytes / (cap - 1024), 1.0)
     params.num_layers = 1
     params.layer_rates = [ratio]
     log.info("cinema profile: capped to %d bytes/frame (ratio %.1f)", cap, ratio)

@@ -203,9 +203,28 @@ class TileProcessor:
             t1 = select_backend()
             t1res = t1.encode_cblks(batch, heights, widths, orients, styles=styles)
 
-        # ---- PCRD layer allocation
-        cum_passes = self._allocate_layers(refs, t1res)
+        # ---- PCRD layer allocation (iterative: re-run with a tightened
+        # budget if the emitted packets overshoot the rate target, mirroring
+        # the reference's simulate-then-write loop)
+        targets = self._layer_targets()
+        shrink = 0
+        for _attempt in range(4):
+            cum_passes = self._allocate_layers(refs, t1res, extra_margin=shrink)
+            if packed_headers is not None:
+                packed_headers.clear()
+            body, pkt_lens = self._emit_packets(refs, t1res, cum_passes,
+                                                packed_headers)
+            if targets is None or targets[-1] is None:
+                break
+            total = len(body)
+            if total <= targets[-1]:
+                break
+            shrink += total - targets[-1] + 16
+        return body, pkt_lens
 
+    def _emit_packets(self, refs, t1res, cum_passes, packed_headers=None):
+        siz, tcp = self.siz, self.tcp
+        ncomp = siz.num_comps
         # ---- build T2 state
         prc_ctx_map: dict[tuple[int, int, int, int], PrecinctCtx] = {}
         for c in range(ncomp):
@@ -265,7 +284,23 @@ class TileProcessor:
             sop += 1
         return b"".join(parts), [len(p) for p in parts]
 
-    def _allocate_layers(self, refs, t1res) -> np.ndarray:
+    def _layer_targets(self) -> list[float | None] | None:
+        """Cumulative byte budgets per layer from the configured ratios."""
+        p = self.enc_params
+        rates_cfg = getattr(p, "layer_rates", None) if p is not None else None
+        if not rates_cfg:
+            return None
+        tile_bits = 0
+        for c in range(self.siz.num_comps):
+            tile_bits += self.geoms[c].rect.area * self.siz.comps[c].prec
+        tile_bytes = tile_bits / 8.0
+        targets: list[float | None] = []
+        for li in range(self.tcp.num_layers):
+            ratio = rates_cfg[li] if li < len(rates_cfg) else 0
+            targets.append(None if not ratio or ratio <= 1.0 else tile_bytes / float(ratio))
+        return targets
+
+    def _allocate_layers(self, refs, t1res, extra_margin: float = 0.0) -> np.ndarray:
         """PCRD: cumulative pass counts per layer [L, N] (parity:
         TileProcessor.cpp rateAllocate/pcrdBisectFeasible)."""
         from ..t2.rate_control import allocate_layers
@@ -293,19 +328,9 @@ class TileProcessor:
             w2[i] = (band.step * bn * mct_w[ref.comp]) ** 2
         dists = t1res.pass_dist * w2[:, None]
 
-        # cumulative byte targets per layer
-        tile_bits = 0
-        for c in range(self.siz.num_comps):
-            g = self.geoms[c]
-            tile_bits += g.rect.area * self.siz.comps[c].prec
-        tile_bytes = tile_bits / 8.0
-        targets: list[float | None] = []
-        for li in range(num_layers):
-            ratio = rates_cfg[li] if rates_cfg and li < len(rates_cfg) else 0
-            if not ratio or ratio <= 1.0:
-                targets.append(None)
-            else:
-                targets.append(tile_bytes / float(ratio))
+        # cumulative byte targets per layer (minus any measured overshoot)
+        targets = self._layer_targets() or [None] * num_layers
+        targets = [None if t is None else max(t - extra_margin, 0.0) for t in targets]
 
         n_prc = sum(
             res.num_precincts for g in self.geoms for res in g.resolutions
