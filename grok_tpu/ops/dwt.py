@@ -201,6 +201,20 @@ def _interleave(xp, s, d, axis: int, parity: int):
     shape = list(s.shape)
     shape[axis] = n
     if xp is np:
+        if sn == dn:
+            # preallocated pair-view writes (no stack temp)
+            first, second = (s, d) if parity == 0 else (d, s)
+            out = np.empty(shape, dtype=s.dtype)
+            ax = axis if axis >= 0 else out.ndim + axis
+            vshape = shape[:ax] + [sn, 2] + shape[ax + 1 :]
+            v = out.reshape(vshape)
+            sl0 = [slice(None)] * len(vshape)
+            sl1 = [slice(None)] * len(vshape)
+            sl0[ax + 1] = 0
+            sl1[ax + 1] = 1
+            v[tuple(sl0)] = first
+            v[tuple(sl1)] = second
+            return out
         out = np.empty(shape, dtype=s.dtype)
         sl_s = [slice(None)] * len(shape)
         sl_d = [slice(None)] * len(shape)

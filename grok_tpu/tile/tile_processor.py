@@ -151,10 +151,11 @@ class TileProcessor:
                     packed = packed << tccp.roi_shift
                 coeff_arrays.append(packed)
 
-        # ---- gather codeblocks into one batch
+        # ---- gather codeblocks into one preallocated batch
         cbh, cbw = self._nominal_cblk()
         refs: list[_CblkRef] = []
-        mats, hs, ws, ors = [], [], [], []
+        slots = []  # (band array, y0, x0, h, w)
+        hs, ws, ors = [], [], []
         for c in range(ncomp):
             g = self.geoms[c]
             arr = coeff_arrays[c]
@@ -164,29 +165,28 @@ class TileProcessor:
                     for pi, prc in enumerate(band.precincts):
                         for ci, cg in enumerate(prc.cblks):
                             rect = cg.rect
+                            refs.append(_CblkRef(c, res.r, bi, pi, ci))
+                            ors.append(band.orient)
                             if rect.empty():
-                                refs.append(_CblkRef(c, res.r, bi, pi, ci))
-                                mats.append(None)
+                                slots.append(None)
                                 hs.append(0)
                                 ws.append(0)
-                                ors.append(band.orient)
                                 continue
                             y0 = rect.y0 - band.rect.y0 + oy
                             x0 = rect.x0 - band.rect.x0 + ox
-                            blk = np.zeros((cbh, cbw), dtype=np.int64)
-                            blk[: rect.height, : rect.width] = arr[
-                                y0 : y0 + rect.height, x0 : x0 + rect.width
-                            ]
-                            refs.append(_CblkRef(c, res.r, bi, pi, ci))
-                            mats.append(blk)
+                            slots.append((arr, y0, x0, rect.height, rect.width))
                             hs.append(rect.height)
                             ws.append(rect.width)
-                            ors.append(band.orient)
 
         n = len(refs)
         if n == 0:
             return b"", []
-        batch = np.stack([m if m is not None else np.zeros((cbh, cbw), np.int64) for m in mats])
+        batch = np.zeros((n, cbh, cbw), dtype=np.int32)
+        for i, sl in enumerate(slots):
+            if sl is None:
+                continue
+            arr, y0, x0, bh2, bw2 = sl
+            batch[i, :bh2, :bw2] = arr[y0 : y0 + bh2, x0 : x0 + bw2]
         heights = np.array(hs, dtype=np.int64)
         widths = np.array(ws, dtype=np.int64)
         orients = np.array(ors, dtype=np.int64)
@@ -441,7 +441,7 @@ class TileProcessor:
             top = max(g.num_resolutions - 1 - reduce, 0)
             rr = g.resolutions[top].rect
             coeff_arrays.append(
-                np.zeros((rr.height, rr.width), dtype=np.float32 if irrev else np.int64)
+                np.zeros((rr.height, rr.width), dtype=np.float32 if irrev else np.int32)
             )
 
         if refs:
@@ -482,6 +482,8 @@ class TileProcessor:
                     cbw,
                     styles=styles,
                 )
+            if not irrev:
+                coeffs = coeffs.astype(np.int32)
             # scatter into band positions (+ dequant for irreversible)
             for i, ref in enumerate(refs):
                 g = self.geoms[ref.comp]
