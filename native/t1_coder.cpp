@@ -305,8 +305,17 @@ struct BlockCtx {
     uint8_t* sig;
     uint8_t* visited;
     uint8_t* refined;
+    uint8_t* nbr;  // count of significant 8-neighbors (incremental)
 
     inline int idx(int y, int x) const { return (y + 1) * stride + (x + 1); }
+
+    // call when (y, x) becomes significant
+    inline void mark_sig(int i) {
+        sig[i] = 1;
+        nbr[i - stride - 1]++; nbr[i - stride]++; nbr[i - stride + 1]++;
+        nbr[i - 1]++;                             nbr[i + 1]++;
+        nbr[i + stride - 1]++; nbr[i + stride]++; nbr[i + stride + 1]++;
+    }
 
     // VSC: at a stripe's bottom row the row below is treated insignificant
     inline bool cut_below(int y) const { return vsc && (y & 3) == 3; }
@@ -381,7 +390,8 @@ static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist) {
                 int y = y0 + k;
                 int i = B.idx(y, x);
                 if (B.sig[i]) continue;
-                if (B.ncount(y, x) == 0) continue;
+                if (B.nbr[i] == 0) continue;
+                if (B.ncount(y, x) == 0) continue;  // VSC can mask the count
                 int bit = (int)((B.mag[i] >> plane) & 1);
                 mq.encode(bit, B.zc_ctx(y, x));
                 B.visited[i] = 1;
@@ -389,7 +399,7 @@ static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist) {
                     int sc, xr;
                     B.sc_ctx(y, x, &sc, &xr);
                     mq.encode((int)(B.sgn[i] ^ xr), sc);
-                    B.sig[i] = 1;
+                    B.mark_sig(i);
                     *dist += dd_sig(B.mag[i], plane);
                 }
             }
@@ -428,9 +438,19 @@ static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                 for (int k = 0; k < 4; k++) {
                     int y = y0 + k;
                     int i = B.idx(y, x);
-                    if (B.sig[i] || B.visited[i] || B.ncount(y, x) != 0) {
+                    if (B.sig[i] || B.visited[i] || B.nbr[i] != 0) {
                         rl = false;
                         break;
+                    }
+                }
+                if (!rl && B.vsc) {
+                    // VSC masks below-stripe neighbors: redo the exact test
+                    rl = full;
+                    for (int k = 0; k < 4 && rl; k++) {
+                        int y = y0 + k;
+                        int i = B.idx(y, x);
+                        if (B.sig[i] || B.visited[i] || B.ncount(y, x) != 0)
+                            rl = false;
                     }
                 }
             }
@@ -461,7 +481,7 @@ static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                     int sc, xr;
                     B.sc_ctx(y, x, &sc, &xr);
                     mq.encode((int)(B.sgn[i] ^ xr), sc);
-                    B.sig[i] = 1;
+                    B.mark_sig(i);
                     *dist += dd_sig(B.mag[i], plane);
                 }
             }
@@ -484,7 +504,8 @@ static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane) {
                 int y = y0 + k;
                 int i = B.idx(y, x);
                 if (B.sig[i]) continue;
-                if (B.ncount(y, x) == 0) continue;
+                if (B.nbr[i] == 0) continue;
+                if (B.ncount(y, x) == 0) continue;  // VSC can mask the count
                 int bit = mq.decode(B.zc_ctx(y, x));
                 B.visited[i] = 1;
                 if (bit) {
@@ -493,7 +514,7 @@ static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane) {
                     int sbit = mq.decode(sc);
                     B.sgn[i] = (int8_t)(sbit ^ xr);
                     B.mag[i] |= (int64_t)1 << plane;
-                    B.sig[i] = 1;
+                    B.mark_sig(i);
                 }
             }
         }
@@ -529,9 +550,18 @@ static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
                 for (int k = 0; k < 4; k++) {
                     int y = y0 + k;
                     int i = B.idx(y, x);
-                    if (B.sig[i] || B.visited[i] || B.ncount(y, x) != 0) {
+                    if (B.sig[i] || B.visited[i] || B.nbr[i] != 0) {
                         rl = false;
                         break;
+                    }
+                }
+                if (!rl && B.vsc) {
+                    rl = full;
+                    for (int k = 0; k < 4 && rl; k++) {
+                        int y = y0 + k;
+                        int i = B.idx(y, x);
+                        if (B.sig[i] || B.visited[i] || B.ncount(y, x) != 0)
+                            rl = false;
                     }
                 }
             }
@@ -557,7 +587,7 @@ static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
                     int sbit = mq.decode(sc);
                     B.sgn[i] = (int8_t)(sbit ^ xr);
                     B.mag[i] |= (int64_t)1 << plane;
-                    B.sig[i] = 1;
+                    B.mark_sig(i);
                 }
             }
         }
@@ -604,6 +634,7 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
         uint8_t* sig = new uint8_t[plane_sz];
         uint8_t* visited = new uint8_t[plane_sz];
         uint8_t* refined = new uint8_t[plane_sz];
+        uint8_t* nbr = new uint8_t[plane_sz];
 
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
@@ -615,6 +646,7 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
             std::memset(sig, 0, plane_sz);
             std::memset(visited, 0, plane_sz);
             std::memset(refined, 0, plane_sz);
+            std::memset(nbr, 0, plane_sz);
 
             const int64_t* src = coeffs + b * (int64_t)H * W;
             int64_t maxmag = 0;
@@ -642,7 +674,8 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
 
             int style = styles ? styles[b] : 0;
             BlockCtx B{h, w, orients[b], stride,
-                       (style & STY_VSC) != 0, mag, sgn, sig, visited, refined};
+                       (style & STY_VSC) != 0, mag, sgn, sig, visited, refined,
+                       nbr};
             MQEncoder mq;
             mq.init(out_data + b * max_bytes);
             bool reset = (style & STY_RESET) != 0;
@@ -691,6 +724,7 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
         delete[] sig;
         delete[] visited;
         delete[] refined;
+        delete[] nbr;
     }
     return 0;
 }
@@ -715,6 +749,7 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
         uint8_t* sig = new uint8_t[plane_sz];
         uint8_t* visited = new uint8_t[plane_sz];
         uint8_t* refined = new uint8_t[plane_sz];
+        uint8_t* nbr = new uint8_t[plane_sz];
 
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
@@ -726,6 +761,7 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
             std::memset(sig, 0, plane_sz);
             std::memset(visited, 0, plane_sz);
             std::memset(refined, 0, plane_sz);
+            std::memset(nbr, 0, plane_sz);
             int64_t* dst = out_coeffs + b * (int64_t)H * W;
             std::memset(dst, 0, (int64_t)H * W * sizeof(int64_t));
 
@@ -735,7 +771,8 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
 
             int style = styles ? styles[b] : 0;
             BlockCtx B{h, w, orients[b], stride,
-                       (style & STY_VSC) != 0, mag, sgn, sig, visited, refined};
+                       (style & STY_VSC) != 0, mag, sgn, sig, visited, refined,
+                       nbr};
             bool reset = (style & STY_RESET) != 0;
             bool segsym = (style & STY_SEGSYM) != 0;
             MQDecoder mq;
@@ -772,6 +809,7 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
         delete[] sig;
         delete[] refined;
         delete[] visited;
+        delete[] nbr;
     }
     return 0;
 }
