@@ -275,7 +275,12 @@ def decode_cblks(
     block_h: int,
     block_w: int,
     styles: np.ndarray | None = None,
+    seg_lengths: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
+    if styles is not None and int(np.max(np.asarray(styles) & 0x15, initial=0)):
+        raise NotImplementedError(
+            "bypass/termall/pterm only in the native backend"
+        )
     """Decode a batch of codeblock codeword segments.
 
     Returns (coeffs [N, H, W] int64 signed, planes_decoded [N])."""

@@ -73,6 +73,7 @@ def get_lib() -> ctypes.CDLL | None:
         lib.t1_encode_cblks.restype = ctypes.c_int
         lib.t1_decode_cblks.argtypes = [
             u8p, i64p, i32p, i32p, i32p, i32p, i32p, i32p,
+            i64p, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64, i64p, ctypes.c_int32,
         ]
@@ -233,12 +234,16 @@ def decode_cblks(
     block_w: int,
     num_threads: int = 0,
     styles: np.ndarray | None = None,
+    seg_lengths: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     lib = get_lib()
     assert lib is not None
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
     out = np.zeros((n, block_h, block_w), dtype=np.int64)
+    if seg_lengths is None:
+        seg_lengths = np.zeros((n, 1), dtype=np.int64)
+    seg_lengths = np.ascontiguousarray(seg_lengths, dtype=np.int64)
     lib.t1_decode_cblks(
         data,
         np.ascontiguousarray(lengths, dtype=np.int64),
@@ -250,6 +255,7 @@ def decode_cblks(
         np.ascontiguousarray(
             styles if styles is not None else np.zeros(n), dtype=np.int32
         ),
+        seg_lengths, seg_lengths.shape[1],
         n, block_h, block_w, data.shape[1], out, num_threads,
     )
     planes = np.minimum((np.asarray(npasses) + 2) // 3, np.asarray(numbps))

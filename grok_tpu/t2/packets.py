@@ -22,6 +22,14 @@ def _floor_log2(n: int) -> int:
     return n.bit_length() - 1
 
 
+def _segment_splits(style: int, start_pass: int, npasses: int) -> list[int]:
+    """Pass counts of the codeword segments covering passes
+    [start_pass, start_pass + npasses) (T.800 D.4 termination rules)."""
+    if style & 0x04:  # TERMALL: every pass is its own segment
+        return [1] * npasses
+    return [npasses]
+
+
 def write_numpasses(bio: BitWriter, n: int) -> None:
     if n == 1:
         bio.write_bit(0)
@@ -69,6 +77,8 @@ class CblkEnc:
     passes_done: int = 0
     bytes_done: int = 0
     first_layer: int = 0
+    style: int = 0  # codeblock style (segmentation: TERMALL/PTERM)
+    pass_rates: object = None  # cumulative exact byte offsets per pass
 
 
 @dataclass
@@ -76,10 +86,12 @@ class CblkDec:
     """Decoder-side codeblock T2 record."""
 
     segments: list[bytes] = field(default_factory=list)
+    seg_passes: list[int] = field(default_factory=list)
     npasses: int = 0
     numbps: int = 0  # set on first inclusion from imsb tree
     lblock: int = 3
     included: bool = False
+    style: int = 0
 
 
 class PrecinctCtx:
@@ -156,14 +168,31 @@ def encode_packet(
                     ctx.imsb_tree.encode(bio, geom.cx, geom.cy, imsb + 1)
                     cb.included = True
                 write_numpasses(bio, npl)
-                nbytes = cb.layer_bytes[layer]
-                # length signalling: single codeword segment per contribution
-                bits_needed = max(1, int(nbytes).bit_length())
-                while cb.lblock + _floor_log2(npl) < bits_needed:
-                    cb.lblock += 1
+                # length signalling: one length per codeword segment
+                # (T.800 B.10.7.2), single comma-code for the contribution
+                splits = _segment_splits(cb.style, cb.passes_done, npl)
+                if len(splits) == 1:
+                    seg_bytes = [cb.layer_bytes[layer]]
+                else:
+                    r = cb.pass_rates
+                    p0 = cb.passes_done
+                    seg_bytes = []
+                    prev = int(r[p0 - 1]) if p0 > 0 else 0
+                    for k in range(npl):
+                        cur = int(r[p0 + k])
+                        seg_bytes.append(cur - prev)
+                        prev = cur
+                inc = 0
+                for np_s, nb_s in zip(splits, seg_bytes):
+                    needed = max(1, int(nb_s).bit_length())
+                    inc = max(inc, needed - (cb.lblock + _floor_log2(np_s)))
+                for _ in range(inc):
                     bio.write_bit(1)
+                cb.lblock += inc
                 bio.write_bit(0)
-                bio.write_bits(nbytes, cb.lblock + _floor_log2(npl))
+                for np_s, nb_s in zip(splits, seg_bytes):
+                    bio.write_bits(nb_s, cb.lblock + _floor_log2(np_s))
+                nbytes = sum(seg_bytes)
                 body += bytes(
                     cb.data[cb.bytes_done : cb.bytes_done + nbytes].tobytes()
                     if isinstance(cb.data, np.ndarray)
@@ -239,10 +268,11 @@ def decode_packet(
                     cb.lblock += 1
                     if cb.lblock > 32:
                         raise CorruptPacketError("runaway lblock")
-                nbytes = bio.read_bits(cb.lblock + _floor_log2(npl))
                 if cb.npasses + npl > 165:
                     raise CorruptPacketError("too many coding passes")
-                contributions.append((cb, npl, nbytes))
+                for np_s in _segment_splits(cb.style, cb.npasses, npl):
+                    nbytes = bio.read_bits(cb.lblock + _floor_log2(np_s))
+                    contributions.append((cb, np_s, nbytes))
         bio.align()
         if not packed:
             pos = bio.byte_pos
@@ -258,6 +288,7 @@ def decode_packet(
         if pos + nbytes > n:
             raise CorruptPacketError("packet body truncated")
         cb.segments.append(bytes(data[pos : pos + nbytes]))
+        cb.seg_passes.append(npl)
         cb.npasses += npl
         pos += nbytes
     return pos

@@ -44,11 +44,10 @@ def _band_origin_in_packed(geom: TileCompGeom, res_idx: int, orient: int):
 def _check_styles_supported(styles: np.ndarray) -> None:
     from ..core.errors import UnsupportedFeatureError
 
-    bad = int(np.bitwise_or.reduce(styles, initial=0)) & (0x01 | 0x04 | 0x10)
+    bad = int(np.bitwise_or.reduce(styles, initial=0)) & 0x01
     if bad:
         raise UnsupportedFeatureError(
-            f"codeblock style bits 0x{bad:02X} (bypass/termall/pterm) "
-            "not supported yet"
+            "codeblock style 0x01 (selective MQ bypass) not supported yet"
         )
 
 
@@ -262,6 +261,8 @@ class TileProcessor:
                 layer_passes=layer_passes,
                 layer_bytes=layer_bytes,
                 first_layer=first_layer,
+                style=int(tcp.tccps[ref.comp].cblk_style) & 0x3F,
+                pass_rates=t1res.pass_rates[i],
             )
             prc_ctx_map[key].cblks[ref.cblk_i] = cb
 
@@ -390,8 +391,9 @@ class TileProcessor:
                 for bi, band in enumerate(res.bands):
                     for pi, prc in enumerate(band.precincts):
                         ctx = PrecinctCtx(band, prc)
+                        sty = tcp.tccps[c].cblk_style & 0x3F
                         for ci in range(len(prc.cblks)):
-                            ctx.cblks[ci] = CblkDec()
+                            ctx.cblks[ci] = CblkDec(style=sty)
                         prc_ctx_map[(c, res.r, bi, pi)] = ctx
 
         use_sop = bool(tcp.csty & 0x02)
@@ -419,6 +421,7 @@ class TileProcessor:
         # ---- batch T1 decode
         cbh, cbw = self._nominal_cblk()
         refs, datas, lens, nps, nbps, hs, ws, ors = [], [], [], [], [], [], [], []
+        seg_lists = []
         for (c, r, bi, pi), ctx in prc_ctx_map.items():
             if reduce and r >= tcp.tccps[c].num_resolutions - reduce:
                 continue  # resolution discarded: never entropy-decode
@@ -435,6 +438,9 @@ class TileProcessor:
                 hs.append(cg.rect.height)
                 ws.append(cg.rect.width)
                 ors.append(band.orient)
+                seg_lists.append(
+                    [len(b2) for b2 in cb.segments] if cb.style & 0x04 else []
+                )
 
         coeff_arrays = []
         for c2, g in enumerate(self.geoms):
@@ -470,6 +476,13 @@ class TileProcessor:
             else:
                 _check_styles_supported(styles)
                 t1 = select_backend()
+                max_segs = max((len(sl) for sl in seg_lists), default=0)
+                seg_arr = None
+                if max_segs:
+                    seg_arr = np.zeros((n, max(max_segs, 1)), dtype=np.int64)
+                    for i2, sl in enumerate(seg_lists):
+                        if sl:
+                            seg_arr[i2, : len(sl)] = sl
                 coeffs, planes = t1.decode_cblks(
                     data,
                     np.array(lens, dtype=np.int64),
@@ -481,6 +494,7 @@ class TileProcessor:
                     cbh,
                     cbw,
                     styles=styles,
+                    seg_lengths=seg_arr,
                 )
             if not irrev:
                 coeffs = coeffs.astype(np.int32)

@@ -147,6 +147,18 @@ struct MQEncoder {
         // bytes 1..pos, excluding a trailing 0xFF
         return pos + (buf[pos] != 0xFF ? 1 : 0) - 1;
     }
+
+    // terminate the current codeword segment and restart for the next one
+    // (TERMALL); returns the cumulative stream length so far
+    int64_t terminate_restart() {
+        flush();
+        int64_t len = length();
+        pos = len;  // buf[pos] = last counted byte (never 0xFF)
+        a = 0x8000;
+        c = 0;
+        ct = buf[pos] == 0xFF ? 13 : 12;
+        return len;
+    }
 };
 
 struct MQDecoder {
@@ -188,7 +200,8 @@ struct MQDecoder {
         state[CTX_UNI] = 46;
     }
 
-    void init(const uint8_t* b, int64_t len) {
+    void init_registers(const uint8_t* b, int64_t len) {
+        // re-prime on a new codeword segment; context states persist
         buf = b;
         end = len;
         bp = 0;
@@ -197,6 +210,10 @@ struct MQDecoder {
         c <<= 7;
         ct -= 7;
         a = 0x8000;
+    }
+
+    void init(const uint8_t* b, int64_t len) {
+        init_registers(b, len);
         reset_ctx();
     }
 
@@ -680,37 +697,36 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
             mq.init(out_data + b * max_bytes);
             bool reset = (style & STY_RESET) != 0;
             bool segsym = (style & STY_SEGSYM) != 0;
+            bool termall = (style & STY_TERMALL) != 0;
 
             int pass_i = 0;
             for (int plane = numbps - 1; plane >= 0; plane--) {
                 double d;
-                // safe truncation length for a non-terminated pass
-                // (Taubman): bytes so far + ceil((27 - CT) / 8)
-                auto safe_len = [&]() { return mq.pos + (27 - mq.ct + 7) / 8; };
+                // rate after a pass: exact when terminated, else the safe
+                // truncation bound (Taubman): bytes + ceil((27 - CT) / 8)
+                auto end_pass = [&](double dd) {
+                    int64_t r = termall ? mq.terminate_restart()
+                                        : mq.pos + (27 - mq.ct + 7) / 8;
+                    out_pass_rates[b * max_passes + pass_i] = r;
+                    out_pass_dist[b * max_passes + pass_i] = dd;
+                    pass_i++;
+                    if (reset) mq.reset_ctx();
+                };
                 if (plane < numbps - 1) {
                     d = 0;
                     enc_spp(B, mq, plane, &d);
-                    out_pass_rates[b * max_passes + pass_i] = safe_len();
-                    out_pass_dist[b * max_passes + pass_i] = d;
-                    pass_i++;
-                    if (reset) mq.reset_ctx();
+                    end_pass(d);
                     d = 0;
                     enc_mrp(B, mq, plane, &d);
-                    out_pass_rates[b * max_passes + pass_i] = safe_len();
-                    out_pass_dist[b * max_passes + pass_i] = d;
-                    pass_i++;
-                    if (reset) mq.reset_ctx();
+                    end_pass(d);
                 }
                 d = 0;
                 enc_cup(B, mq, plane, &d, segsym);
-                out_pass_rates[b * max_passes + pass_i] = safe_len();
-                out_pass_dist[b * max_passes + pass_i] = d;
-                pass_i++;
-                if (reset) mq.reset_ctx();
+                end_pass(d);
                 std::memset(visited, 0, plane_sz);
             }
-            mq.flush();
-            int64_t len = mq.length();
+            if (!termall) mq.flush();
+            int64_t len = termall ? mq.pos : mq.length();
             out_lengths[b] = len;
             // clamp conservative per-pass rates to the final length
             for (int i = 0; i < npasses; i++) {
@@ -733,6 +749,7 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
                     const int32_t* numbps, const int32_t* npasses,
                     const int32_t* heights, const int32_t* widths,
                     const int32_t* orients, const int32_t* styles,
+                    const int64_t* seg_lengths, int32_t max_segs,
                     int64_t n, int32_t H, int32_t W,
                     int64_t max_bytes, int64_t* out_coeffs,
                     int32_t num_threads) {
@@ -775,8 +792,24 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
                        nbr};
             bool reset = (style & STY_RESET) != 0;
             bool segsym = (style & STY_SEGSYM) != 0;
+            bool termall = (style & STY_TERMALL) != 0;
+            const int64_t* segl =
+                seg_lengths ? seg_lengths + b * max_segs : nullptr;
             MQDecoder mq;
-            mq.init(data + b * max_bytes, lengths[b]);
+            int64_t seg_off = 0;
+            int seg_i = 0;
+            if (termall && segl) {
+                mq.init(data + b * max_bytes, segl[0]);
+            } else {
+                mq.init(data + b * max_bytes, lengths[b]);
+            }
+            auto next_seg = [&]() {
+                if (!(termall && segl)) return;
+                seg_off += segl[seg_i];
+                seg_i++;
+                int64_t sl = seg_i < max_segs ? segl[seg_i] : 0;
+                mq.init_registers(data + b * max_bytes + seg_off, sl);
+            };
 
             int pass_i = 0;
             bool done = false;
@@ -786,15 +819,18 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
                     dec_spp(B, mq, plane);
                     pass_i++;
                     if (reset) mq.reset_ctx();
+                    if (pass_i < np) next_seg();
                     if (pass_i >= np) { done = true; break; }
                     dec_mrp(B, mq, plane);
                     pass_i++;
                     if (reset) mq.reset_ctx();
+                    if (pass_i < np) next_seg();
                 }
                 if (pass_i >= np) { done = true; break; }
                 dec_cup(B, mq, plane, segsym);
                 pass_i++;
                 if (reset) mq.reset_ctx();
+                if (pass_i < np) next_seg();
                 std::memset(visited, 0, plane_sz);
             }
             for (int y = 0; y < h; y++)
