@@ -27,6 +27,24 @@ def _segment_splits(style: int, start_pass: int, npasses: int) -> list[int]:
     [start_pass, start_pass + npasses) (T.800 D.4 termination rules)."""
     if style & 0x04:  # TERMALL: every pass is its own segment
         return [1] * npasses
+    if style & 0x01:  # BYPASS: boundaries at MQ<->raw coder switches
+        def typ(p):
+            return 2 if p == 0 else (p - 1) % 3
+
+        def term_after(p):
+            t = typ(p)
+            return p == 9 or (p > 9 and t in (1, 2))
+
+        out = []
+        cur = 0
+        for p in range(start_pass, start_pass + npasses):
+            cur += 1
+            if term_after(p):
+                out.append(cur)
+                cur = 0
+        if cur:
+            out.append(cur)
+        return out
     return [npasses]
 
 
@@ -178,8 +196,10 @@ def encode_packet(
                     p0 = cb.passes_done
                     seg_bytes = []
                     prev = int(r[p0 - 1]) if p0 > 0 else 0
-                    for k in range(npl):
-                        cur = int(r[p0 + k])
+                    pcur = p0
+                    for np_s in splits:
+                        pcur += np_s
+                        cur = int(r[pcur - 1])
                         seg_bytes.append(cur - prev)
                         prev = cur
                 inc = 0

@@ -42,13 +42,8 @@ def _band_origin_in_packed(geom: TileCompGeom, res_idx: int, orient: int):
 
 
 def _check_styles_supported(styles: np.ndarray) -> None:
-    from ..core.errors import UnsupportedFeatureError
-
-    bad = int(np.bitwise_or.reduce(styles, initial=0)) & 0x01
-    if bad:
-        raise UnsupportedFeatureError(
-            "codeblock style 0x01 (selective MQ bypass) not supported yet"
-        )
+    # all Part-1 codeblock styles are supported by the native backend
+    return
 
 
 @dataclass
@@ -438,9 +433,29 @@ class TileProcessor:
                 hs.append(cg.rect.height)
                 ws.append(cg.rect.width)
                 ors.append(band.orient)
-                seg_lists.append(
-                    [len(b2) for b2 in cb.segments] if cb.style & 0x04 else []
-                )
+                if cb.style & 0x05:
+                    # merge contribution pieces into whole codeword
+                    # segments (a layer boundary may split a segment)
+                    from ..t2.packets import _segment_splits
+
+                    targets = _segment_splits(cb.style, 0, cb.npasses)
+                    merged = []
+                    it = zip(cb.segments, cb.seg_passes)
+                    acc_b, acc_p = 0, 0
+                    ti2 = 0
+                    for chunk, np_c in zip(cb.segments, cb.seg_passes):
+                        acc_b += len(chunk)
+                        acc_p += np_c
+                        while ti2 < len(targets) and acc_p >= targets[ti2]:
+                            acc_p -= targets[ti2]
+                            merged.append(acc_b)
+                            acc_b = 0
+                            ti2 += 1
+                    if acc_b:
+                        merged.append(acc_b)
+                    seg_lists.append(merged)
+                else:
+                    seg_lists.append([])
 
         coeff_arrays = []
         for c2, g in enumerate(self.geoms):

@@ -159,6 +159,47 @@ struct MQEncoder {
         ct = buf[pos] == 0xFF ? 13 : 12;
         return len;
     }
+
+    // ---- raw (bypass) emission into the same buffer --------------------
+    // Raw bits go MSB-first with 0xFF stuffing, continuing at the byte
+    // after the last MQ byte. Invariant: pos = index of last written byte;
+    // stream length so far = pos (buffer index 0 is the virtual byte).
+    uint32_t raw_tmp = 0;
+    int raw_used = 0;   // bits used in the pending raw byte
+    int raw_avail = 8;  // capacity of the pending byte (7 after an 0xFF)
+
+    void raw_start() {
+        raw_tmp = 0;
+        raw_used = 0;
+        raw_avail = buf[pos] == 0xFF ? 7 : 8;
+    }
+
+    void raw_bit(int v) {
+        raw_tmp = (raw_tmp << 1) | (uint32_t)v;
+        if (++raw_used == raw_avail) {
+            buf[++pos] = (uint8_t)raw_tmp;
+            raw_avail = buf[pos] == 0xFF ? 7 : 8;
+            raw_tmp = 0;
+            raw_used = 0;
+        }
+    }
+
+    // conservative decodable-prefix length while inside a raw pass
+    int64_t raw_safe_len() const { return pos + (raw_used > 0 ? 1 : 0); }
+
+    // byte-align the raw segment and restart MQ; returns stream length
+    int64_t raw_terminate_restart_mq() {
+        if (raw_used > 0) {
+            raw_tmp <<= (raw_avail - raw_used);
+            buf[++pos] = (uint8_t)raw_tmp;
+        }
+        if (buf[pos] == 0xFF) buf[++pos] = 0;  // raw segments can't end 0xFF
+        int64_t len = pos;
+        a = 0x8000;
+        c = 0;
+        ct = buf[pos] == 0xFF ? 13 : 12;
+        return len;
+    }
 };
 
 struct MQDecoder {
@@ -224,6 +265,31 @@ struct MQDecoder {
             c <<= 1;
             ct--;
         } while ((a & 0x8000) == 0);
+    }
+
+    // ---- raw (bypass) reading ------------------------------------------
+    const uint8_t* rbuf = nullptr;
+    int64_t rpos = 0, rend = 0;
+    uint32_t rtmp = 0;
+    int rbits = 0;
+    bool rprev_ff = false;
+
+    void raw_init(const uint8_t* b, int64_t len) {
+        rbuf = b;
+        rpos = 0;
+        rend = len;
+        rbits = 0;
+        rprev_ff = false;
+    }
+
+    inline int raw_bit() {
+        if (rbits == 0) {
+            uint32_t b = rpos < rend ? rbuf[rpos++] : 0xFF;
+            rbits = rprev_ff ? 7 : 8;
+            rprev_ff = b == 0xFF;
+            rtmp = b;
+        }
+        return (int)((rtmp >> --rbits) & 1);
     }
 
     inline int decode(int ctx) {
@@ -399,7 +465,8 @@ struct PassRecorder {
     double dist_acc = 0.0;
 };
 
-static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist) {
+static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
+                    bool raw = false) {
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         for (int x = 0; x < B.w; x++) {
@@ -410,12 +477,19 @@ static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist) {
                 if (B.nbr[i] == 0) continue;
                 if (B.ncount(y, x) == 0) continue;  // VSC can mask the count
                 int bit = (int)((B.mag[i] >> plane) & 1);
-                mq.encode(bit, B.zc_ctx(y, x));
+                if (raw)
+                    mq.raw_bit(bit);
+                else
+                    mq.encode(bit, B.zc_ctx(y, x));
                 B.visited[i] = 1;
                 if (bit) {
-                    int sc, xr;
-                    B.sc_ctx(y, x, &sc, &xr);
-                    mq.encode((int)(B.sgn[i] ^ xr), sc);
+                    if (raw) {
+                        mq.raw_bit((int)B.sgn[i]);
+                    } else {
+                        int sc, xr;
+                        B.sc_ctx(y, x, &sc, &xr);
+                        mq.encode((int)(B.sgn[i] ^ xr), sc);
+                    }
                     B.mark_sig(i);
                     *dist += dd_sig(B.mag[i], plane);
                 }
@@ -424,7 +498,8 @@ static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist) {
     }
 }
 
-static void enc_mrp(BlockCtx& B, MQEncoder& mq, int plane, double* dist) {
+static void enc_mrp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
+                    bool raw = false) {
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         for (int x = 0; x < B.w; x++) {
@@ -432,10 +507,15 @@ static void enc_mrp(BlockCtx& B, MQEncoder& mq, int plane, double* dist) {
                 int y = y0 + k;
                 int i = B.idx(y, x);
                 if (!B.sig[i] || B.visited[i]) continue;
-                int ctx = B.refined[i] ? CTX_MR0 + 2
-                                       : (B.ncount(y, x) > 0 ? CTX_MR0 + 1 : CTX_MR0);
                 int bit = (int)((B.mag[i] >> plane) & 1);
-                mq.encode(bit, ctx);
+                if (raw) {
+                    mq.raw_bit(bit);
+                } else {
+                    int ctx = B.refined[i]
+                                  ? CTX_MR0 + 2
+                                  : (B.ncount(y, x) > 0 ? CTX_MR0 + 1 : CTX_MR0);
+                    mq.encode(bit, ctx);
+                }
                 B.refined[i] = 1;
                 *dist += dd_ref(B.mag[i], plane);
             }
@@ -513,7 +593,7 @@ static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
 }
 
 // --------------------------------------------------------------- decoder
-static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane) {
+static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         for (int x = 0; x < B.w; x++) {
@@ -523,13 +603,19 @@ static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane) {
                 if (B.sig[i]) continue;
                 if (B.nbr[i] == 0) continue;
                 if (B.ncount(y, x) == 0) continue;  // VSC can mask the count
-                int bit = mq.decode(B.zc_ctx(y, x));
+                int bit = raw ? mq.raw_bit() : mq.decode(B.zc_ctx(y, x));
                 B.visited[i] = 1;
                 if (bit) {
-                    int sc, xr;
-                    B.sc_ctx(y, x, &sc, &xr);
-                    int sbit = mq.decode(sc);
-                    B.sgn[i] = (int8_t)(sbit ^ xr);
+                    int sbit;
+                    if (raw) {
+                        sbit = mq.raw_bit();
+                        B.sgn[i] = (int8_t)sbit;
+                    } else {
+                        int sc, xr;
+                        B.sc_ctx(y, x, &sc, &xr);
+                        sbit = mq.decode(sc);
+                        B.sgn[i] = (int8_t)(sbit ^ xr);
+                    }
                     B.mag[i] |= (int64_t)1 << plane;
                     B.mark_sig(i);
                 }
@@ -538,7 +624,7 @@ static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane) {
     }
 }
 
-static void dec_mrp(BlockCtx& B, MQDecoder& mq, int plane) {
+static void dec_mrp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         for (int x = 0; x < B.w; x++) {
@@ -546,9 +632,15 @@ static void dec_mrp(BlockCtx& B, MQDecoder& mq, int plane) {
                 int y = y0 + k;
                 int i = B.idx(y, x);
                 if (!B.sig[i] || B.visited[i]) continue;
-                int ctx = B.refined[i] ? CTX_MR0 + 2
-                                       : (B.ncount(y, x) > 0 ? CTX_MR0 + 1 : CTX_MR0);
-                int bit = mq.decode(ctx);
+                int bit;
+                if (raw) {
+                    bit = mq.raw_bit();
+                } else {
+                    int ctx = B.refined[i]
+                                  ? CTX_MR0 + 2
+                                  : (B.ncount(y, x) > 0 ? CTX_MR0 + 1 : CTX_MR0);
+                    bit = mq.decode(ctx);
+                }
                 if (bit) B.mag[i] |= (int64_t)1 << plane;
                 B.refined[i] = 1;
             }
@@ -698,26 +790,48 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
             bool reset = (style & STY_RESET) != 0;
             bool segsym = (style & STY_SEGSYM) != 0;
             bool termall = (style & STY_TERMALL) != 0;
+            bool bypass = (style & STY_BYPASS) != 0;
+
+            // pass p type: 0 SPP, 1 MRP, 2 CUP; raw from the 11th pass on
+            auto typ = [](int p) { return p == 0 ? 2 : (p - 1) % 3; };
+            auto is_raw = [&](int p) { return bypass && p >= 10 && typ(p) != 2; };
+            auto term_after = [&](int p) {
+                if (termall) return true;
+                if (!bypass) return false;
+                int t = typ(p);
+                return p == 9 || (p > 9 && (t == 1 || t == 2));
+            };
 
             int pass_i = 0;
+            bool in_raw = false;
+            bool last_term = false;
             for (int plane = numbps - 1; plane >= 0; plane--) {
                 double d;
-                // rate after a pass: exact when terminated, else the safe
-                // truncation bound (Taubman): bytes + ceil((27 - CT) / 8)
                 auto end_pass = [&](double dd) {
-                    int64_t r = termall ? mq.terminate_restart()
-                                        : mq.pos + (27 - mq.ct + 7) / 8;
+                    bool term = term_after(pass_i);
+                    int64_t r;
+                    if (term)
+                        r = in_raw ? mq.raw_terminate_restart_mq()
+                                   : mq.terminate_restart();
+                    else
+                        r = in_raw ? mq.raw_safe_len()
+                                   : mq.pos + (27 - mq.ct + 7) / 8;
                     out_pass_rates[b * max_passes + pass_i] = r;
                     out_pass_dist[b * max_passes + pass_i] = dd;
                     pass_i++;
+                    last_term = term;
                     if (reset) mq.reset_ctx();
+                    if (term) {
+                        in_raw = is_raw(pass_i);
+                        if (in_raw) mq.raw_start();
+                    }
                 };
                 if (plane < numbps - 1) {
                     d = 0;
-                    enc_spp(B, mq, plane, &d);
+                    enc_spp(B, mq, plane, &d, in_raw);
                     end_pass(d);
                     d = 0;
-                    enc_mrp(B, mq, plane, &d);
+                    enc_mrp(B, mq, plane, &d, in_raw);
                     end_pass(d);
                 }
                 d = 0;
@@ -725,8 +839,15 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
                 end_pass(d);
                 std::memset(visited, 0, plane_sz);
             }
-            if (!termall) mq.flush();
-            int64_t len = termall ? mq.pos : mq.length();
+            int64_t len;
+            if (last_term) {
+                len = out_pass_rates[b * max_passes + npasses - 1];
+            } else if (in_raw) {
+                len = mq.raw_terminate_restart_mq();
+            } else {
+                mq.flush();
+                len = mq.length();
+            }
             out_lengths[b] = len;
             // clamp conservative per-pass rates to the final length
             for (int i = 0; i < npasses; i++) {
@@ -793,22 +914,37 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
             bool reset = (style & STY_RESET) != 0;
             bool segsym = (style & STY_SEGSYM) != 0;
             bool termall = (style & STY_TERMALL) != 0;
+            bool bypass = (style & STY_BYPASS) != 0;
+            bool segmented = (termall || bypass) && seg_lengths;
             const int64_t* segl =
                 seg_lengths ? seg_lengths + b * max_segs : nullptr;
+
+            auto typ = [](int p) { return p == 0 ? 2 : (p - 1) % 3; };
+            auto is_raw = [&](int p) { return bypass && p >= 10 && typ(p) != 2; };
+            auto term_after = [&](int p) {
+                if (termall) return true;
+                if (!bypass) return false;
+                int t = typ(p);
+                return p == 9 || (p > 9 && (t == 1 || t == 2));
+            };
+
             MQDecoder mq;
             int64_t seg_off = 0;
             int seg_i = 0;
-            if (termall && segl) {
-                mq.init(data + b * max_bytes, segl[0]);
-            } else {
-                mq.init(data + b * max_bytes, lengths[b]);
-            }
-            auto next_seg = [&]() {
-                if (!(termall && segl)) return;
+            bool in_raw = false;
+            mq.init(data + b * max_bytes,
+                    segmented ? segl[0] : lengths[b]);
+            auto next_seg = [&](int finished_pass) {
+                if (!segmented) return;
+                if (!term_after(finished_pass)) return;
                 seg_off += segl[seg_i];
                 seg_i++;
                 int64_t sl = seg_i < max_segs ? segl[seg_i] : 0;
-                mq.init_registers(data + b * max_bytes + seg_off, sl);
+                in_raw = is_raw(finished_pass + 1);
+                if (in_raw)
+                    mq.raw_init(data + b * max_bytes + seg_off, sl);
+                else
+                    mq.init_registers(data + b * max_bytes + seg_off, sl);
             };
 
             int pass_i = 0;
@@ -816,21 +952,21 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
             for (int plane = nb - 1; plane >= 0 && !done; plane--) {
                 if (plane < nb - 1) {
                     if (pass_i >= np) { done = true; break; }
-                    dec_spp(B, mq, plane);
+                    dec_spp(B, mq, plane, in_raw);
                     pass_i++;
                     if (reset) mq.reset_ctx();
-                    if (pass_i < np) next_seg();
+                    if (pass_i < np) next_seg(pass_i - 1);
                     if (pass_i >= np) { done = true; break; }
-                    dec_mrp(B, mq, plane);
+                    dec_mrp(B, mq, plane, in_raw);
                     pass_i++;
                     if (reset) mq.reset_ctx();
-                    if (pass_i < np) next_seg();
+                    if (pass_i < np) next_seg(pass_i - 1);
                 }
                 if (pass_i >= np) { done = true; break; }
                 dec_cup(B, mq, plane, segsym);
                 pass_i++;
                 if (reset) mq.reset_ctx();
-                if (pass_i < np) next_seg();
+                if (pass_i < np) next_seg(pass_i - 1);
                 std::memset(visited, 0, plane_sz);
             }
             for (int y = 0; y < h; y++)

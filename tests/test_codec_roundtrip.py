@@ -111,10 +111,15 @@ def test_reduce_and_window():
     assert np.array_equal(w.components[0].data, arr[60:110, 40:120])
 
 
-@pytest.mark.parametrize("mode", [2, 8, 32, 42])
+@pytest.mark.parametrize("mode", [1, 2, 4, 5, 8, 9, 16, 32, 33, 42, 63])
 def test_cblk_styles(mode):
-    """RESET / VSC / SEGSYM codeblock styles roundtrip."""
+    """All Part-1 codeblock styles (BYPASS/RESET/TERMALL/VSC/PTERM/SEGSYM)
+    roundtrip, single and multi layer."""
     _lossless_roundtrip(natural_image(96, 96), num_resolutions=3, cblk_style=mode)
+    _lossless_roundtrip(
+        natural_image(96, 96), num_resolutions=3, cblk_style=mode,
+        num_layers=2, layer_rates=[16, 1],
+    )
 
 
 def test_roi_maxshift():

@@ -118,9 +118,9 @@ def test_ht_interop(tmp_path):
     assert np.array_equal(out, arr)
 
 
-@pytest.mark.parametrize("mode", [2, 8, 32, 42])
+@pytest.mark.parametrize("mode", [1, 2, 4, 8, 16, 32, 42, 63])
 def test_cblk_styles_interop(tmp_path, mode):
-    """RESET/VSC/SEGSYM streams interop with the reference both ways."""
+    """All codeblock styles interop with the reference both ways."""
     _both_ways(tmp_path, f"sty{mode}", natural_image(96, 96),
                cparams=gk.CompressParams(num_resolutions=3, cblk_style=mode),
                grk_args=["-M", str(mode)])
