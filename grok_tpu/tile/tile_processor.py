@@ -511,9 +511,16 @@ class TileProcessor:
                     styles=styles,
                     seg_lengths=seg_arr,
                 )
-            if not irrev:
-                coeffs = coeffs.astype(np.int32)
-            # scatter into band positions (+ dequant for irreversible)
+            coeffs = coeffs.astype(np.int32)
+            # scatter raw integer coefficients into staging band arrays;
+            # ROI unshift + dequant run vectorized per band afterwards
+            staging = (
+                coeff_arrays
+                if not irrev
+                else [
+                    np.zeros(a.shape, dtype=np.int32) for a in coeff_arrays
+                ]
+            )
             for i, ref in enumerate(refs):
                 g = self.geoms[ref.comp]
                 band = g.resolutions[ref.res].bands[ref.band_i]
@@ -521,22 +528,41 @@ class TileProcessor:
                 oy, ox = _band_origin_in_packed(g, ref.res, band.orient)
                 y0 = cg.rect.y0 - band.rect.y0 + oy
                 x0 = cg.rect.x0 - band.rect.x0 + ox
-                blk = coeffs[i, : cg.rect.height, : cg.rect.width]
-                rs = tcp.tccps[ref.comp].roi_shift
-                if rs:
-                    mag = np.abs(blk)
-                    thresh = np.int64(1) << rs
-                    mag = np.where(mag >= thresh, mag >> rs, mag)
-                    blk = np.where(blk < 0, -mag, mag)
-                if irrev:
-                    mag = np.abs(blk).astype(np.float32)
-                    rec = np.where(mag > 0, (mag + 0.5) * band.step, 0.0)
-                    vals = np.where(blk < 0, -rec, rec).astype(np.float32)
-                else:
-                    vals = blk
-                coeff_arrays[ref.comp][
+                staging[ref.comp][
                     y0 : y0 + cg.rect.height, x0 : x0 + cg.rect.width
-                ] = vals
+                ] = coeffs[i, : cg.rect.height, : cg.rect.width]
+            for c2 in range(ncomp):
+                tccp2 = tcp.tccps[c2]
+                if tccp2.roi_shift:
+                    a2 = staging[c2]
+                    mag = np.abs(a2)
+                    thresh = np.int32(1) << tccp2.roi_shift
+                    mag = np.where(mag >= thresh, mag >> tccp2.roi_shift, mag)
+                    staging[c2] = np.where(a2 < 0, -mag, mag).astype(
+                        a2.dtype if not irrev else np.int32
+                    )
+                if irrev:
+                    g2 = self.geoms[c2]
+                    a2 = staging[c2]
+                    out2 = coeff_arrays[c2]
+                    top = max(g2.num_resolutions - 1 - reduce, 0)
+                    for res2 in g2.resolutions[: top + 1]:
+                        for band2 in res2.bands:
+                            oy2, ox2 = _band_origin_in_packed(
+                                g2, res2.r, band2.orient
+                            )
+                            sl2 = (
+                                slice(oy2, oy2 + band2.rect.height),
+                                slice(ox2, ox2 + band2.rect.width),
+                            )
+                            q2 = a2[sl2].astype(np.float32)
+                            mag2 = np.abs(q2)
+                            rec2 = np.where(
+                                mag2 > 0,
+                                (mag2 + np.float32(0.5)) * np.float32(band2.step),
+                                np.float32(0.0),
+                            )
+                            out2[sl2] = np.where(q2 < 0, -rec2, rec2)
 
         # ---- inverse DWT (fewer levels under resolution reduction)
         out = []
@@ -558,10 +584,17 @@ class TileProcessor:
         final = []
         for c in range(ncomp):
             a = out[c]
+            prec2 = siz.comps[c].prec
+            signed2 = siz.comps[c].signed
             if irrev:
-                a = np.floor(a + 0.5).astype(np.int64)
-            a = mct_ops.dc_shift_inverse(
-                np, a, siz.comps[c].prec, siz.comps[c].signed
-            )
-            final.append(a.astype(np.int32))
+                off = 0.0 if signed2 else float(1 << (prec2 - 1))
+                lo = -(1 << (prec2 - 1)) if signed2 else 0
+                hi = (1 << (prec2 - 1)) - 1 if signed2 else (1 << prec2) - 1
+                a = np.clip(
+                    np.floor(a + np.float32(0.5 + off)), lo, hi
+                ).astype(np.int32)
+            else:
+                a = mct_ops.dc_shift_inverse(np, a, prec2, signed2)
+                a = a.astype(np.int32, copy=False)
+            final.append(a)
         return final
