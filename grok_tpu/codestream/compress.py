@@ -27,9 +27,12 @@ def build_siz(image: Image, params: CompressParams) -> Siz:
     siz.x0, siz.y0 = image.x0, image.y0
     siz.x1, siz.y1 = image.x1, image.y1
     if params.tile_size is None:
-        siz.tile_x0, siz.tile_y0 = image.x0, image.y0
-        siz.tile_w = image.x1 - image.x0
-        siz.tile_h = image.y1 - image.y0
+        # conventional single-tile anchoring: grid origin (0,0), tile spans
+        # the full canvas (what the reference and other decoders expect for
+        # images with a nonzero canvas offset)
+        siz.tile_x0, siz.tile_y0 = 0, 0
+        siz.tile_w = image.x1
+        siz.tile_h = image.y1
     else:
         siz.tile_x0, siz.tile_y0 = params.tile_offset
         siz.tile_w, siz.tile_h = params.tile_size

@@ -24,8 +24,13 @@ class PacketIndex:
     prec: int  # precinct index within (comp, res)
 
 
-def _precinct_anchors(siz: Siz, geoms: list[TileCompGeom]):
-    """Yield (comp, res, prec_idx, canvas_x, canvas_y) for every precinct."""
+def _precinct_anchors(siz: Siz, geoms: list[TileCompGeom], tile_rect=None):
+    """Yield (comp, res, prec_idx, canvas_x, canvas_y) for every precinct.
+
+    Position-based orders visit each direction's FIRST precinct at the tile
+    origin (T.800 B.12.1.3's "y == ty0" special case for tiles whose origin
+    is not aligned to the projected precinct grid); later precincts sit at
+    their true projected grid positions."""
     out = []
     for c, g in enumerate(geoms):
         dx, dy = siz.comps[c].dx, siz.comps[c].dy
@@ -39,11 +44,15 @@ def _precinct_anchors(siz: Siz, geoms: list[TileCompGeom]):
             for pj in range(res.prc_grid_h):
                 for pi in range(res.prc_grid_w):
                     p = pj * res.prc_grid_w + pi
-                    # anchor = canvas coords of the precinct's top-left,
-                    # clipped to the resolution rect
-                    rx = max(px0 + (pi << res.ppx), res.rect.x0)
-                    ry = max(py0 + (pj << res.ppy), res.rect.y0)
-                    out.append((c, res.r, p, (rx << shift) * dx, (ry << shift) * dy))
+                    cx = ((px0 + (pi << res.ppx)) << shift) * dx
+                    cy = ((py0 + (pj << res.ppy)) << shift) * dy
+                    if tile_rect is not None:
+                        cx = tile_rect.x0 if pi == 0 else cx
+                        cy = tile_rect.y0 if pj == 0 else cy
+                    else:
+                        cx = max(cx, (res.rect.x0 << shift) * dx)
+                        cy = max(cy, (res.rect.y0 << shift) * dy)
+                    out.append((c, res.r, p, cx, cy))
     return out
 
 
@@ -99,12 +108,12 @@ def _segment_order(
 
 
 def packet_order(
-    siz: Siz, tcp: Tcp, geoms: list[TileCompGeom]
+    siz: Siz, tcp: Tcp, geoms: list[TileCompGeom], tile_rect=None
 ) -> list[PacketIndex]:
     """Full packet sequence for one tile, honoring POC progression changes
     (T.800 B.12: each POC segment emits its bounded packet set in its own
     order, skipping packets already emitted by earlier segments)."""
-    anchors = _precinct_anchors(siz, geoms)
+    anchors = _precinct_anchors(siz, geoms, tile_rect)
     max_res = max(g.num_resolutions for g in geoms)
 
     if not tcp.pocs:

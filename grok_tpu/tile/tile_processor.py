@@ -269,7 +269,7 @@ class TileProcessor:
         use_sop = bool(tcp.csty & 0x02)
         use_eph = bool(tcp.csty & 0x04)
         sop = 0
-        for pk in packet_order(siz, tcp, self.geoms):
+        for pk in packet_order(siz, tcp, self.geoms, self.tile_rect):
             res = self.geoms[pk.comp].resolutions[pk.res]
             ctxs = [
                 prc_ctx_map[(pk.comp, pk.res, bi, pk.prec)]
@@ -399,7 +399,7 @@ class TileProcessor:
             from ..codestream.bitio import BitReader
 
             hdr_reader = BitReader(packed_headers, 0)
-        for pk in packet_order(siz, tcp, self.geoms):
+        for pk in packet_order(siz, tcp, self.geoms, self.tile_rect):
             if max_layers and pk.layer >= max_layers:
                 continue
             res = self.geoms[pk.comp].resolutions[pk.res]
