@@ -107,19 +107,26 @@ def unwrap_jp2(data: bytes | memoryview) -> Jp2Info:
         btype = bytes(data[pos + 4 : pos + 8])
         hdr = 8
         if ln == 1:
+            if pos + 16 > n:
+                raise CodestreamError("JP2: truncated XLBox header")
             (ln,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
             hdr = 16
         elif ln == 0:
             ln = n - pos
+        if ln < hdr or pos + ln > n:
+            raise CodestreamError("JP2: box length out of bounds")
         payload = data[pos + hdr : pos + ln]
-        if btype == b"jp2c":
-            info.codestream = bytes(payload)
-        elif btype == b"jp2h":
-            _parse_jp2h(payload, info)
-        elif btype == b"xml ":
-            info.xml.append(bytes(payload))
-        elif btype == b"uuid":
-            info.uuid.append((bytes(payload[:16]), bytes(payload[16:])))
+        try:
+            if btype == b"jp2c":
+                info.codestream = bytes(payload)
+            elif btype == b"jp2h":
+                _parse_jp2h(payload, info)
+            elif btype == b"xml ":
+                info.xml.append(bytes(payload))
+            elif btype == b"uuid":
+                info.uuid.append((bytes(payload[:16]), bytes(payload[16:])))
+        except (struct.error, IndexError, ValueError) as e:
+            raise CodestreamError(f"JP2: malformed {btype!r} box: {e}") from e
         pos += ln
     if not info.codestream:
         raise CodestreamError("JP2: no codestream box")
@@ -134,8 +141,12 @@ def _parse_jp2h(data: memoryview, info: Jp2Info) -> None:
         btype = bytes(data[pos + 4 : pos + 8])
         if ln == 0:
             ln = n - pos
+        if ln < 8 or pos + ln > n:
+            raise CodestreamError("JP2: jp2h sub-box length out of bounds")
         payload = data[pos + 8 : pos + ln]
         if btype == b"colr":
+            if len(payload) < 3:
+                raise CodestreamError("JP2: colr box too short")
             meth = payload[0]
             if meth == 1:
                 (cs,) = struct.unpack(">I", payload[3:7])

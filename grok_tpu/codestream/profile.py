@@ -14,6 +14,7 @@ from ..core.params import (
     CINEMA_48_COMP,
     CINEMA_48_CS,
     CompressParams,
+    ProgressionChange,
     ProgressionOrder,
     PROFILE_CINEMA_2K,
     PROFILE_CINEMA_4K,
@@ -57,13 +58,30 @@ def _apply_cinema(params: CompressParams, image) -> None:
     params.irreversible = True
     params.progression = ProgressionOrder.CPRL
     params.num_resolutions = min(params.num_resolutions, 7 if is4k else 6)
+    if is4k:
+        params.num_resolutions = max(params.num_resolutions, 2)
     params.cblk_width = params.cblk_height = 32
-    # DCI precincts: 128 for the highest resolution, 256 elsewhere
+    params.cblk_style = 0
+    # DCI precincts (Profile.cpp set_cinema_parameters): 256 from the highest
+    # resolution down to res 1, halving below res_spec => res 0 gets 128.
+    # Our precinct_sizes are lowest-res-first exponents.
     params.precinct_sizes = [(7, 7)] + [(8, 8)] * (params.num_resolutions - 1)
     params.use_sop = False
     params.use_eph = True
     params.tile_size = None  # single tile
     params.write_tlm = True
+    if is4k:
+        # 4K DCI: two POC segments (res 0..NL-1 at 2K extraction, then the
+        # top resolution) and 2 guard bits (Profile.cpp initialise_4K_poc).
+        nr = params.num_resolutions
+        params.progression_changes = [
+            ProgressionChange(0, 0, 1, nr - 1, 3, ProgressionOrder.CPRL),
+            ProgressionChange(nr - 1, 0, 1, nr, 3, ProgressionOrder.CPRL),
+        ]
+        params.guard_bits = 2
+    else:
+        params.progression_changes = []
+        params.guard_bits = 1
 
     fps = params.framerate or 24
     cap = CINEMA_24_CS if fps <= 24 else CINEMA_48_CS
@@ -75,6 +93,20 @@ def _apply_cinema(params: CompressParams, image) -> None:
     params.layer_rates = [ratio]
     log.info("cinema profile: capped to %d bytes/frame (ratio %.1f)", cap, ratio)
     params._cinema_comp_cap = comp_cap  # advisory (per-component packet cap)
+
+
+def _imf_max_nl(params: CompressParams, image) -> int:
+    """Max decomposition levels per IMF profile (Profile.cpp get_imf_max_NL)."""
+    xtsiz = image.x1  # single tile forced; tile width == image extent
+    fixed = {PROFILE_IMF_2K: 5, PROFILE_IMF_4K: 6, PROFILE_IMF_8K: 7}
+    if params.profile in fixed:
+        return fixed[params.profile]
+    caps = {PROFILE_IMF_2K_R: 5, PROFILE_IMF_4K_R: 6, PROFILE_IMF_8K_R: 7}
+    cap = caps[params.profile]
+    for nl in range(cap, 3, -1):
+        if xtsiz >= (1 << (nl + 6)):  # 2048 -> NL 5, 1024 -> NL 4, ...
+            return nl
+    return 4 if xtsiz >= 1024 else -1
 
 
 def _apply_imf(params: CompressParams, image) -> None:
@@ -89,6 +121,15 @@ def _apply_imf(params: CompressParams, image) -> None:
     w = image.x1 - image.x0
     if w > limits[params.profile]:
         raise ParameterError(f"IMF image width {w} exceeds profile limit")
+    max_nl = _imf_max_nl(params, image)
+    if max_nl >= 0:
+        params.num_resolutions = min(params.num_resolutions, max_nl + 1)
+    # IMF-mandated precincts (Profile.cpp set_imf_parameters): 256 for every
+    # resolution above the lowest, 128 for the NLLL band (lowest-res-first).
+    if params.num_resolutions == 1:
+        params.precinct_sizes = [(7, 7)]
+    else:
+        params.precinct_sizes = [(7, 7)] + [(8, 8)] * (params.num_resolutions - 1)
     if params.framerate and params.layer_rates is None and not reversible:
         # cap by sub-level 5 (3200 Mbit/s) by default when lossy
         cap_bits = IMF_MBITS[5] * 1_000_000 / params.framerate

@@ -31,6 +31,8 @@ from .mq_np import (
     MQEncoder,
 )
 
+SUPPORTED_STYLES = 0x2A  # RESET | VSC | SEGSYM; BYPASS/TERMALL/PTERM need native per-pass termination
+
 # ------------------------------------------------------------- context LUTs
 # Zero-coding contexts (T.800 Table D-1), indexed [orient][h*15 + v*5 + d]
 # with h, v in 0..2 and d in 0..4. Orients: 0 LL, 1 HL, 2 LH, 3 HH.
@@ -189,6 +191,21 @@ def _local_pass_index(plane, kind, numbps):
     return np.where(rel <= 0, 0, (rel - 1) * 3 + 1 + kind)
 
 
+# Distortion-decrease helpers (squared error in coefficient units of 2^{2p};
+# caller scales by step^2 * bandnorm^2). Mirrors native/t1_coder.cpp dd_sig/dd_ref.
+def _dd_sig(v, plane):
+    dv = v.astype(np.float64)
+    rec = 1.5 * float(2.0**plane)
+    return dv * dv - (dv - rec) ** 2
+
+
+def _dd_ref(v, plane):
+    dv = v.astype(np.float64)
+    rb = ((v >> (plane + 1)) << (plane + 1)).astype(np.float64) + float(2.0**plane)
+    ra = ((v >> plane) << plane).astype(np.float64) + float(2.0 ** (plane - 1))
+    return (dv - rb) ** 2 - (dv - ra) ** 2
+
+
 # ================================================================== encoder
 def encode_cblks(
     coeffs: np.ndarray,
@@ -203,6 +220,12 @@ def encode_cblks(
     coeffs: [N, H, W] int32/int64 quantized coefficients (signed).
     heights/widths: [N] actual extents; orients: [N] band orientation codes.
     """
+    if styles is not None and int(np.max(np.asarray(styles) & 0x15, initial=0)):
+        # Mirror the decode guard: BYPASS/TERMALL/PTERM need per-pass MQ
+        # termination bookkeeping that only the native backend implements.
+        # Failing loudly beats emitting a single unterminated stream that T2
+        # would mis-describe with per-pass segment lengths.
+        raise NotImplementedError("bypass/termall/pterm only in the native backend")
     coeffs = coeffs.astype(np.int64)
     n, h, w = coeffs.shape
     mag = np.abs(coeffs)
@@ -222,26 +245,30 @@ def encode_cblks(
     pass_rates = np.zeros((n, max(max_passes, 1)), dtype=np.int64)
     pass_dist = np.zeros((n, max(max_passes, 1)), dtype=np.float64)
 
-    def record_pass(plane, kind, lane_mask):
+    def record_pass(plane, kind, lane_mask, dd):
         if not lane_mask.any():
             return
         idx = _local_pass_index(plane, kind, numbps)
         # safe truncation length (Taubman): bytes + ceil((27 - CT)/8)
         est = mq.pos + (27 - mq.ct + 7) // 8
         pass_rates[lane_mask, idx[lane_mask]] = est[lane_mask]
+        pass_dist[lane_mask, idx[lane_mask]] = dd[lane_mask]
 
     for plane in range(pmax - 1, -1, -1):
         spp_lanes = numbps - 1 > plane  # lanes whose first plane was earlier
         cup_lanes = numbps - 1 >= plane
         if spp_lanes.any():
-            _spp(st, mq, plane, spp_lanes, None)
-            record_pass(plane, 0, spp_lanes)
+            dd = np.zeros(n, dtype=np.float64)
+            _spp(st, mq, plane, spp_lanes, None, dist=dd)
+            record_pass(plane, 0, spp_lanes, dd)
             mq.reset_ctx(st.reset & spp_lanes)
-            _mrp(st, mq, plane, spp_lanes, None)
-            record_pass(plane, 1, spp_lanes)
+            dd = np.zeros(n, dtype=np.float64)
+            _mrp(st, mq, plane, spp_lanes, None, dist=dd)
+            record_pass(plane, 1, spp_lanes, dd)
             mq.reset_ctx(st.reset & spp_lanes)
-        _cup(st, mq, plane, cup_lanes, None)
-        record_pass(plane, 2, cup_lanes)
+        dd = np.zeros(n, dtype=np.float64)
+        _cup(st, mq, plane, cup_lanes, None, dist=dd)
+        record_pass(plane, 2, cup_lanes, dd)
         mq.reset_ctx(st.reset & cup_lanes)
         st.visited[:] = False
 
@@ -277,13 +304,13 @@ def decode_cblks(
     styles: np.ndarray | None = None,
     seg_lengths: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a batch of codeblock codeword segments.
+
+    Returns (coeffs [N, H, W] int64 signed, planes_decoded [N])."""
     if styles is not None and int(np.max(np.asarray(styles) & 0x15, initial=0)):
         raise NotImplementedError(
             "bypass/termall/pterm only in the native backend"
         )
-    """Decode a batch of codeblock codeword segments.
-
-    Returns (coeffs [N, H, W] int64 signed, planes_decoded [N])."""
     n = data.shape[0]
     h, w = block_h, block_w
     numbps = numbps.astype(np.int64)
@@ -327,7 +354,7 @@ def decode_cblks(
 
 
 # ============================================================ the 3 passes
-def _spp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec):
+def _spp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, dist=None):
     """Significance propagation pass."""
     n, h, w = st.n, st.h, st.w
     sig = st.sig
@@ -374,11 +401,13 @@ def _spp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec):
                         st.mag[:, py, px] = np.where(
                             became, st.mag[:, py, px] | (1 << plane), st.mag[:, py, px]
                         )
+                    if dist is not None:
+                        dist += np.where(became, _dd_sig(st.mag[:, py, px], plane), 0.0)
                     sig[:, py, px] |= became
                     force_next = True
 
 
-def _mrp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec):
+def _mrp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, dist=None):
     """Magnitude refinement pass."""
     n, h, w = st.n, st.h, st.w
     sig = st.sig
@@ -417,10 +446,12 @@ def _mrp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec):
                         st.mag[:, py, px] | (1 << plane),
                         st.mag[:, py, px],
                     )
+                if dist is not None:
+                    dist += np.where(code, _dd_ref(st.mag[:, py, px], plane), 0.0)
                 st.refined[:, py, px] |= code
 
 
-def _cup(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec):
+def _cup(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, dist=None):
     """Cleanup pass with run-length aggregation."""
     n, h, w = st.n, st.h, st.w
     sig = st.sig
@@ -509,6 +540,8 @@ def _cup(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec):
                         st.mag[:, py, px] = np.where(
                             became, st.mag[:, py, px] | (1 << plane), st.mag[:, py, px]
                         )
+                    if dist is not None:
+                        dist += np.where(became, _dd_sig(st.mag[:, py, px], plane), 0.0)
                     sig[:, py, px] |= became
 
     # segmentation symbol (SEGSYM style): 1010 in the UNIFORM context at the

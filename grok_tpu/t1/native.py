@@ -16,6 +16,8 @@ import numpy as np
 
 from .ebcot_np import T1EncodeResult
 
+SUPPORTED_STYLES = 0x3F  # all Part-1 codeblock style bits (T.800 Table A-19)
+
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 _TRIED = False
@@ -211,6 +213,23 @@ def encode_cblks(
         lengths, numbps, npasses, rates, dists,
         max_passes, num_threads,
     )
+    if (lengths < 0).any():
+        # the coder flagged a buffer overflow (heuristic bound exceeded):
+        # retry once with a provably sufficient worst-case bound
+        # (< 2 coded bits/sample/pass after stuffing => pmax*h*w bytes)
+        max_bytes = max(max_bytes * 4, pmax * h * w + 256)
+        data = np.zeros((n, max_bytes), dtype=np.uint8)
+        lengths[:] = 0
+        lib.t1_encode_cblks(
+            coeffs, heights32, widths32, orients32, styles32,
+            n, h, w, data, max_bytes,
+            lengths, numbps, npasses, rates, dists,
+            max_passes, num_threads,
+        )
+        if (lengths < 0).any():
+            from ..core.errors import GrokTpuError
+
+            raise GrokTpuError("T1 encode: codeword buffer overflow")
     # drop the per-lane virtual carry byte so data[i][:length] is the segment
     return T1EncodeResult(
         data=data[:, 1:],

@@ -41,9 +41,17 @@ def _band_origin_in_packed(geom: TileCompGeom, res_idx: int, orient: int):
     return ph, pw  # HH
 
 
-def _check_styles_supported(styles: np.ndarray) -> None:
-    # all Part-1 codeblock styles are supported by the native backend
-    return
+def _check_styles_supported(styles: np.ndarray, t1) -> None:
+    """Reject codeblock styles the selected T1 backend cannot handle."""
+    supported = getattr(t1, "SUPPORTED_STYLES", 0x3F)
+    present = int(np.bitwise_or.reduce(np.asarray(styles, dtype=np.int64).ravel(), initial=0))
+    bad = present & ~supported & 0x3F
+    if bad:
+        from ..core.errors import UnsupportedFeatureError
+
+        raise UnsupportedFeatureError(
+            f"T1 backend {t1.__name__} does not support codeblock style bits 0x{bad:02x}"
+        )
 
 
 @dataclass
@@ -193,8 +201,8 @@ class TileProcessor:
 
             t1res = t1.encode_cblks(batch, heights, widths, orients)
         else:
-            _check_styles_supported(styles)
             t1 = select_backend()
+            _check_styles_supported(styles, t1)
             t1res = t1.encode_cblks(batch, heights, widths, orients, styles=styles)
 
         # ---- PCRD layer allocation (iterative: re-run with a tightened
@@ -489,8 +497,8 @@ class TileProcessor:
                     cbw,
                 )
             else:
-                _check_styles_supported(styles)
                 t1 = select_backend()
+                _check_styles_supported(styles, t1)
                 max_segs = max((len(sl) for sl in seg_lists), default=0)
                 seg_arr = None
                 if max_segs:

@@ -54,6 +54,8 @@ struct MQEncoder {
     int ct = 12;
     uint8_t* buf;  // buf[0] is the virtual carry byte
     int64_t pos = 0;
+    int64_t cap = INT64_MAX;  // buffer capacity; writes past it set overflow
+    bool overflow = false;
     uint8_t state[NUM_CTX];
     uint8_t mps[NUM_CTX];
 
@@ -65,32 +67,45 @@ struct MQEncoder {
         state[CTX_UNI] = 46;
     }
 
-    void init(uint8_t* b) {
+    void init(uint8_t* b, int64_t capacity = INT64_MAX) {
         buf = b;
         buf[0] = 0;
+        cap = capacity;
+        overflow = false;
         reset_ctx();
+    }
+
+    // bounds-checked append: the buffer size in native.py is a heuristic with
+    // no worst-case proof, so a pathological block must flag an error instead
+    // of silently overrunning the heap
+    inline void push(uint8_t v) {
+        if (pos + 1 >= cap) {
+            overflow = true;
+            return;
+        }
+        buf[++pos] = v;
     }
 
     void byteout() {
         uint8_t b = buf[pos];
         if (b == 0xFF) {
-            buf[++pos] = (uint8_t)(c >> 20);
+            push((uint8_t)(c >> 20));
             c &= 0xFFFFF;
             ct = 7;
         } else {
             if ((c & 0x8000000u) == 0) {
-                buf[++pos] = (uint8_t)(c >> 19);
+                push((uint8_t)(c >> 19));
                 c &= 0x7FFFF;
                 ct = 8;
             } else {
                 buf[pos] = (uint8_t)(b + 1);
                 if (buf[pos] == 0xFF) {
                     c &= 0x7FFFFFF;
-                    buf[++pos] = (uint8_t)(c >> 20);
+                    push((uint8_t)(c >> 20));
                     c &= 0xFFFFF;
                     ct = 7;
                 } else {
-                    buf[++pos] = (uint8_t)(c >> 19);
+                    push((uint8_t)(c >> 19));
                     c &= 0x7FFFF;
                     ct = 8;
                 }
@@ -177,7 +192,7 @@ struct MQEncoder {
     void raw_bit(int v) {
         raw_tmp = (raw_tmp << 1) | (uint32_t)v;
         if (++raw_used == raw_avail) {
-            buf[++pos] = (uint8_t)raw_tmp;
+            push((uint8_t)raw_tmp);
             raw_avail = buf[pos] == 0xFF ? 7 : 8;
             raw_tmp = 0;
             raw_used = 0;
@@ -191,9 +206,9 @@ struct MQEncoder {
     int64_t raw_terminate_restart_mq() {
         if (raw_used > 0) {
             raw_tmp <<= (raw_avail - raw_used);
-            buf[++pos] = (uint8_t)raw_tmp;
+            push((uint8_t)raw_tmp);
         }
-        if (buf[pos] == 0xFF) buf[++pos] = 0;  // raw segments can't end 0xFF
+        if (buf[pos] == 0xFF) push(0);  // raw segments can't end 0xFF
         int64_t len = pos;
         a = 0x8000;
         c = 0;
@@ -786,7 +801,7 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
                        (style & STY_VSC) != 0, mag, sgn, sig, visited, refined,
                        nbr};
             MQEncoder mq;
-            mq.init(out_data + b * max_bytes);
+            mq.init(out_data + b * max_bytes, max_bytes);
             bool reset = (style & STY_RESET) != 0;
             bool segsym = (style & STY_SEGSYM) != 0;
             bool termall = (style & STY_TERMALL) != 0;
@@ -848,7 +863,8 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
                 mq.flush();
                 len = mq.length();
             }
-            out_lengths[b] = len;
+            // a negative length flags buffer overflow to the Python caller
+            out_lengths[b] = mq.overflow ? -1 : len;
             // clamp conservative per-pass rates to the final length
             for (int i = 0; i < npasses; i++) {
                 int64_t r = out_pass_rates[b * max_passes + i];
