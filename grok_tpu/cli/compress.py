@@ -109,7 +109,7 @@ def run_one(in_file: str, out_file: str, params: CompressParams, verbose: bool) 
         print(f"{in_file}: {len(stream)} bytes, {dt*1000:.1f} ms ({mp/dt:.2f} MP/s)")
 
 
-def main(argv=None) -> int:
+def _cli_guard(argv=None) -> int:
     args = build_parser().parse_args(argv)
     params = params_from_args(args)
     if args.batch_src:
@@ -125,6 +125,19 @@ def main(argv=None) -> int:
         return 2
     run_one(args.in_file, args.out_file, params, args.verbose)
     return 0
+
+
+def main(argv=None) -> int:
+    from ..core.errors import GrokTpuError
+
+    try:
+        return _cli_guard(argv)
+    except GrokTpuError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except OSError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

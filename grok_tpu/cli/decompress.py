@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None) -> int:
+def _cli_guard(argv=None) -> int:
     args = build_parser().parse_args(argv)
     with open(args.in_file, "rb") as f:
         data = f.read()
@@ -64,6 +64,19 @@ def main(argv=None) -> int:
         mp = sum(c.w * c.h for c in img.components) / 1e6
         print(f"{args.in_file}: decoded {mp:.2f} MP in {dt*1000:.1f} ms ({mp/dt:.2f} MP/s)")
     return 0
+
+
+def main(argv=None) -> int:
+    from ..core.errors import GrokTpuError
+
+    try:
+        return _cli_guard(argv)
+    except GrokTpuError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except OSError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -57,13 +57,26 @@ def dump(data: bytes, out=sys.stdout) -> None:
         print(f"  tile {ti}: {len(spans)} part(s), {total} bytes", file=out)
 
 
-def main(argv=None) -> int:
+def _cli_guard(argv=None) -> int:
     p = argparse.ArgumentParser(prog="grok-tpu-dump")
     p.add_argument("-i", "--in_file", required=True)
     args = p.parse_args(argv)
     with open(args.in_file, "rb") as f:
         dump(f.read())
     return 0
+
+
+def main(argv=None) -> int:
+    from ..core.errors import GrokTpuError
+
+    try:
+        return _cli_guard(argv)
+    except GrokTpuError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except OSError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":
