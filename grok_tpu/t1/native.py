@@ -66,7 +66,7 @@ def get_lib() -> ctypes.CDLL | None:
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.t1_encode_cblks.argtypes = [
-            i64p, i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p, i32p, i32p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             u8p, ctypes.c_int64,
             i64p, i32p, i32p, i64p, f64p,
@@ -77,7 +77,7 @@ def get_lib() -> ctypes.CDLL | None:
             u8p, i64p, i32p, i32p, i32p, i32p, i32p, i32p,
             i64p, ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int64, i64p, ctypes.c_int32,
+            ctypes.c_int64, i32p, ctypes.c_int32,
         ]
         lib.t1_decode_cblks.restype = ctypes.c_int
         u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
@@ -185,7 +185,7 @@ def encode_cblks(
 ) -> T1EncodeResult:
     lib = get_lib()
     assert lib is not None
-    coeffs = np.ascontiguousarray(coeffs, dtype=np.int64)
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.int32)
     n, h, w = coeffs.shape
     heights32 = np.ascontiguousarray(heights, dtype=np.int32)
     widths32 = np.ascontiguousarray(widths, dtype=np.int32)
@@ -259,7 +259,7 @@ def decode_cblks(
     assert lib is not None
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
-    out = np.zeros((n, block_h, block_w), dtype=np.int64)
+    out = np.zeros((n, block_h, block_w), dtype=np.int32)
     if seg_lengths is None:
         seg_lengths = np.zeros((n, 1), dtype=np.int64)
     seg_lengths = np.ascontiguousarray(seg_lengths, dtype=np.int64)

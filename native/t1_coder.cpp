@@ -345,10 +345,35 @@ struct MQDecoder {
 };
 
 // --------------------------------------------------------- context tables
-struct ZCLuts {
-    uint8_t lut[4][45];
-    uint8_t sc_ctx[9], sc_xor[9];
-    ZCLuts() {
+
+// ------------------------------------------------------------ context LUTs
+// Flags-word formulation: one uint32 per sample in a padded (h+2)x(w+2)
+// plane carries the entire coding state, so every pass decision is a single
+// load + mask instead of gathers over separate sig/visited/refined/nbr
+// planes (the reference keeps an equivalent packed-flags scheme in its T1;
+// this layout and the LUT indexing are our own).
+//
+//   bits 0-7  : significance of the 8 neighbors (W E N S NW NE SW SE)
+//   bits 8-11 : sign of the significant W/E/N/S neighbors (1 = negative)
+//   bit 12    : SIG      — this sample is significant
+//   bit 13    : VISITED  — coded in an earlier pass of the current plane
+//   bit 14    : REFINED  — has been magnitude-refined before
+//   bit 15    : SELF_SGN — this sample's own sign (encoder prefills)
+constexpr uint32_t F_W = 1u << 0, F_E = 1u << 1, F_N = 1u << 2, F_S = 1u << 3;
+constexpr uint32_t F_NW = 1u << 4, F_NE = 1u << 5, F_SW = 1u << 6,
+                   F_SE = 1u << 7;
+constexpr uint32_t F_SGN_W = 1u << 8, F_SGN_E = 1u << 9, F_SGN_N = 1u << 10,
+                   F_SGN_S = 1u << 11;
+constexpr uint32_t F_SIG = 1u << 12, F_VISITED = 1u << 13,
+                   F_REFINED = 1u << 14, F_SELF_SGN = 1u << 15;
+constexpr uint32_t F_NBR = 0xFFu;
+// contributions of the row below, ignored at a VSC stripe bottom
+constexpr uint32_t F_VSC_CUT = F_S | F_SW | F_SE | F_SGN_S;
+
+struct FlagLuts {
+    uint8_t zc[4][256];               // [orient][neighbor-significance bits]
+    uint8_t sc_ctx[256], sc_xor[256]; // [(sig W E N S) | (sgn W E N S) << 4]
+    FlagLuts() {
         auto normal = [](int h, int v, int d) -> int {
             if (h == 2) return 8;
             if (h == 1) {
@@ -366,147 +391,119 @@ struct ZCLuts {
             if (d == 1) return a >= 2 ? 5 : (a == 1 ? 4 : 3);
             return a >= 2 ? 2 : (a == 1 ? 1 : 0);
         };
-        for (int h = 0; h < 3; h++)
-            for (int v = 0; v < 3; v++)
-                for (int d = 0; d < 5; d++) {
-                    int i = h * 15 + v * 5 + d;
-                    lut[0][i] = normal(h, v, d);
-                    lut[2][i] = normal(h, v, d);
-                    lut[1][i] = normal(v, h, d);
-                    lut[3][i] = hh(h, v, d);
-                }
-        // sign coding, index (hbar+1)*3 + (vbar+1)
+        for (int bits = 0; bits < 256; bits++) {
+            int hc = !!(bits & F_W) + !!(bits & F_E);
+            int vc = !!(bits & F_N) + !!(bits & F_S);
+            int dc = !!(bits & F_NW) + !!(bits & F_NE) + !!(bits & F_SW) +
+                     !!(bits & F_SE);
+            zc[0][bits] = (uint8_t)normal(hc, vc, dc);
+            zc[2][bits] = (uint8_t)normal(hc, vc, dc);
+            zc[1][bits] = (uint8_t)normal(vc, hc, dc);
+            zc[3][bits] = (uint8_t)hh(hc, vc, dc);
+        }
+        // sign coding (T.800 Table D-3), rows hbar=-1..1, cols vbar=-1..1
         const int tbl[3][3][2] = {
-            // hbar=-1        hbar=0 is middle row? (indexing below)
-            {{13, 1}, {12, 1}, {11, 1}},  // hbar=-1: vbar=-1,0,1
-            {{10, 1}, {9, 0}, {10, 0}},   // hbar=0
-            {{11, 0}, {12, 0}, {13, 0}},  // hbar=1
+            {{13, 1}, {12, 1}, {11, 1}},
+            {{10, 1}, {9, 0}, {10, 0}},
+            {{11, 0}, {12, 0}, {13, 0}},
         };
-        for (int hb = -1; hb <= 1; hb++)
-            for (int vb = -1; vb <= 1; vb++) {
-                int i = (hb + 1) * 3 + (vb + 1);
-                sc_ctx[i] = tbl[hb + 1][vb + 1][0];
-                sc_xor[i] = tbl[hb + 1][vb + 1][1];
-            }
+        for (int idx = 0; idx < 256; idx++) {
+            auto contrib = [&](int sigbit, int sgnbit) -> int {
+                if (!(idx & sigbit)) return 0;
+                return (idx & sgnbit) ? -1 : 1;
+            };
+            int hb = contrib(1, 16) + contrib(2, 32);   // W, E
+            int vb = contrib(4, 64) + contrib(8, 128);  // N, S
+            hb = hb < -1 ? -1 : (hb > 1 ? 1 : hb);
+            vb = vb < -1 ? -1 : (vb > 1 ? 1 : vb);
+            sc_ctx[idx] = (uint8_t)tbl[hb + 1][vb + 1][0];
+            sc_xor[idx] = (uint8_t)tbl[hb + 1][vb + 1][1];
+        }
     }
 };
-static const ZCLuts ZC;
+static const FlagLuts FL;
 
-// ------------------------------------------------------------ block state
-struct BlockCtx {
-    int h, w, orient;       // actual extents
-    int stride;             // padded row stride = w + 2
-    bool vsc = false;       // vertically stripe-causal contexts
-    // padded (h+2) x (w+2) state planes
-    std::int64_t* mag;
-    int8_t* sgn;
-    uint8_t* sig;
-    uint8_t* visited;
-    uint8_t* refined;
-    uint8_t* nbr;  // count of significant 8-neighbors (incremental)
-
-    inline int idx(int y, int x) const { return (y + 1) * stride + (x + 1); }
-
-    // call when (y, x) becomes significant
-    inline void mark_sig(int i) {
-        sig[i] = 1;
-        nbr[i - stride - 1]++; nbr[i - stride]++; nbr[i - stride + 1]++;
-        nbr[i - 1]++;                             nbr[i + 1]++;
-        nbr[i + stride - 1]++; nbr[i + stride]++; nbr[i + stride + 1]++;
-    }
-
-    // VSC: at a stripe's bottom row the row below is treated insignificant
-    inline bool cut_below(int y) const { return vsc && (y & 3) == 3; }
-
-    inline int ncount(int y, int x) const {
-        const uint8_t* s = sig;
-        int i = idx(y, x);
-        int n = s[i - 1] + s[i + 1] + s[i - stride] + s[i - stride - 1] +
-                s[i - stride + 1];
-        if (!cut_below(y))
-            n += s[i + stride] + s[i + stride - 1] + s[i + stride + 1];
-        return n;
-    }
-
-    inline int zc_ctx(int y, int x) const {
-        const uint8_t* s = sig;
-        int i = idx(y, x);
-        bool cb = cut_below(y);
-        int hc = s[i - 1] + s[i + 1];
-        int vc = s[i - stride] + (cb ? 0 : s[i + stride]);
-        int dc = s[i - stride - 1] + s[i - stride + 1] +
-                 (cb ? 0 : s[i + stride - 1] + s[i + stride + 1]);
-        return ZC.lut[orient][hc * 15 + vc * 5 + dc];
-    }
-
-    inline void sc_ctx(int y, int x, int* ctx, int* xr) const {
-        int i = idx(y, x);
-        auto contrib = [&](int j) -> int {
-            return sig[j] ? (sgn[j] ? -1 : 1) : 0;
-        };
-        int hb = contrib(i - 1) + contrib(i + 1);
-        int vb = contrib(i - stride) + (cut_below(y) ? 0 : contrib(i + stride));
-        hb = hb < -1 ? -1 : (hb > 1 ? 1 : hb);
-        vb = vb < -1 ? -1 : (vb > 1 ? 1 : vb);
-        int k = (hb + 1) * 3 + (vb + 1);
-        *ctx = ZC.sc_ctx[k];
-        *xr = ZC.sc_xor[k];
-    }
-};
+// sign-coding LUT index from a (VSC-masked) flags word
+static inline uint32_t sc_index(uint32_t f) {
+    return (f & 0x0Fu) | ((f >> 4) & 0xF0u);
+}
 
 // distortion decrease helpers (squared-error change in coefficient units of
 // 2^{2p}; caller scales by step^2 * bandnorm^2 outside)
 static inline double dd_sig(int64_t v, int p) {
-    // squared-error decrease in coefficient units when v becomes significant
-    // at plane p: decoder goes from 0 to 1.5 * 2^p
     double dv = (double)v;
     double rec = 1.5 * std::ldexp(1.0, p);
     return dv * dv - (dv - rec) * (dv - rec);
 }
 static inline double dd_ref(int64_t v, int p) {
-    // refinement at plane p: recon goes from (bits>=p+1) + 2^p
-    // to (bits>=p) + 2^(p-1)
     double dv = (double)v;
     double rb = (double)((v >> (p + 1)) << (p + 1)) + std::ldexp(1.0, p);
     double ra = (double)((v >> p) << p) + std::ldexp(0.5, p);
     return (dv - rb) * (dv - rb) - (dv - ra) * (dv - ra);
 }
 
-// --------------------------------------------------------------- encoder
-struct PassRecorder {
-    int32_t* rates;     // [max_passes]
-    double* dists;      // [max_passes]
-    int count = 0;
-    double dist_acc = 0.0;
+// ------------------------------------------------------------ block state
+struct BlockCtx {
+    int h, w, orient, stride;  // stride = W + 2 (padded row)
+    bool vsc;
+    uint32_t* flags;  // padded flags plane
+    uint32_t* mag;    // padded |coefficient| plane
+    uint32_t vmask[4];
+
+    inline int idx(int y, int x) const { return (y + 1) * stride + (x + 1); }
+
+    void init_vmask() {
+        vmask[0] = vmask[1] = vmask[2] = ~0u;
+        vmask[3] = vsc ? ~F_VSC_CUT : ~0u;
+    }
+
+    // call when padded index i becomes significant with sign neg (0/nonzero)
+    inline void mark_sig(int i, uint32_t neg) {
+        const int s = stride;
+        flags[i] |= F_SIG | (neg ? F_SELF_SGN : 0u);
+        flags[i - 1] |= F_E | (neg ? F_SGN_E : 0u);
+        flags[i + 1] |= F_W | (neg ? F_SGN_W : 0u);
+        flags[i - s] |= F_S | (neg ? F_SGN_S : 0u);
+        flags[i + s] |= F_N | (neg ? F_SGN_N : 0u);
+        flags[i - s - 1] |= F_SE;
+        flags[i - s + 1] |= F_SW;
+        flags[i + s - 1] |= F_NE;
+        flags[i + s + 1] |= F_NW;
+    }
 };
 
+// --------------------------------------------------------------- encoder
 static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                     bool raw = false) {
+    const int s = B.stride;
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         for (int x = 0; x < B.w; x++) {
+            int i0 = B.idx(y0, x);
+            uint32_t any = 0;
+            for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
+            if (!(any & F_NBR)) continue;  // nothing codeable in this column
             for (int k = 0; k < rows; k++) {
-                int y = y0 + k;
-                int i = B.idx(y, x);
-                if (B.sig[i]) continue;
-                if (B.nbr[i] == 0) continue;
-                if (B.ncount(y, x) == 0) continue;  // VSC can mask the count
+                int i = i0 + k * s;
+                uint32_t f = B.flags[i] & B.vmask[k];
+                if ((f & F_SIG) || !(f & F_NBR)) continue;
                 int bit = (int)((B.mag[i] >> plane) & 1);
                 if (raw)
                     mq.raw_bit(bit);
                 else
-                    mq.encode(bit, B.zc_ctx(y, x));
-                B.visited[i] = 1;
+                    mq.encode(bit, FL.zc[B.orient][f & F_NBR]);
+                B.flags[i] |= F_VISITED;
                 if (bit) {
+                    uint32_t neg = f & F_SELF_SGN;
                     if (raw) {
-                        mq.raw_bit((int)B.sgn[i]);
+                        mq.raw_bit(neg ? 1 : 0);
                     } else {
-                        int sc, xr;
-                        B.sc_ctx(y, x, &sc, &xr);
-                        mq.encode((int)(B.sgn[i] ^ xr), sc);
+                        uint32_t si = sc_index(f);
+                        mq.encode((int)((neg ? 1u : 0u) ^ FL.sc_xor[si]),
+                                  FL.sc_ctx[si]);
                     }
-                    B.mark_sig(i);
-                    *dist += dd_sig(B.mag[i], plane);
+                    B.mark_sig(i, neg);
+                    *dist += dd_sig((int64_t)B.mag[i], plane);
                 }
             }
         }
@@ -515,24 +512,30 @@ static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
 
 static void enc_mrp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                     bool raw = false) {
+    const int s = B.stride;
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         for (int x = 0; x < B.w; x++) {
+            int i0 = B.idx(y0, x);
+            uint32_t any = 0;
+            for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
+            if (!(any & F_SIG)) continue;
             for (int k = 0; k < rows; k++) {
-                int y = y0 + k;
-                int i = B.idx(y, x);
-                if (!B.sig[i] || B.visited[i]) continue;
+                int i = i0 + k * s;
+                uint32_t f = B.flags[i];
+                if ((f & (F_SIG | F_VISITED)) != F_SIG) continue;
                 int bit = (int)((B.mag[i] >> plane) & 1);
                 if (raw) {
                     mq.raw_bit(bit);
                 } else {
-                    int ctx = B.refined[i]
+                    uint32_t fm = f & B.vmask[k];
+                    int ctx = (f & F_REFINED)
                                   ? CTX_MR0 + 2
-                                  : (B.ncount(y, x) > 0 ? CTX_MR0 + 1 : CTX_MR0);
+                                  : ((fm & F_NBR) ? CTX_MR0 + 1 : CTX_MR0);
                     mq.encode(bit, ctx);
                 }
-                B.refined[i] = 1;
-                *dist += dd_ref(B.mag[i], plane);
+                B.flags[i] |= F_REFINED;
+                *dist += dd_ref((int64_t)B.mag[i], plane);
             }
         }
     }
@@ -540,61 +543,50 @@ static void enc_mrp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
 
 static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                     bool segsym) {
+    const int s = B.stride;
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         bool full = rows == 4;
         for (int x = 0; x < B.w; x++) {
+            int i0 = B.idx(y0, x);
             int first_k = 4;
-            bool rl = full;
-            if (rl) {
-                for (int k = 0; k < 4; k++) {
-                    int y = y0 + k;
-                    int i = B.idx(y, x);
-                    if (B.sig[i] || B.visited[i] || B.nbr[i] != 0) {
-                        rl = false;
-                        break;
-                    }
-                }
-                if (!rl && B.vsc) {
-                    // VSC masks below-stripe neighbors: redo the exact test
-                    rl = full;
-                    for (int k = 0; k < 4 && rl; k++) {
-                        int y = y0 + k;
-                        int i = B.idx(y, x);
-                        if (B.sig[i] || B.visited[i] || B.ncount(y, x) != 0)
-                            rl = false;
-                    }
-                }
+            bool rl = false;
+            if (full) {
+                uint32_t any = 0;
+                for (int k = 0; k < 4; k++)
+                    any |= B.flags[i0 + k * s] & B.vmask[k];
+                rl = (any & (F_SIG | F_VISITED | F_NBR)) == 0;
             }
             if (rl) {
-                for (int k = 0; k < 4; k++) {
-                    if ((B.mag[B.idx(y0 + k, x)] >> plane) & 1) {
+                for (int k = 0; k < 4; k++)
+                    if ((B.mag[i0 + k * s] >> plane) & 1) {
                         first_k = k;
                         break;
                     }
-                }
                 mq.encode(first_k < 4 ? 1 : 0, CTX_RL);
                 if (first_k == 4) continue;  // whole column stays zero
                 mq.encode((first_k >> 1) & 1, CTX_UNI);
                 mq.encode(first_k & 1, CTX_UNI);
             }
             for (int k = (rl ? first_k : 0); k < rows; k++) {
-                int y = y0 + k;
-                int i = B.idx(y, x);
-                if (B.sig[i] || B.visited[i]) continue;
+                int i = i0 + k * s;
+                uint32_t f = B.flags[i];
+                if (f & (F_SIG | F_VISITED)) continue;
                 int bit;
                 if (rl && k == first_k) {
                     bit = 1;  // significance implied by the run interrupt
                 } else {
                     bit = (int)((B.mag[i] >> plane) & 1);
-                    mq.encode(bit, B.zc_ctx(y, x));
+                    mq.encode(bit,
+                              FL.zc[B.orient][(f & B.vmask[k]) & F_NBR]);
                 }
                 if (bit) {
-                    int sc, xr;
-                    B.sc_ctx(y, x, &sc, &xr);
-                    mq.encode((int)(B.sgn[i] ^ xr), sc);
-                    B.mark_sig(i);
-                    *dist += dd_sig(B.mag[i], plane);
+                    uint32_t neg = f & F_SELF_SGN;
+                    uint32_t si = sc_index(f & B.vmask[k]);
+                    mq.encode((int)((neg ? 1u : 0u) ^ FL.sc_xor[si]),
+                              FL.sc_ctx[si]);
+                    B.mark_sig(i, neg);
+                    *dist += dd_sig((int64_t)B.mag[i], plane);
                 }
             }
         }
@@ -609,30 +601,32 @@ static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
 
 // --------------------------------------------------------------- decoder
 static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
+    const int s = B.stride;
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         for (int x = 0; x < B.w; x++) {
+            int i0 = B.idx(y0, x);
+            uint32_t any = 0;
+            for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
+            if (!(any & F_NBR)) continue;
             for (int k = 0; k < rows; k++) {
-                int y = y0 + k;
-                int i = B.idx(y, x);
-                if (B.sig[i]) continue;
-                if (B.nbr[i] == 0) continue;
-                if (B.ncount(y, x) == 0) continue;  // VSC can mask the count
-                int bit = raw ? mq.raw_bit() : mq.decode(B.zc_ctx(y, x));
-                B.visited[i] = 1;
+                int i = i0 + k * s;
+                uint32_t f = B.flags[i] & B.vmask[k];
+                if ((f & F_SIG) || !(f & F_NBR)) continue;
+                int bit = raw ? mq.raw_bit()
+                              : mq.decode(FL.zc[B.orient][f & F_NBR]);
+                B.flags[i] |= F_VISITED;
                 if (bit) {
-                    int sbit;
+                    uint32_t neg;
                     if (raw) {
-                        sbit = mq.raw_bit();
-                        B.sgn[i] = (int8_t)sbit;
+                        neg = (uint32_t)mq.raw_bit();
                     } else {
-                        int sc, xr;
-                        B.sc_ctx(y, x, &sc, &xr);
-                        sbit = mq.decode(sc);
-                        B.sgn[i] = (int8_t)(sbit ^ xr);
+                        uint32_t si = sc_index(f);
+                        neg = (uint32_t)mq.decode(FL.sc_ctx[si]) ^
+                              FL.sc_xor[si];
                     }
-                    B.mag[i] |= (int64_t)1 << plane;
-                    B.mark_sig(i);
+                    B.mag[i] |= 1u << plane;
+                    B.mark_sig(i, neg);
                 }
             }
         }
@@ -640,54 +634,49 @@ static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
 }
 
 static void dec_mrp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
+    const int s = B.stride;
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         for (int x = 0; x < B.w; x++) {
+            int i0 = B.idx(y0, x);
+            uint32_t any = 0;
+            for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
+            if (!(any & F_SIG)) continue;
             for (int k = 0; k < rows; k++) {
-                int y = y0 + k;
-                int i = B.idx(y, x);
-                if (!B.sig[i] || B.visited[i]) continue;
+                int i = i0 + k * s;
+                uint32_t f = B.flags[i];
+                if ((f & (F_SIG | F_VISITED)) != F_SIG) continue;
                 int bit;
                 if (raw) {
                     bit = mq.raw_bit();
                 } else {
-                    int ctx = B.refined[i]
+                    uint32_t fm = f & B.vmask[k];
+                    int ctx = (f & F_REFINED)
                                   ? CTX_MR0 + 2
-                                  : (B.ncount(y, x) > 0 ? CTX_MR0 + 1 : CTX_MR0);
+                                  : ((fm & F_NBR) ? CTX_MR0 + 1 : CTX_MR0);
                     bit = mq.decode(ctx);
                 }
-                if (bit) B.mag[i] |= (int64_t)1 << plane;
-                B.refined[i] = 1;
+                if (bit) B.mag[i] |= 1u << plane;
+                B.flags[i] |= F_REFINED;
             }
         }
     }
 }
 
 static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
+    const int s = B.stride;
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         bool full = rows == 4;
         for (int x = 0; x < B.w; x++) {
+            int i0 = B.idx(y0, x);
             int first_k = 0;
-            bool rl = full;
-            if (rl) {
-                for (int k = 0; k < 4; k++) {
-                    int y = y0 + k;
-                    int i = B.idx(y, x);
-                    if (B.sig[i] || B.visited[i] || B.nbr[i] != 0) {
-                        rl = false;
-                        break;
-                    }
-                }
-                if (!rl && B.vsc) {
-                    rl = full;
-                    for (int k = 0; k < 4 && rl; k++) {
-                        int y = y0 + k;
-                        int i = B.idx(y, x);
-                        if (B.sig[i] || B.visited[i] || B.ncount(y, x) != 0)
-                            rl = false;
-                    }
-                }
+            bool rl = false;
+            if (full) {
+                uint32_t any = 0;
+                for (int k = 0; k < 4; k++)
+                    any |= B.flags[i0 + k * s] & B.vmask[k];
+                rl = (any & (F_SIG | F_VISITED | F_NBR)) == 0;
             }
             if (rl) {
                 if (!mq.decode(CTX_RL)) continue;
@@ -696,22 +685,22 @@ static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
                 first_k = (b1 << 1) | b0;
             }
             for (int k = (rl ? first_k : 0); k < rows; k++) {
-                int y = y0 + k;
-                int i = B.idx(y, x);
-                if (B.sig[i] || B.visited[i]) continue;
+                int i = i0 + k * s;
+                uint32_t f = B.flags[i];
+                if (f & (F_SIG | F_VISITED)) continue;
                 int bit;
                 if (rl && k == first_k) {
                     bit = 1;
                 } else {
-                    bit = mq.decode(B.zc_ctx(y, x));
+                    bit = mq.decode(
+                        FL.zc[B.orient][(f & B.vmask[k]) & F_NBR]);
                 }
                 if (bit) {
-                    int sc, xr;
-                    B.sc_ctx(y, x, &sc, &xr);
-                    int sbit = mq.decode(sc);
-                    B.sgn[i] = (int8_t)(sbit ^ xr);
-                    B.mag[i] |= (int64_t)1 << plane;
-                    B.mark_sig(i);
+                    uint32_t si = sc_index(f & B.vmask[k]);
+                    uint32_t neg =
+                        (uint32_t)mq.decode(FL.sc_ctx[si]) ^ FL.sc_xor[si];
+                    B.mag[i] |= 1u << plane;
+                    B.mark_sig(i, neg);
                 }
             }
         }
@@ -724,19 +713,12 @@ static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
     }
 }
 
-struct Workspace {
-    std::int64_t* mag;
-    int8_t* sgn;
-    uint8_t* sig;
-    uint8_t* visited;
-    uint8_t* refined;
-};
-
 }  // namespace
 
 extern "C" {
 
-int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
+
+int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
                     const int32_t* widths, const int32_t* orients,
                     const int32_t* styles, int64_t n,
                     int32_t H, int32_t W, uint8_t* out_data, int64_t max_bytes,
@@ -752,34 +734,27 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
 #pragma omp parallel
 #endif
     {
-        // per-thread workspace
-        std::int64_t* mag = new std::int64_t[plane_sz];
-        int8_t* sgn = new int8_t[plane_sz];
-        uint8_t* sig = new uint8_t[plane_sz];
-        uint8_t* visited = new uint8_t[plane_sz];
-        uint8_t* refined = new uint8_t[plane_sz];
-        uint8_t* nbr = new uint8_t[plane_sz];
+        // per-thread workspace: packed flags + magnitude planes
+        uint32_t* flags = new uint32_t[plane_sz];
+        uint32_t* mag = new uint32_t[plane_sz];
 
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
 #endif
         for (int64_t b = 0; b < n; b++) {
             int h = heights[b], w = widths[b];
-            std::memset(mag, 0, plane_sz * sizeof(std::int64_t));
-            std::memset(sgn, 0, plane_sz);
-            std::memset(sig, 0, plane_sz);
-            std::memset(visited, 0, plane_sz);
-            std::memset(refined, 0, plane_sz);
-            std::memset(nbr, 0, plane_sz);
+            std::memset(flags, 0, plane_sz * sizeof(uint32_t));
+            std::memset(mag, 0, plane_sz * sizeof(uint32_t));
 
-            const int64_t* src = coeffs + b * (int64_t)H * W;
-            int64_t maxmag = 0;
+            const int32_t* src = coeffs + b * (int64_t)H * W;
+            uint32_t maxmag = 0;
             for (int y = 0; y < h; y++)
                 for (int x = 0; x < w; x++) {
-                    int64_t v = src[y * W + x];
-                    int64_t av = v < 0 ? -v : v;
-                    mag[(y + 1) * stride + (x + 1)] = av;
-                    sgn[(y + 1) * stride + (x + 1)] = v < 0 ? 1 : 0;
+                    int32_t v = src[y * W + x];
+                    uint32_t av = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
+                    int i = (y + 1) * stride + (x + 1);
+                    mag[i] = av;
+                    if (v < 0) flags[i] = F_SELF_SGN;
                     if (av > maxmag) maxmag = av;
                 }
             int numbps = 0;
@@ -798,8 +773,8 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
 
             int style = styles ? styles[b] : 0;
             BlockCtx B{h, w, orients[b], stride,
-                       (style & STY_VSC) != 0, mag, sgn, sig, visited, refined,
-                       nbr};
+                       (style & STY_VSC) != 0, flags, mag};
+            B.init_vmask();
             MQEncoder mq;
             mq.init(out_data + b * max_bytes, max_bytes);
             bool reset = (style & STY_RESET) != 0;
@@ -852,7 +827,8 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
                 d = 0;
                 enc_cup(B, mq, plane, &d, segsym);
                 end_pass(d);
-                std::memset(visited, 0, plane_sz);
+                for (int64_t ii = 0; ii < plane_sz; ii++)
+                    flags[ii] &= ~F_VISITED;
             }
             int64_t len;
             if (last_term) {
@@ -872,12 +848,8 @@ int t1_encode_cblks(const int64_t* coeffs, const int32_t* heights,
                     out_pass_rates[b * max_passes + i] = len;
             }
         }
+        delete[] flags;
         delete[] mag;
-        delete[] sgn;
-        delete[] sig;
-        delete[] visited;
-        delete[] refined;
-        delete[] nbr;
     }
     return 0;
 }
@@ -888,7 +860,7 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
                     const int32_t* orients, const int32_t* styles,
                     const int64_t* seg_lengths, int32_t max_segs,
                     int64_t n, int32_t H, int32_t W,
-                    int64_t max_bytes, int64_t* out_coeffs,
+                    int64_t max_bytes, int32_t* out_coeffs,
                     int32_t num_threads) {
     const int stride = W + 2;
     const int64_t plane_sz = (int64_t)(H + 2) * stride;
@@ -898,26 +870,18 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
 #pragma omp parallel
 #endif
     {
-        std::int64_t* mag = new std::int64_t[plane_sz];
-        int8_t* sgn = new int8_t[plane_sz];
-        uint8_t* sig = new uint8_t[plane_sz];
-        uint8_t* visited = new uint8_t[plane_sz];
-        uint8_t* refined = new uint8_t[plane_sz];
-        uint8_t* nbr = new uint8_t[plane_sz];
+        uint32_t* flags = new uint32_t[plane_sz];
+        uint32_t* mag = new uint32_t[plane_sz];
 
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
 #endif
         for (int64_t b = 0; b < n; b++) {
             int h = heights[b], w = widths[b];
-            std::memset(mag, 0, plane_sz * sizeof(std::int64_t));
-            std::memset(sgn, 0, plane_sz);
-            std::memset(sig, 0, plane_sz);
-            std::memset(visited, 0, plane_sz);
-            std::memset(refined, 0, plane_sz);
-            std::memset(nbr, 0, plane_sz);
-            int64_t* dst = out_coeffs + b * (int64_t)H * W;
-            std::memset(dst, 0, (int64_t)H * W * sizeof(int64_t));
+            std::memset(flags, 0, plane_sz * sizeof(uint32_t));
+            std::memset(mag, 0, plane_sz * sizeof(uint32_t));
+            int32_t* dst = out_coeffs + b * (int64_t)H * W;
+            std::memset(dst, 0, (int64_t)H * W * sizeof(int32_t));
 
             int nb = numbps[b];
             int np = npasses[b];
@@ -925,8 +889,8 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
 
             int style = styles ? styles[b] : 0;
             BlockCtx B{h, w, orients[b], stride,
-                       (style & STY_VSC) != 0, mag, sgn, sig, visited, refined,
-                       nbr};
+                       (style & STY_VSC) != 0, flags, mag};
+            B.init_vmask();
             bool reset = (style & STY_RESET) != 0;
             bool segsym = (style & STY_SEGSYM) != 0;
             bool termall = (style & STY_TERMALL) != 0;
@@ -983,21 +947,19 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
                 pass_i++;
                 if (reset) mq.reset_ctx();
                 if (pass_i < np) next_seg(pass_i - 1);
-                std::memset(visited, 0, plane_sz);
+                for (int64_t ii = 0; ii < plane_sz; ii++)
+                    flags[ii] &= ~F_VISITED;
             }
             for (int y = 0; y < h; y++)
                 for (int x = 0; x < w; x++) {
-                    int64_t v = mag[(y + 1) * stride + (x + 1)];
-                    if (sgn[(y + 1) * stride + (x + 1)]) v = -v;
+                    int i = (y + 1) * stride + (x + 1);
+                    int32_t v = (int32_t)mag[i];
+                    if (flags[i] & F_SELF_SGN) v = -v;
                     dst[y * W + x] = v;
                 }
         }
+        delete[] flags;
         delete[] mag;
-        delete[] sgn;
-        delete[] sig;
-        delete[] refined;
-        delete[] visited;
-        delete[] nbr;
     }
     return 0;
 }
