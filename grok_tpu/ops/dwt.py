@@ -244,12 +244,30 @@ def _sl(ndim, axis, s):
 
 
 # ------------------------------------------------------------ multi-level
+def _native_ok(xp, arr):
+    import os
+
+    if xp is not np or arr.ndim != 2 or not arr.flags.c_contiguous:
+        return False
+    if os.environ.get("GROK_TPU_NATIVE_OPS", "1") == "0":
+        return False
+    from . import native_ops
+
+    return native_ops.available()
+
+
 def forward(xp, arr, rect: Rect, num_levels: int, irreversible: bool):
     """Full forward DWT of a tile-component array (shape = rect h x w).
 
     Returns the Mallat-packed array: resolution r's data occupies the
     top-left ceil(rect / 2^(NL-r)) region.
     """
+    if _native_ok(xp, arr):
+        from . import native_ops
+
+        out = native_ops.dwt_forward(arr, rect, num_levels, irreversible)
+        if out is not None:
+            return out
     fwd = fwd97_axis if irreversible else fwd53_axis
     cur = rect
     for _ in range(num_levels):
@@ -266,6 +284,12 @@ def forward(xp, arr, rect: Rect, num_levels: int, irreversible: bool):
 
 def inverse(xp, arr, rect: Rect, num_levels: int, irreversible: bool):
     """Full inverse DWT; input Mallat-packed, output natural order."""
+    if _native_ok(xp, arr):
+        from . import native_ops
+
+        out = native_ops.dwt_inverse(arr, rect, num_levels, irreversible)
+        if out is not None:
+            return out
     inv = inv97_axis if irreversible else inv53_axis
     rects = [rect]
     for _ in range(num_levels):

@@ -26,6 +26,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SRCS = [
     os.path.join(_NATIVE_DIR, "t1_coder.cpp"),
     os.path.join(_NATIVE_DIR, "ht_coder.cpp"),
+    os.path.join(_NATIVE_DIR, "pipeline.cpp"),
 ]
 _OUT = os.path.join(_NATIVE_DIR, "libgrok_tpu_native.so")
 
@@ -94,6 +95,37 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_int64, i64p, ctypes.c_int32,
         ]
         lib.ht_decode_cblks_c.restype = ctypes.c_int
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        dwt_args = [ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                    ctypes.c_int32]
+        for nm in ("dwt53_forward", "dwt53_inverse"):
+            getattr(lib, nm).argtypes = [i32p] + dwt_args
+            getattr(lib, nm).restype = ctypes.c_int
+        for nm in ("dwt97_forward", "dwt97_inverse"):
+            getattr(lib, nm).argtypes = [f32p] + dwt_args
+            getattr(lib, nm).restype = ctypes.c_int
+        lib.quant_bands.argtypes = [
+            f32p, i32p, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, f32p, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.quant_bands.restype = ctypes.c_int
+        lib.dequant_bands.argtypes = [
+            i32p, f32p, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, f32p, ctypes.c_int32,
+        ]
+        lib.dequant_bands.restype = ctypes.c_int
+        lib.roi_unshift.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32,
+                                    ctypes.c_int32]
+        lib.roi_unshift.restype = ctypes.c_int
+        lib.finish_irrev.argtypes = [f32p, i32p, ctypes.c_int64,
+                                     ctypes.c_float, ctypes.c_int32,
+                                     ctypes.c_int32, ctypes.c_int32]
+        lib.finish_irrev.restype = ctypes.c_int
+        lib.finish_rev.argtypes = [i32p, i32p, ctypes.c_int64,
+                                   ctypes.c_int32, ctypes.c_int32,
+                                   ctypes.c_int32, ctypes.c_int32]
+        lib.finish_rev.restype = ctypes.c_int
         _install_ht_tables(lib)
         _LIB = lib
         return _LIB

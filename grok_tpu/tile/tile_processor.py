@@ -137,16 +137,28 @@ class TileProcessor:
             apply_band_quant(g, tccp, self._comp_prec(c))
             if irrev:
                 # deadzone scalar quantization per band
-                q = np.zeros(packed.shape, dtype=np.int32)
-                for res in g.resolutions:
-                    for band in res.bands:
-                        oy, ox = _band_origin_in_packed(g, res.r, band.orient)
-                        bh, bw = band.rect.height, band.rect.width
+                bands = [
+                    (*_band_origin_in_packed(g, res.r, band.orient),
+                     band.rect.height, band.rect.width, band.step)
+                    for res in g.resolutions
+                    for band in res.bands
+                ]
+                from ..ops import native_ops
+
+                q = native_ops.quant_bands(
+                    np.ascontiguousarray(packed, dtype=np.float32),
+                    bands, tccp.roi_shift,
+                )
+                if q is None:
+                    q = np.zeros(packed.shape, dtype=np.int32)
+                    for (oy, ox, bh, bw, step) in bands:
                         sl = (slice(oy, oy + bh), slice(ox, ox + bw))
                         vals = packed[sl]
-                        q[sl] = (np.sign(vals) * np.floor(np.abs(vals) / band.step)).astype(np.int32)
-                if tccp.roi_shift:
-                    q = q << tccp.roi_shift
+                        q[sl] = (
+                            np.sign(vals) * np.floor(np.abs(vals) / step)
+                        ).astype(np.int32)
+                    if tccp.roi_shift:
+                        q = q << tccp.roi_shift
                 coeff_arrays.append(q)
             else:
                 if tccp.roi_shift:
@@ -539,35 +551,51 @@ class TileProcessor:
                 staging[ref.comp][
                     y0 : y0 + cg.rect.height, x0 : x0 + cg.rect.width
                 ] = coeffs[i, : cg.rect.height, : cg.rect.width]
+            from ..ops import native_ops
+
             for c2 in range(ncomp):
                 tccp2 = tcp.tccps[c2]
                 if tccp2.roi_shift:
-                    a2 = staging[c2]
-                    mag = np.abs(a2)
-                    thresh = np.int32(1) << tccp2.roi_shift
-                    mag = np.where(mag >= thresh, mag >> tccp2.roi_shift, mag)
-                    staging[c2] = np.where(a2 < 0, -mag, mag).astype(
-                        a2.dtype if not irrev else np.int32
-                    )
+                    a2 = np.ascontiguousarray(staging[c2], dtype=np.int32)
+                    if native_ops.roi_unshift(a2, tccp2.roi_shift) is not None:
+                        staging[c2] = a2 if irrev else a2.astype(
+                            staging[c2].dtype, copy=False
+                        )
+                    else:
+                        a2 = staging[c2]
+                        mag = np.abs(a2)
+                        thresh = np.int32(1) << tccp2.roi_shift
+                        mag = np.where(
+                            mag >= thresh, mag >> tccp2.roi_shift, mag
+                        )
+                        staging[c2] = np.where(a2 < 0, -mag, mag).astype(
+                            a2.dtype if not irrev else np.int32
+                        )
                 if irrev:
                     g2 = self.geoms[c2]
                     a2 = staging[c2]
                     out2 = coeff_arrays[c2]
                     top = max(g2.num_resolutions - 1 - reduce, 0)
-                    for res2 in g2.resolutions[: top + 1]:
-                        for band2 in res2.bands:
-                            oy2, ox2 = _band_origin_in_packed(
-                                g2, res2.r, band2.orient
-                            )
-                            sl2 = (
-                                slice(oy2, oy2 + band2.rect.height),
-                                slice(ox2, ox2 + band2.rect.width),
-                            )
+                    bands2 = [
+                        (*_band_origin_in_packed(g2, res2.r, band2.orient),
+                         band2.rect.height, band2.rect.width, band2.step)
+                        for res2 in g2.resolutions[: top + 1]
+                        for band2 in res2.bands
+                    ]
+                    deq = native_ops.dequant_bands(
+                        np.ascontiguousarray(a2, dtype=np.int32), bands2
+                    )
+                    if deq is not None:
+                        coeff_arrays[c2] = deq
+                    else:
+                        for (oy2, ox2, bh2, bw2, step2) in bands2:
+                            sl2 = (slice(oy2, oy2 + bh2),
+                                   slice(ox2, ox2 + bw2))
                             q2 = a2[sl2].astype(np.float32)
                             mag2 = np.abs(q2)
                             rec2 = np.where(
                                 mag2 > 0,
-                                (mag2 + np.float32(0.5)) * np.float32(band2.step),
+                                (mag2 + np.float32(0.5)) * np.float32(step2),
                                 np.float32(0.0),
                             )
                             out2[sl2] = np.where(q2 < 0, -rec2, rec2)
@@ -589,6 +617,8 @@ class TileProcessor:
             else:
                 r, gg, b = mct_ops.rct_inverse(np, out[0], out[1], out[2])
                 out[0], out[1], out[2] = r, gg, b
+        from ..ops import native_ops
+
         final = []
         for c in range(ncomp):
             a = out[c]
@@ -598,11 +628,28 @@ class TileProcessor:
                 off = 0.0 if signed2 else float(1 << (prec2 - 1))
                 lo = -(1 << (prec2 - 1)) if signed2 else 0
                 hi = (1 << (prec2 - 1)) - 1 if signed2 else (1 << prec2) - 1
-                a = np.clip(
-                    np.floor(a + np.float32(0.5 + off)), lo, hi
-                ).astype(np.int32)
+                fused = native_ops.finish_irrev(
+                    np.ascontiguousarray(a, dtype=np.float32), off, lo, hi
+                )
+                if fused is not None:
+                    a = fused
+                else:
+                    a = np.clip(
+                        np.floor(a + np.float32(0.5 + off)), lo, hi
+                    ).astype(np.int32)
             else:
-                a = mct_ops.dc_shift_inverse(np, a, prec2, signed2)
-                a = a.astype(np.int32, copy=False)
+                add = 0 if signed2 else 1 << (prec2 - 1)
+                lo = -(1 << (prec2 - 1)) if signed2 else 0
+                hi = (1 << (prec2 - 1)) - 1 if signed2 else (1 << prec2) - 1
+                fused = None
+                if a.dtype == np.int32:
+                    fused = native_ops.finish_rev(
+                        np.ascontiguousarray(a), add, lo, hi
+                    )
+                if fused is not None:
+                    a = fused
+                else:
+                    a = mct_ops.dc_shift_inverse(np, a, prec2, signed2)
+                    a = a.astype(np.int32, copy=False)
             final.append(a)
         return final

@@ -1,0 +1,579 @@
+// Native tile-pipeline kernels: multi-level lifting DWT (5/3 reversible on
+// int32, 9/7 irreversible on float32), deadzone quantization, band
+// dequantization, ROI unshift and the fused final sample conversion.
+//
+// These are host-side mirrors of grok_tpu/ops/dwt.py and the band loops in
+// grok_tpu/tile/tile_processor.py (which remain the bit-exact reference and
+// the jax/device path). Written from ITU-T T.800 Annex F, not from the
+// reference codec (cf. transform/WaveletFwd.cpp, WaveletReverse.cpp); the
+// lifting neighbor rules are the "clamp to nearest valid opposite-phase
+// sample" formulation used across this repo.
+//
+// Build: compiled into libgrok_tpu_native.so by grok_tpu/t1/native.py.
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+// 9/7 lifting constants (T.800 F.4.8.2), rounded to float32 exactly as the
+// numpy path does under NEP-50 weak scalar promotion.
+const float A97 = (float)-1.586134342059924;
+const float B97 = (float)-0.052980118572961;
+const float G97 = (float)0.882911075530934;
+const float D97 = (float)0.443506852043971;
+const float K97 = (float)1.230174104914001;
+const float IK97 = (float)(1.0 / 1.230174104914001);
+
+static inline int sn_of(int n, int P) { return P == 0 ? (n + 1) / 2 : n / 2; }
+
+// ------------------------------------------------------------- 5/3 rows
+static void f53_row(int32_t* row, int n, int P, int32_t* tmp) {
+    if (n <= 0) return;
+    if (n == 1) {
+        if (P) row[0] *= 2;
+        return;
+    }
+    int sn = sn_of(n, P), dn = n - sn;
+    int32_t* s = tmp;
+    int32_t* d = tmp + sn;
+    for (int i = 0; i < sn; i++) s[i] = row[2 * i + P];
+    for (int j = 0; j < dn; j++) d[j] = row[2 * j + 1 - P];
+    if (P == 0) {
+        for (int j = 0; j < dn; j++)
+            d[j] -= (s[j] + s[j + 1 < sn ? j + 1 : sn - 1]) >> 1;
+        for (int i = 0; i < sn; i++)
+            s[i] += (d[i > 0 ? i - 1 : 0] + d[i < dn - 1 ? i : dn - 1] + 2) >> 2;
+    } else {
+        for (int j = 0; j < dn; j++)
+            d[j] -= (s[j > 0 ? j - 1 : 0] + s[j < sn - 1 ? j : sn - 1]) >> 1;
+        for (int i = 0; i < sn; i++)
+            s[i] += (d[i] + d[i + 1 < dn ? i + 1 : dn - 1] + 2) >> 2;
+    }
+    std::memcpy(row, tmp, (size_t)n * sizeof(int32_t));
+}
+
+static void i53_row(int32_t* row, int n, int P, int32_t* tmp) {
+    if (n <= 0) return;
+    if (n == 1) {
+        if (P) row[0] >>= 1;
+        return;
+    }
+    int sn = sn_of(n, P), dn = n - sn;
+    int32_t* s = tmp;
+    int32_t* d = tmp + sn;
+    std::memcpy(tmp, row, (size_t)n * sizeof(int32_t));
+    if (P == 0) {
+        for (int i = 0; i < sn; i++)
+            s[i] -= (d[i > 0 ? i - 1 : 0] + d[i < dn - 1 ? i : dn - 1] + 2) >> 2;
+        for (int j = 0; j < dn; j++)
+            d[j] += (s[j] + s[j + 1 < sn ? j + 1 : sn - 1]) >> 1;
+    } else {
+        for (int i = 0; i < sn; i++)
+            s[i] -= (d[i] + d[i + 1 < dn ? i + 1 : dn - 1] + 2) >> 2;
+        for (int j = 0; j < dn; j++)
+            d[j] += (s[j > 0 ? j - 1 : 0] + s[j < sn - 1 ? j : sn - 1]) >> 1;
+    }
+    for (int i = 0; i < sn; i++) row[2 * i + P] = s[i];
+    for (int j = 0; j < dn; j++) row[2 * j + 1 - P] = d[j];
+}
+
+// ------------------------------------------------------------- 9/7 rows
+static void f97_row(float* row, int n, int P, float* tmp) {
+    if (n <= 0) return;
+    if (n == 1) return;  // single sample: left unscaled (see ops/dwt.py)
+    int sn = sn_of(n, P), dn = n - sn;
+    float* s = tmp;
+    float* d = tmp + sn;
+    for (int i = 0; i < sn; i++) s[i] = row[2 * i + P];
+    for (int j = 0; j < dn; j++) d[j] = row[2 * j + 1 - P];
+    if (P == 0) {
+        for (int j = 0; j < dn; j++)
+            d[j] += A97 * (s[j] + s[j + 1 < sn ? j + 1 : sn - 1]);
+        for (int i = 0; i < sn; i++)
+            s[i] += B97 * (d[i > 0 ? i - 1 : 0] + d[i < dn - 1 ? i : dn - 1]);
+        for (int j = 0; j < dn; j++)
+            d[j] += G97 * (s[j] + s[j + 1 < sn ? j + 1 : sn - 1]);
+        for (int i = 0; i < sn; i++)
+            s[i] += D97 * (d[i > 0 ? i - 1 : 0] + d[i < dn - 1 ? i : dn - 1]);
+    } else {
+        for (int j = 0; j < dn; j++)
+            d[j] += A97 * (s[j > 0 ? j - 1 : 0] + s[j < sn - 1 ? j : sn - 1]);
+        for (int i = 0; i < sn; i++)
+            s[i] += B97 * (d[i] + d[i + 1 < dn ? i + 1 : dn - 1]);
+        for (int j = 0; j < dn; j++)
+            d[j] += G97 * (s[j > 0 ? j - 1 : 0] + s[j < sn - 1 ? j : sn - 1]);
+        for (int i = 0; i < sn; i++)
+            s[i] += D97 * (d[i] + d[i + 1 < dn ? i + 1 : dn - 1]);
+    }
+    for (int i = 0; i < sn; i++) row[i] = s[i] * IK97;
+    for (int j = 0; j < dn; j++) row[sn + j] = d[j] * K97;
+}
+
+static void i97_row(float* row, int n, int P, float* tmp) {
+    if (n <= 0) return;
+    if (n == 1) return;
+    int sn = sn_of(n, P), dn = n - sn;
+    float* s = tmp;
+    float* d = tmp + sn;
+    for (int i = 0; i < sn; i++) s[i] = row[i] * K97;
+    for (int j = 0; j < dn; j++) d[j] = row[sn + j] * IK97;
+    if (P == 0) {
+        for (int i = 0; i < sn; i++)
+            s[i] -= D97 * (d[i > 0 ? i - 1 : 0] + d[i < dn - 1 ? i : dn - 1]);
+        for (int j = 0; j < dn; j++)
+            d[j] -= G97 * (s[j] + s[j + 1 < sn ? j + 1 : sn - 1]);
+        for (int i = 0; i < sn; i++)
+            s[i] -= B97 * (d[i > 0 ? i - 1 : 0] + d[i < dn - 1 ? i : dn - 1]);
+        for (int j = 0; j < dn; j++)
+            d[j] -= A97 * (s[j] + s[j + 1 < sn ? j + 1 : sn - 1]);
+    } else {
+        for (int i = 0; i < sn; i++)
+            s[i] -= D97 * (d[i] + d[i + 1 < dn ? i + 1 : dn - 1]);
+        for (int j = 0; j < dn; j++)
+            d[j] -= G97 * (s[j > 0 ? j - 1 : 0] + s[j < sn - 1 ? j : sn - 1]);
+        for (int i = 0; i < sn; i++)
+            s[i] -= B97 * (d[i] + d[i + 1 < dn ? i + 1 : dn - 1]);
+        for (int j = 0; j < dn; j++)
+            d[j] -= A97 * (s[j > 0 ? j - 1 : 0] + s[j < sn - 1 ? j : sn - 1]);
+    }
+    for (int i = 0; i < sn; i++) row[2 * i + P] = s[i];
+    for (int j = 0; j < dn; j++) row[2 * j + 1 - P] = d[j];
+}
+
+// -------------------------------------------------- vertical (row-vector)
+// Vertical passes run the same lifting with whole rows as vector lanes;
+// in-place on the interleaved rows, then (de)interleave through scratch.
+
+template <typename T, typename Step1, typename Step2>
+static void vert_lift(T* a, int h, int w, int stride, int P, Step1 st1,
+                      Step2 st2) {
+    int sn = sn_of(h, P), dn = h - sn;
+    auto S = [&](int i) { return a + (size_t)(2 * i + P) * stride; };
+    auto D = [&](int j) { return a + (size_t)(2 * j + 1 - P) * stride; };
+    // step over d rows
+    for (int j = 0; j < dn; j++) {
+        const T *l, *r;
+        if (P == 0) {
+            l = S(j);
+            r = S(j + 1 < sn ? j + 1 : sn - 1);
+        } else {
+            l = S(j > 0 ? j - 1 : 0);
+            r = S(j < sn - 1 ? j : sn - 1);
+        }
+        st1(D(j), l, r, w);
+    }
+    // step over s rows
+    for (int i = 0; i < sn; i++) {
+        const T *l, *r;
+        if (P == 0) {
+            l = D(i > 0 ? i - 1 : 0);
+            r = D(i < dn - 1 ? i : dn - 1);
+        } else {
+            l = D(i);
+            r = D(i + 1 < dn ? i + 1 : dn - 1);
+        }
+        st2(S(i), l, r, w);
+    }
+}
+
+template <typename T, typename Step1, typename Step2>
+static void vert_lift_packed(T* a, int h, int w, int stride, int P, Step1 st2,
+                             Step2 st1) {
+    // inverse direction: rows already packed [s | d]
+    int sn = sn_of(h, P), dn = h - sn;
+    auto S = [&](int i) { return a + (size_t)i * stride; };
+    auto D = [&](int j) { return a + (size_t)(sn + j) * stride; };
+    for (int i = 0; i < sn; i++) {
+        const T *l, *r;
+        if (P == 0) {
+            l = D(i > 0 ? i - 1 : 0);
+            r = D(i < dn - 1 ? i : dn - 1);
+        } else {
+            l = D(i);
+            r = D(i + 1 < dn ? i + 1 : dn - 1);
+        }
+        st2(S(i), l, r, w);
+    }
+    for (int j = 0; j < dn; j++) {
+        const T *l, *r;
+        if (P == 0) {
+            l = S(j);
+            r = S(j + 1 < sn ? j + 1 : sn - 1);
+        } else {
+            l = S(j > 0 ? j - 1 : 0);
+            r = S(j < sn - 1 ? j : sn - 1);
+        }
+        st1(D(j), l, r, w);
+    }
+}
+
+template <typename T>
+static void deinterleave_rows(T* a, int h, int w, int stride, int P,
+                              T* scratch) {
+    int sn = sn_of(h, P), dn = h - sn;
+    for (int i = 0; i < sn; i++)
+        std::memcpy(scratch + (size_t)i * w, a + (size_t)(2 * i + P) * stride,
+                    (size_t)w * sizeof(T));
+    for (int j = 0; j < dn; j++)
+        std::memcpy(scratch + (size_t)(sn + j) * w,
+                    a + (size_t)(2 * j + 1 - P) * stride,
+                    (size_t)w * sizeof(T));
+    for (int y = 0; y < h; y++)
+        std::memcpy(a + (size_t)y * stride, scratch + (size_t)y * w,
+                    (size_t)w * sizeof(T));
+}
+
+template <typename T>
+static void interleave_rows(T* a, int h, int w, int stride, int P,
+                            T* scratch) {
+    int sn = sn_of(h, P), dn = h - sn;
+    for (int i = 0; i < sn; i++)
+        std::memcpy(scratch + (size_t)(2 * i + P) * w, a + (size_t)i * stride,
+                    (size_t)w * sizeof(T));
+    for (int j = 0; j < dn; j++)
+        std::memcpy(scratch + (size_t)(2 * j + 1 - P) * w,
+                    a + (size_t)(sn + j) * stride, (size_t)w * sizeof(T));
+    for (int y = 0; y < h; y++)
+        std::memcpy(a + (size_t)y * stride, scratch + (size_t)y * w,
+                    (size_t)w * sizeof(T));
+}
+
+// ---------------------------------------------------------- 5/3 vertical
+static void f53_vert(int32_t* a, int h, int w, int stride, int P,
+                     int32_t* scratch) {
+    if (h == 1) {
+        if (P)
+            for (int x = 0; x < w; x++) a[x] *= 2;
+        return;
+    }
+    vert_lift<int32_t>(
+        a, h, w, stride, P,
+        [](int32_t* d, const int32_t* l, const int32_t* r, int n) {
+            for (int x = 0; x < n; x++) d[x] -= (l[x] + r[x]) >> 1;
+        },
+        [](int32_t* s, const int32_t* l, const int32_t* r, int n) {
+            for (int x = 0; x < n; x++) s[x] += (l[x] + r[x] + 2) >> 2;
+        });
+    deinterleave_rows(a, h, w, stride, P, scratch);
+}
+
+static void i53_vert(int32_t* a, int h, int w, int stride, int P,
+                     int32_t* scratch) {
+    if (h == 1) {
+        if (P)
+            for (int x = 0; x < w; x++) a[x] >>= 1;
+        return;
+    }
+    vert_lift_packed<int32_t>(
+        a, h, w, stride, P,
+        [](int32_t* s, const int32_t* l, const int32_t* r, int n) {
+            for (int x = 0; x < n; x++) s[x] -= (l[x] + r[x] + 2) >> 2;
+        },
+        [](int32_t* d, const int32_t* l, const int32_t* r, int n) {
+            for (int x = 0; x < n; x++) d[x] += (l[x] + r[x]) >> 1;
+        });
+    interleave_rows(a, h, w, stride, P, scratch);
+}
+
+// ---------------------------------------------------------- 9/7 vertical
+static void f97_vert(float* a, int h, int w, int stride, int P,
+                     float* scratch) {
+    if (h == 1) return;
+    int sn = sn_of(h, P), dn = h - sn;
+    auto step_d = [&](float c) {
+        return [c](float* d, const float* l, const float* r, int n) {
+            for (int x = 0; x < n; x++) d[x] += c * (l[x] + r[x]);
+        };
+    };
+    vert_lift<float>(a, h, w, stride, P, step_d(A97), step_d(B97));
+    vert_lift<float>(a, h, w, stride, P, step_d(G97), step_d(D97));
+    auto S = [&](int i) { return a + (size_t)(2 * i + P) * stride; };
+    auto D = [&](int j) { return a + (size_t)(2 * j + 1 - P) * stride; };
+    for (int i = 0; i < sn; i++) {
+        float* s = S(i);
+        for (int x = 0; x < w; x++) s[x] *= IK97;
+    }
+    for (int j = 0; j < dn; j++) {
+        float* d = D(j);
+        for (int x = 0; x < w; x++) d[x] *= K97;
+    }
+    deinterleave_rows(a, h, w, stride, P, scratch);
+}
+
+static void i97_vert(float* a, int h, int w, int stride, int P,
+                     float* scratch) {
+    if (h == 1) return;
+    int sn = sn_of(h, P), dn = h - sn;
+    auto S = [&](int i) { return a + (size_t)i * stride; };
+    auto D = [&](int j) { return a + (size_t)(sn + j) * stride; };
+    for (int i = 0; i < sn; i++) {
+        float* s = S(i);
+        for (int x = 0; x < w; x++) s[x] *= K97;
+    }
+    for (int j = 0; j < dn; j++) {
+        float* d = D(j);
+        for (int x = 0; x < w; x++) d[x] *= IK97;
+    }
+    auto step_m = [&](float c) {
+        return [c](float* d, const float* l, const float* r, int n) {
+            for (int x = 0; x < n; x++) d[x] -= c * (l[x] + r[x]);
+        };
+    };
+    vert_lift_packed<float>(a, h, w, stride, P, step_m(D97), step_m(G97));
+    vert_lift_packed<float>(a, h, w, stride, P, step_m(B97), step_m(A97));
+    interleave_rows(a, h, w, stride, P, scratch);
+}
+
+struct LevelRect {
+    int64_t x0, y0, x1, y1;
+    int h() const { return (int)(y1 - y0); }
+    int w() const { return (int)(x1 - x0); }
+    LevelRect half() const {
+        return {(x0 + 1) >> 1, (y0 + 1) >> 1, (x1 + 1) >> 1, (y1 + 1) >> 1};
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Full multi-level forward DWT on arr[H, W] (row-major) whose top-left
+// [rect.h x rect.w] holds the tile data; matches ops/dwt.py forward().
+int dwt53_forward(int32_t* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
+                  int64_t y1, int32_t levels, int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#endif
+    LevelRect cur{x0, y0, x1, y1};
+    int maxd = std::max(cur.h(), cur.w());
+    for (int lvl = 0; lvl < levels; lvl++) {
+        int h = cur.h(), w = cur.w();
+        if (h == 0 || w == 0) break;
+        int py = (int)(cur.y0 & 1), px = (int)(cur.x0 & 1);
+        {
+            int32_t* scratch = new int32_t[(size_t)h * w];
+            f53_vert(arr, h, w, W, py, scratch);
+            delete[] scratch;
+        }
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+        {
+            int32_t* tmp = new int32_t[(size_t)maxd + 2];
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+            for (int y = 0; y < h; y++) f53_row(arr + (size_t)y * W, w, px, tmp);
+            delete[] tmp;
+        }
+        cur = cur.half();
+    }
+    return 0;
+}
+
+int dwt53_inverse(int32_t* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
+                  int64_t y1, int32_t levels, int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#endif
+    LevelRect rects[40];
+    rects[0] = {x0, y0, x1, y1};
+    for (int i = 0; i < levels; i++) rects[i + 1] = rects[i].half();
+    int maxd = std::max(rects[0].h(), rects[0].w());
+    for (int lvl = levels; lvl >= 1; lvl--) {
+        LevelRect cur = rects[lvl - 1];
+        int h = cur.h(), w = cur.w();
+        if (h == 0 || w == 0) continue;
+        int py = (int)(cur.y0 & 1), px = (int)(cur.x0 & 1);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+        {
+            int32_t* tmp = new int32_t[(size_t)maxd + 2];
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+            for (int y = 0; y < h; y++) i53_row(arr + (size_t)y * W, w, px, tmp);
+            delete[] tmp;
+        }
+        {
+            int32_t* scratch = new int32_t[(size_t)h * w];
+            i53_vert(arr, h, w, W, py, scratch);
+            delete[] scratch;
+        }
+    }
+    return 0;
+}
+
+int dwt97_forward(float* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
+                  int64_t y1, int32_t levels, int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#endif
+    LevelRect cur{x0, y0, x1, y1};
+    int maxd = std::max(cur.h(), cur.w());
+    for (int lvl = 0; lvl < levels; lvl++) {
+        int h = cur.h(), w = cur.w();
+        if (h == 0 || w == 0) break;
+        int py = (int)(cur.y0 & 1), px = (int)(cur.x0 & 1);
+        {
+            float* scratch = new float[(size_t)h * w];
+            f97_vert(arr, h, w, W, py, scratch);
+            delete[] scratch;
+        }
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+        {
+            float* tmp = new float[(size_t)maxd + 2];
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+            for (int y = 0; y < h; y++) f97_row(arr + (size_t)y * W, w, px, tmp);
+            delete[] tmp;
+        }
+        cur = cur.half();
+    }
+    return 0;
+}
+
+int dwt97_inverse(float* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
+                  int64_t y1, int32_t levels, int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#endif
+    LevelRect rects[40];
+    rects[0] = {x0, y0, x1, y1};
+    for (int i = 0; i < levels; i++) rects[i + 1] = rects[i].half();
+    int maxd = std::max(rects[0].h(), rects[0].w());
+    for (int lvl = levels; lvl >= 1; lvl--) {
+        LevelRect cur = rects[lvl - 1];
+        int h = cur.h(), w = cur.w();
+        if (h == 0 || w == 0) continue;
+        int py = (int)(cur.y0 & 1), px = (int)(cur.x0 & 1);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+        {
+            float* tmp = new float[(size_t)maxd + 2];
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+            for (int y = 0; y < h; y++) i97_row(arr + (size_t)y * W, w, px, tmp);
+            delete[] tmp;
+        }
+        {
+            float* scratch = new float[(size_t)h * w];
+            i97_vert(arr, h, w, W, py, scratch);
+            delete[] scratch;
+        }
+    }
+    return 0;
+}
+
+// Deadzone scalar quantization over packed bands: q = sign(v)*floor(|v|/step)
+// (float32 divide, matching the numpy band loop in tile_processor.compress).
+int quant_bands(const float* src, int32_t* dst, int32_t W, int32_t nbands,
+                const int32_t* oys, const int32_t* oxs, const int32_t* hs,
+                const int32_t* ws, const float* steps, int32_t roi_shift,
+                int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int b = 0; b < nbands; b++) {
+        float step = steps[b];
+        for (int y = 0; y < hs[b]; y++) {
+            const float* sp = src + (size_t)(oys[b] + y) * W + oxs[b];
+            int32_t* dp = dst + (size_t)(oys[b] + y) * W + oxs[b];
+            for (int x = 0; x < ws[b]; x++) {
+                float v = sp[x];
+                int32_t q = (int32_t)std::floor(std::fabs(v) / step);
+                if (v < 0) q = -q;
+                dp[x] = roi_shift ? (q << roi_shift) : q;
+            }
+        }
+    }
+    return 0;
+}
+
+// Mid-point dequantization: rec = sign(q) * (|q| + 0.5) * step for |q| > 0.
+int dequant_bands(const int32_t* src, float* dst, int32_t W, int32_t nbands,
+                  const int32_t* oys, const int32_t* oxs, const int32_t* hs,
+                  const int32_t* ws, const float* steps, int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int b = 0; b < nbands; b++) {
+        float step = steps[b];
+        for (int y = 0; y < hs[b]; y++) {
+            const int32_t* sp = src + (size_t)(oys[b] + y) * W + oxs[b];
+            float* dp = dst + (size_t)(oys[b] + y) * W + oxs[b];
+            for (int x = 0; x < ws[b]; x++) {
+                int32_t q = sp[x];
+                float mag = (float)(q < 0 ? -q : q);
+                float rec = mag > 0.0f ? (mag + 0.5f) * step : 0.0f;
+                dp[x] = q < 0 ? -rec : rec;
+            }
+        }
+    }
+    return 0;
+}
+
+// ROI maxshift unshift (decode): mag >= 2^shift ? mag >> shift : mag.
+int roi_unshift(int32_t* a, int64_t n, int32_t shift, int32_t num_threads) {
+    int32_t thresh = 1 << shift;
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        int32_t v = a[i];
+        int32_t mag = v < 0 ? -v : v;
+        if (mag >= thresh) mag >>= shift;
+        a[i] = v < 0 ? -mag : mag;
+    }
+    return 0;
+}
+
+// Fused irreversible finish: out = clip(floor(a + add), lo, hi) in float32.
+int finish_irrev(const float* a, int32_t* out, int64_t n, float add,
+                 int32_t lo, int32_t hi, int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        // clamp in float BEFORE the int cast: corrupt streams can reach here
+        // with huge coefficients, and float->int of out-of-range values is UB
+        float v = std::floor(a[i] + add);
+        if (!(v > (float)lo)) v = (float)lo;  // also catches NaN
+        if (v > (float)hi) v = (float)hi;
+        out[i] = (int32_t)v;
+    }
+    return 0;
+}
+
+// Fused reversible finish: out = clip(a + add, lo, hi).
+int finish_rev(const int32_t* a, int32_t* out, int64_t n, int32_t add,
+               int32_t lo, int32_t hi, int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        int32_t v = a[i] + add;
+        out[i] = v < lo ? lo : (v > hi ? hi : v);
+    }
+    return 0;
+}
+
+}  // extern "C"
