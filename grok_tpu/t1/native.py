@@ -27,6 +27,7 @@ _SRCS = [
     os.path.join(_NATIVE_DIR, "t1_coder.cpp"),
     os.path.join(_NATIVE_DIR, "ht_coder.cpp"),
     os.path.join(_NATIVE_DIR, "pipeline.cpp"),
+    os.path.join(_NATIVE_DIR, "t2_codec.cpp"),
 ]
 _OUT = os.path.join(_NATIVE_DIR, "libgrok_tpu_native.so")
 
@@ -126,6 +127,29 @@ def get_lib() -> ctypes.CDLL | None:
                                    ctypes.c_int32, ctypes.c_int32,
                                    ctypes.c_int32, ctypes.c_int32]
         lib.finish_rev.restype = ctypes.c_int
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int32
+        lib.t2_encode_packets.argtypes = [
+            i32, i32p, i32p, i32p,
+            i32, i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p,
+            i64, u8p, i64,
+            i64p, i32, i32p, i32p, i32p,
+            i64p, i32,
+            i32, i32, i32, i32,
+            u8p, i64, i64p, u8p, i64, i64p, i64p, i64p,
+        ]
+        lib.t2_encode_packets.restype = ctypes.c_int
+        lib.t2_decode_packets.argtypes = [
+            u8p, i64,
+            i32, i32p, i32p, i32p, i32,
+            i32, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+            i32, i32,
+            u8p, i64, i32,
+            i32p, i32p, i64p, i64p, i64, i64p,
+            i32p, i64p,
+        ]
+        lib.t2_decode_packets.restype = ctypes.c_int
         _install_ht_tables(lib)
         _LIB = lib
         return _LIB

@@ -1,0 +1,168 @@
+"""Flattening glue for the native T2 packet codec (native/t2_codec.cpp).
+
+Builds the flat precinct/packet descriptor arrays once per tile and runs
+whole-tile packet emission/parsing in a single native call. The Python
+packet codec in t2/packets.py stays the bit-exact reference and fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.errors import CorruptPacketError
+from .progression import packet_order
+
+
+def get_lib():
+    from ..t1.native import get_lib as _gl
+
+    lib = _gl()
+    return lib if lib is not None and hasattr(lib, "t2_encode_packets") else None
+
+
+class FlatTileT2:
+    """Flattened per-tile T2 geometry shared by encode and decode."""
+
+    def __init__(self, siz, tcp, geoms, tile_rect):
+        self.prc_keys: list[tuple[int, int, int, int]] = []
+        key_idx: dict[tuple[int, int, int, int], int] = {}
+        prc_numbps, prc_gw, prc_gh = [], [], []
+        cb_off = [0]
+        cb_cx, cb_cy, cb_style = [], [], []
+        self.entry_of: dict[tuple[int, int, int, int], int] = {}
+        for c in range(siz.num_comps):
+            sty = tcp.tccps[c].cblk_style & 0x3F
+            for res in geoms[c].resolutions:
+                for bi, band in enumerate(res.bands):
+                    for pi, prc in enumerate(band.precincts):
+                        key = (c, res.r, bi, pi)
+                        key_idx[key] = len(self.prc_keys)
+                        self.prc_keys.append(key)
+                        prc_numbps.append(band.num_bps)
+                        prc_gw.append(prc.cblk_grid_w)
+                        prc_gh.append(prc.cblk_grid_h)
+                        self.entry_of[key] = cb_off[-1]
+                        for cg in prc.cblks:
+                            cb_cx.append(cg.cx)
+                            cb_cy.append(cg.cy)
+                            cb_style.append(sty)
+                        cb_off.append(cb_off[-1] + len(prc.cblks))
+        self.prc_numbps = np.asarray(prc_numbps, dtype=np.int32)
+        self.prc_gw = np.asarray(prc_gw, dtype=np.int32)
+        self.prc_gh = np.asarray(prc_gh, dtype=np.int32)
+        self.prc_cb_off = np.asarray(cb_off, dtype=np.int32)
+        self.cb_cx = np.asarray(cb_cx, dtype=np.int32)
+        self.cb_cy = np.asarray(cb_cy, dtype=np.int32)
+        self.cb_style = np.asarray(cb_style, dtype=np.int32)
+        # packet sequence
+        pkt_layer, pkt_off, pkt_ids = [], [0], []
+        self.order = list(packet_order(siz, tcp, geoms, tile_rect))
+        for pk in self.order:
+            pkt_layer.append(pk.layer)
+            nb = len(geoms[pk.comp].resolutions[pk.res].bands)
+            for bi in range(nb):
+                pkt_ids.append(key_idx[(pk.comp, pk.res, bi, pk.prec)])
+            pkt_off.append(len(pkt_ids))
+        self.pkt_layer = np.asarray(pkt_layer, dtype=np.int32)
+        self.pkt_prc_off = np.asarray(pkt_off, dtype=np.int32)
+        self.pkt_prc_ids = np.asarray(pkt_ids, dtype=np.int32)
+
+
+def encode_packets(lib, flat: FlatTileT2, refs, t1res, cum_passes,
+                   num_layers, use_sop, use_eph, ppt):
+    """Emit all packets natively; returns (body, pkt_lens, headers|None)."""
+    ncb = len(refs)
+    cb_global = np.full(len(flat.cb_cx), -1, dtype=np.int32)
+    for i, ref in enumerate(refs):
+        e = flat.entry_of[(ref.comp, ref.res, ref.band_i, ref.prec)] + ref.cblk_i
+        cb_global[e] = i
+    data = np.ascontiguousarray(t1res.data)
+    pass_rates = np.ascontiguousarray(t1res.pass_rates, dtype=np.int64)
+    cum = np.ascontiguousarray(cum_passes, dtype=np.int64)
+    numbps = np.ascontiguousarray(t1res.numbps, dtype=np.int32)
+    npasses = np.ascontiguousarray(t1res.npasses, dtype=np.int32)
+    # per-global style: take from the entry mapping to it (same component)
+    g_style = np.zeros(ncb, dtype=np.int32)
+    g_style[cb_global[cb_global >= 0]] = flat.cb_style[cb_global >= 0]
+
+    npk = len(flat.pkt_layer)
+    out_cap = int(t1res.lengths.sum()) + npk * 64 + len(flat.cb_cx) * 24 + 4096
+    hdr_cap = out_cap if ppt else 16
+    for _ in range(3):
+        out = np.empty(out_cap, dtype=np.uint8)
+        hdr = np.empty(hdr_cap, dtype=np.uint8)
+        pkt_lens = np.zeros(npk, dtype=np.int64)
+        hdr_lens = np.zeros(npk, dtype=np.int64)
+        total = np.zeros(1, dtype=np.int64)
+        total_h = np.zeros(1, dtype=np.int64)
+        rc = lib.t2_encode_packets(
+            npk, flat.pkt_layer, flat.pkt_prc_off, flat.pkt_prc_ids,
+            len(flat.prc_keys), flat.prc_numbps, flat.prc_gw, flat.prc_gh,
+            flat.prc_cb_off, cb_global, flat.cb_cx, flat.cb_cy,
+            ncb, data, data.shape[1] if data.ndim == 2 else 0,
+            pass_rates, pass_rates.shape[1], numbps, npasses, g_style,
+            cum, num_layers,
+            int(use_sop), int(use_eph), int(ppt), 0,
+            out, out_cap, pkt_lens, hdr, hdr_cap, hdr_lens,
+            total, total_h,
+        )
+        if rc == 0:
+            body = out[: total[0]].tobytes()
+            headers = None
+            if ppt:
+                headers = []
+                off = 0
+                for i in range(npk):
+                    headers.append(hdr[off : off + hdr_lens[i]].tobytes())
+                    off += int(hdr_lens[i])
+            return body, [int(x) for x in pkt_lens], headers
+        out_cap *= 4
+        hdr_cap *= 4
+    raise MemoryError("T2 encode buffer sizing failed")
+
+
+def decode_packets(lib, flat: FlatTileT2, body, max_layers, use_sop, use_eph,
+                   packed_headers):
+    """Parse all packets natively.
+
+    Returns (entry_numbps, contributions) where contributions is a list of
+    (entry, npasses, nbytes, offset) arrays in stream order."""
+    body_arr = np.frombuffer(body, dtype=np.uint8) if len(body) else np.zeros(1, dtype=np.uint8)
+    body_arr = np.ascontiguousarray(body_arr)
+    use_ppt = packed_headers is not None
+    if use_ppt:
+        hdrs = np.frombuffer(packed_headers, dtype=np.uint8)
+        hdrs = np.ascontiguousarray(hdrs) if len(hdrs) else np.zeros(1, dtype=np.uint8)
+        hdr_len = len(packed_headers)
+    else:
+        hdrs = body_arr
+        hdr_len = 0
+    total_entries = int(flat.prc_cb_off[-1])
+    max_contrib = max(total_entries * max(len(flat.pkt_layer) // max(total_entries, 1) + 2, 4), 1024)
+    for _ in range(4):
+        out_entry = np.zeros(max_contrib, dtype=np.int32)
+        out_np = np.zeros(max_contrib, dtype=np.int32)
+        out_nb = np.zeros(max_contrib, dtype=np.int64)
+        out_off = np.zeros(max_contrib, dtype=np.int64)
+        n_contrib = np.zeros(1, dtype=np.int64)
+        entry_numbps = np.zeros(total_entries, dtype=np.int32)
+        end_pos = np.zeros(1, dtype=np.int64)
+        rc = lib.t2_decode_packets(
+            body_arr, len(body),
+            len(flat.pkt_layer), flat.pkt_layer, flat.pkt_prc_off,
+            flat.pkt_prc_ids, int(max_layers or 0),
+            len(flat.prc_keys), flat.prc_numbps, flat.prc_gw, flat.prc_gh,
+            flat.prc_cb_off, flat.cb_cx, flat.cb_cy, flat.cb_style,
+            int(use_sop), int(use_eph),
+            hdrs, hdr_len, int(use_ppt),
+            out_entry, out_np, out_nb, out_off, max_contrib, n_contrib,
+            entry_numbps, end_pos,
+        )
+        if rc == 0:
+            n = int(n_contrib[0])
+            return entry_numbps, (out_entry[:n], out_np[:n], out_nb[:n],
+                                  out_off[:n])
+        if rc == 1:
+            raise CorruptPacketError("packet parse error")
+        max_contrib *= 4
+    raise MemoryError("T2 decode contribution buffer sizing failed")

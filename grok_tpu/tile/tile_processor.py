@@ -239,6 +239,27 @@ class TileProcessor:
     def _emit_packets(self, refs, t1res, cum_passes, packed_headers=None):
         siz, tcp = self.siz, self.tcp
         ncomp = siz.num_comps
+        # ---- native whole-tile packet emission (fast path)
+        import os
+
+        from ..t2 import native_t2
+
+        lib = native_t2.get_lib() if os.environ.get(
+            "GROK_TPU_NATIVE_OPS", "1") != "0" else None
+        if lib is not None:
+            flat = getattr(self, "_flat_t2", None)
+            if flat is None:
+                flat = native_t2.FlatTileT2(siz, tcp, self.geoms, self.tile_rect)
+                self._flat_t2 = flat
+            use_sop = bool(tcp.csty & 0x02)
+            use_eph = bool(tcp.csty & 0x04)
+            body, pkt_lens, headers = native_t2.encode_packets(
+                lib, flat, refs, t1res, cum_passes, tcp.num_layers,
+                use_sop, use_eph, packed_headers is not None,
+            )
+            if packed_headers is not None:
+                packed_headers.extend(headers)
+            return body, pkt_lens
         # ---- build T2 state
         prc_ctx_map: dict[tuple[int, int, int, int], PrecinctCtx] = {}
         for c in range(ncomp):
@@ -413,25 +434,63 @@ class TileProcessor:
 
         use_sop = bool(tcp.csty & 0x02)
         use_eph = bool(tcp.csty & 0x04)
-        pos = 0
-        hdr_reader = None
-        if packed_headers is not None:
-            from ..codestream.bitio import BitReader
+        import os
 
-            hdr_reader = BitReader(packed_headers, 0)
-        for pk in packet_order(siz, tcp, self.geoms, self.tile_rect):
-            if max_layers and pk.layer >= max_layers:
-                continue
-            res = self.geoms[pk.comp].resolutions[pk.res]
-            ctxs = [
-                prc_ctx_map[(pk.comp, pk.res, bi, pk.prec)]
-                for bi in range(len(res.bands))
-            ]
-            if pos >= len(body) and hdr_reader is None:
-                break  # truncated stream: remaining packets empty
-            pos = decode_packet(
-                body, pos, ctxs, pk.layer, use_sop, use_eph, hdr_reader
+        from ..t2 import native_t2
+
+        lib = native_t2.get_lib() if os.environ.get(
+            "GROK_TPU_NATIVE_OPS", "1") != "0" else None
+        if lib is not None:
+            flat = getattr(self, "_flat_t2", None)
+            if flat is None:
+                flat = native_t2.FlatTileT2(siz, tcp, self.geoms, self.tile_rect)
+                self._flat_t2 = flat
+            entry_numbps, (c_entry, c_np, c_nb, c_off) = native_t2.decode_packets(
+                lib, flat, bytes(body), max_layers, use_sop, use_eph,
+                bytes(packed_headers) if packed_headers is not None else None,
             )
+            mv = memoryview(bytes(body))
+            for key in flat.prc_keys:
+                base = flat.entry_of[key]
+                ctx = prc_ctx_map[key]
+                for ci in range(len(ctx.cblks)):
+                    nb = int(entry_numbps[base + ci])
+                    if nb >= 0:
+                        ctx.cblks[ci].numbps = nb
+                        ctx.cblks[ci].included = True
+            entry_to_cblk = {}
+            for key in flat.prc_keys:
+                base = flat.entry_of[key]
+                ctx = prc_ctx_map[key]
+                for ci, cb in enumerate(ctx.cblks):
+                    entry_to_cblk[base + ci] = cb
+            for i2 in range(len(c_entry)):
+                cb = entry_to_cblk[int(c_entry[i2])]
+                off = int(c_off[i2])
+                nb2 = int(c_nb[i2])
+                cb.segments.append(bytes(mv[off : off + nb2]))
+                cb.seg_passes.append(int(c_np[i2]))
+                cb.npasses += int(c_np[i2])
+        else:
+            pos = 0
+            hdr_reader = None
+            if packed_headers is not None:
+                from ..codestream.bitio import BitReader
+
+                hdr_reader = BitReader(packed_headers, 0)
+            for pk in packet_order(siz, tcp, self.geoms, self.tile_rect):
+                if max_layers and pk.layer >= max_layers:
+                    continue
+                res = self.geoms[pk.comp].resolutions[pk.res]
+                ctxs = [
+                    prc_ctx_map[(pk.comp, pk.res, bi, pk.prec)]
+                    for bi in range(len(res.bands))
+                ]
+                if pos >= len(body) and hdr_reader is None:
+                    break  # truncated stream: remaining packets empty
+                pos = decode_packet(
+                    body, pos, ctxs, pk.layer, use_sop, use_eph, hdr_reader
+                )
 
         # ---- batch T1 decode
         cbh, cbw = self._nominal_cblk()
