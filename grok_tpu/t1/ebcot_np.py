@@ -101,6 +101,9 @@ class T1EncodeResult:
     npasses: np.ndarray  # [N] number of coding passes (3*numbps - 2, or 0)
     pass_rates: np.ndarray  # [N, max_passes] cumulative byte bound per pass
     pass_dist: np.ndarray  # [N, max_passes] distortion reduction per pass
+    # optional zero-copy view for the native T2 codec: (contiguous base
+    # buffer [N, stride], column offset of byte 0 of each segment)
+    raw_data: tuple | None = None
 
 
 class _State:
@@ -282,6 +285,7 @@ def encode_cblks(
         np.minimum(pass_rates, lengths[:, None], out=pass_rates)
     return T1EncodeResult(
         data=mq.buf[:, 1:],
+        raw_data=(mq.buf, 1),
         lengths=lengths,
         numbps=numbps,
         npasses=npasses,

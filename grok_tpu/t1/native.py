@@ -40,6 +40,7 @@ def _build() -> str | None:
     ):
         return out
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", "-std=c++17",
+           "-ffp-contract=off",  # keep float op-for-op identical to numpy
            "-o", out, *srcs]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
@@ -86,14 +87,14 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ht_install_tables.argtypes = [u16p, u16p, u16p, u16p]
         lib.ht_install_tables.restype = ctypes.c_int
         lib.ht_encode_cblks_c.argtypes = [
-            i64p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             u8p, ctypes.c_int64, i64p, i32p, f64p, ctypes.c_int32,
         ]
         lib.ht_encode_cblks_c.restype = ctypes.c_int
         lib.ht_decode_cblks_c.argtypes = [
             u8p, i64p, i32p, i32p, i32p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int64, i64p, ctypes.c_int32,
+            ctypes.c_int64, i32p, ctypes.c_int32,
         ]
         lib.ht_decode_cblks_c.restype = ctypes.c_int
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -129,11 +130,26 @@ def get_lib() -> ctypes.CDLL | None:
         lib.finish_rev.restype = ctypes.c_int
         i64 = ctypes.c_int64
         i32 = ctypes.c_int32
+        lib.hull_slopes.argtypes = [i64p, f64p, i32p, i64, i32, f64p, i32]
+        lib.hull_slopes.restype = ctypes.c_int
+        lib.rct_dc_forward.argtypes = [i32p, i32p, i32p, i32p, i32p, i32p,
+                                       i64, i32, i32, i32, i32]
+        lib.rct_dc_forward.restype = ctypes.c_int
+        lib.rct_inverse_c.argtypes = [i32p, i32p, i32p, i32p, i32p, i32p,
+                                      i64, i32]
+        lib.rct_inverse_c.restype = ctypes.c_int
+        f32p2 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.ict_dc_forward.argtypes = [i32p, i32p, i32p, f32p2, f32p2, f32p2,
+                                       i64, i32, i32, i32, i32]
+        lib.ict_dc_forward.restype = ctypes.c_int
+        lib.ict_inverse_c.argtypes = [f32p2, f32p2, f32p2, f32p2, f32p2,
+                                      f32p2, i64, i32]
+        lib.ict_inverse_c.restype = ctypes.c_int
         lib.t2_encode_packets.argtypes = [
             i32, i32p, i32p, i32p,
             i32, i32p, i32p, i32p, i32p,
             i32p, i32p, i32p,
-            i64, u8p, i64,
+            i64, u8p, i64, i32,
             i64p, i32, i32p, i32p, i32p,
             i64p, i32,
             i32, i32, i32, i32,
@@ -179,7 +195,7 @@ def ht_encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0):
     from .ebcot_np import T1EncodeResult
 
     lib = get_lib()
-    coeffs = np.ascontiguousarray(coeffs, dtype=np.int64)
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.int32)
     n, h, w = coeffs.shape
     maxmag = int(np.abs(coeffs).max(initial=0))
     bytes_per_sample = (2 * maxmag).bit_length() // 8 + 2
@@ -197,6 +213,7 @@ def ht_encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0):
     npasses = np.where(numbps > 0, 1, 0).astype(np.int64)
     return T1EncodeResult(
         data=data,
+        raw_data=(data, 0),
         lengths=lengths,
         numbps=numbps.astype(np.int64),
         npasses=npasses,
@@ -210,7 +227,7 @@ def ht_decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
     lib = get_lib()
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
-    out = np.zeros((n, block_h, block_w), dtype=np.int64)
+    out = np.zeros((n, block_h, block_w), dtype=np.int32)
     rc = lib.ht_decode_cblks_c(
         data,
         np.ascontiguousarray(lengths, dtype=np.int64),
@@ -289,6 +306,7 @@ def encode_cblks(
     # drop the per-lane virtual carry byte so data[i][:length] is the segment
     return T1EncodeResult(
         data=data[:, 1:],
+        raw_data=(data, 1),
         lengths=lengths,
         numbps=numbps.astype(np.int64),
         npasses=npasses.astype(np.int64),

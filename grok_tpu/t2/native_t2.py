@@ -76,7 +76,12 @@ def encode_packets(lib, flat: FlatTileT2, refs, t1res, cum_passes,
     for i, ref in enumerate(refs):
         e = flat.entry_of[(ref.comp, ref.res, ref.band_i, ref.prec)] + ref.cblk_i
         cb_global[e] = i
-    data = np.ascontiguousarray(t1res.data)
+    if t1res.raw_data is not None:
+        data, data_off = t1res.raw_data
+        data = np.ascontiguousarray(data)  # no-op when already contiguous
+    else:
+        data = np.ascontiguousarray(t1res.data)
+        data_off = 0
     pass_rates = np.ascontiguousarray(t1res.pass_rates, dtype=np.int64)
     cum = np.ascontiguousarray(cum_passes, dtype=np.int64)
     numbps = np.ascontiguousarray(t1res.numbps, dtype=np.int32)
@@ -99,7 +104,7 @@ def encode_packets(lib, flat: FlatTileT2, refs, t1res, cum_passes,
             npk, flat.pkt_layer, flat.pkt_prc_off, flat.pkt_prc_ids,
             len(flat.prc_keys), flat.prc_numbps, flat.prc_gw, flat.prc_gh,
             flat.prc_cb_off, cb_global, flat.cb_cx, flat.cb_cy,
-            ncb, data, data.shape[1] if data.ndim == 2 else 0,
+            ncb, data, data.shape[1] if data.ndim == 2 else 0, data_off,
             pass_rates, pass_rates.shape[1], numbps, npasses, g_style,
             cum, num_layers,
             int(use_sop), int(use_eph), int(ppt), 0,

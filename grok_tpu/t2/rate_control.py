@@ -23,6 +23,21 @@ def hull_effective_slopes(rates: np.ndarray, dists: np.ndarray, npasses: np.ndar
     truncation for threshold lambda.
     """
     n, pmax = rates.shape
+    import os
+
+    if os.environ.get("GROK_TPU_NATIVE_OPS", "1") != "0":
+        from ..t1.native import get_lib
+
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "hull_slopes"):
+            slopes = np.zeros((n, pmax), dtype=np.float64)
+            lib.hull_slopes(
+                np.ascontiguousarray(rates, dtype=np.int64),
+                np.ascontiguousarray(dists, dtype=np.float64),
+                np.ascontiguousarray(npasses, dtype=np.int32),
+                n, pmax, slopes, 0,
+            )
+            return slopes
     slopes = np.zeros((n, pmax), dtype=np.float64)
     for i in range(n):
         np_i = int(npasses[i])

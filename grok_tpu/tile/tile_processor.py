@@ -109,13 +109,44 @@ class TileProcessor:
         ncomp = siz.num_comps
         irrev = tcp.tccps[0].irreversible
 
-        # ---- DC shift + MCT
-        shifted = []
-        for c in range(ncomp):
+        # ---- DC shift + MCT (fused native kernel when available)
+        from ..ops.native_ops import get_lib as _get_native
+
+        _nlib = _get_native()
+        shifted: list = [None] * ncomp
+        fused_mct = (
+            _nlib is not None
+            and tcp.mct == 1
+            and ncomp >= 3
+            and comp_arrays[0].shape == comp_arrays[1].shape == comp_arrays[2].shape
+        )
+        if fused_mct:
+            planes = [np.ascontiguousarray(comp_arrays[c], dtype=np.int32)
+                      for c in range(3)]
+            dcs = [0 if siz.comps[c].signed else 1 << (siz.comps[c].prec - 1)
+                   for c in range(3)]
+            nel = planes[0].size
+            if irrev:
+                outs = [np.empty(planes[0].shape, dtype=np.float32)
+                        for _ in range(3)]
+                _nlib.ict_dc_forward(planes[0], planes[1], planes[2],
+                                     outs[0], outs[1], outs[2], nel,
+                                     dcs[0], dcs[1], dcs[2], 0)
+            else:
+                outs = [np.empty(planes[0].shape, dtype=np.int32)
+                        for _ in range(3)]
+                _nlib.rct_dc_forward(planes[0], planes[1], planes[2],
+                                     outs[0], outs[1], outs[2], nel,
+                                     dcs[0], dcs[1], dcs[2], 0)
+            shifted[0], shifted[1], shifted[2] = outs
+            rest = range(3, ncomp)
+        else:
+            rest = range(ncomp)
+        for c in rest:
             a = comp_arrays[c].astype(np.int32)
             a = mct_ops.dc_shift_forward(np, a, siz.comps[c].prec, siz.comps[c].signed)
-            shifted.append(a)
-        if tcp.mct == 1 and ncomp >= 3:
+            shifted[c] = a
+        if not fused_mct and tcp.mct == 1 and ncomp >= 3:
             if irrev:
                 r, g, b = (x.astype(np.float32) for x in shifted[:3])
                 y, cb, cr = mct_ops.ict_forward(np, r, g, b)
@@ -670,7 +701,30 @@ class TileProcessor:
 
         # ---- inverse MCT + DC shift
         if tcp.mct == 1 and ncomp >= 3:
-            if irrev:
+            from ..ops.native_ops import get_lib as _get_native
+
+            _nlib = _get_native()
+            fused = (
+                _nlib is not None
+                and out[0].shape == out[1].shape == out[2].shape
+                and all(o.flags.c_contiguous for o in out[:3])
+                and (out[0].dtype == np.float32 if irrev
+                     else out[0].dtype == np.int32)
+            )
+            if fused:
+                nel = out[0].size
+                if irrev:
+                    res3 = [np.empty(out[0].shape, dtype=np.float32)
+                            for _ in range(3)]
+                    _nlib.ict_inverse_c(out[0], out[1], out[2],
+                                        res3[0], res3[1], res3[2], nel, 0)
+                else:
+                    res3 = [np.empty(out[0].shape, dtype=np.int32)
+                            for _ in range(3)]
+                    _nlib.rct_inverse_c(out[0], out[1], out[2],
+                                        res3[0], res3[1], res3[2], nel, 0)
+                out[0], out[1], out[2] = res3
+            elif irrev:
                 r, gg, b = mct_ops.ict_inverse(np, out[0], out[1], out[2])
                 out[0], out[1], out[2] = r, gg, b
             else:

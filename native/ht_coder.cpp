@@ -139,7 +139,7 @@ static inline int bitlen64(int64_t v) {
 }
 
 // Encode one codeblock; returns segment length, writes into out.
-static int64_t encode_block(const int64_t* coeffs, int W_stride, int h, int w,
+static int64_t encode_block(const int32_t* coeffs, int W_stride, int h, int w,
                             uint8_t* out, uint8_t* ms_scratch) {
     MelEnc mel;
     VlcEnc vlc;
@@ -391,7 +391,7 @@ static int read_suffix(VlcDec& v, int p) {
 }
 
 static bool decode_block(const uint8_t* seg, int64_t seg_len, int h, int w,
-                         int64_t* out, int W_stride) {
+                         int32_t* out, int W_stride) {
     if (seg_len < 2) return true;
     int scup = (seg[seg_len - 1] << 4) | (seg[seg_len - 2] & 0xF);
     if (scup < 2 || scup > seg_len) return false;
@@ -495,7 +495,7 @@ static bool decode_block(const uint8_t* seg, int64_t seg_len, int h, int w,
                     int64_t mu = (int64_t)(v >> 1) + 1;
                     int e_n = bitlen64((int64_t)(v | 1));
                     int y = 2 * qy + (k & 1), x = 2 * qi + (k >> 1);
-                    if (y < h && x < w) out[y * W_stride + x] = sign ? -mu : mu;
+                    if (y < h && x < w) out[y * W_stride + x] = (int32_t)(sign ? -mu : mu);
                     if (k == 1) e_bl = e_n;
                     if (k == 3) e_br = e_n;
                 }
@@ -525,7 +525,7 @@ int ht_install_tables(const uint16_t* enc0, const uint16_t* enc1,
     return 0;
 }
 
-int ht_encode_cblks_c(const int64_t* coeffs, const int32_t* heights,
+int ht_encode_cblks_c(const int32_t* coeffs, const int32_t* heights,
                       const int32_t* widths, int64_t n, int32_t H, int32_t W,
                       uint8_t* out_data, int64_t max_bytes,
                       int64_t* out_lengths, int32_t* out_numbps,
@@ -542,7 +542,7 @@ int ht_encode_cblks_c(const int64_t* coeffs, const int32_t* heights,
 #endif
         for (int64_t b = 0; b < n; b++) {
             int h = heights[b], w = widths[b];
-            const int64_t* src = coeffs + b * (int64_t)H * W;
+            const int32_t* src = coeffs + b * (int64_t)H * W;
             int64_t mx = 0;
             double d = 0;
             for (int y = 0; y < h; y++)
@@ -570,7 +570,7 @@ int ht_encode_cblks_c(const int64_t* coeffs, const int32_t* heights,
 int ht_decode_cblks_c(const uint8_t* data, const int64_t* lengths,
                       const int32_t* npasses, const int32_t* heights,
                       const int32_t* widths, int64_t n, int32_t H, int32_t W,
-                      int64_t max_bytes, int64_t* out_coeffs,
+                      int64_t max_bytes, int32_t* out_coeffs,
                       int32_t num_threads) {
     if (!ht::g_tables_ready) return -1;
     int rc = 0;
@@ -579,8 +579,8 @@ int ht_decode_cblks_c(const uint8_t* data, const int64_t* lengths,
 #pragma omp parallel for schedule(dynamic)
 #endif
     for (int64_t b = 0; b < n; b++) {
-        int64_t* dst = out_coeffs + b * (int64_t)H * W;
-        std::memset(dst, 0, (int64_t)H * W * sizeof(int64_t));
+        int32_t* dst = out_coeffs + b * (int64_t)H * W;
+        std::memset(dst, 0, (int64_t)H * W * sizeof(int32_t));
         if (npasses[b] <= 0 || lengths[b] <= 0) continue;
         if (!ht::decode_block(data + b * max_bytes, lengths[b], heights[b],
                               widths[b], dst, W))

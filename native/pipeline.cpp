@@ -576,4 +576,142 @@ int finish_rev(const int32_t* a, int32_t* out, int64_t n, int32_t add,
     return 0;
 }
 
+// Per-pass effective R-D slopes after convex-hull pruning (mirror of
+// t2/rate_control.py hull_effective_slopes; same arithmetic and epsilons).
+int hull_slopes(const int64_t* rates, const double* dists,
+                const int32_t* npasses, int64_t n, int32_t pmax,
+                double* slopes, int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel
+#endif
+    {
+        double* d_cum = new double[pmax];
+        int* hull = new int[pmax];
+#ifdef _OPENMP
+#pragma omp for schedule(static)
+#endif
+        for (int64_t i = 0; i < n; i++) {
+            double* srow = slopes + i * pmax;
+            for (int k = 0; k < pmax; k++) srow[k] = 0.0;
+            int np_i = npasses[i];
+            if (np_i == 0) continue;
+            const int64_t* r = rates + i * pmax;
+            const double* dd = dists + i * pmax;
+            double acc = 0.0;
+            for (int k = 0; k < np_i; k++) {
+                acc += dd[k];
+                d_cum[k] = acc;
+            }
+            auto R = [&](int j) { return j >= 0 ? (double)r[j] : 0.0; };
+            auto D = [&](int j) { return j >= 0 ? d_cum[j] : 0.0; };
+            int hn = 0;
+            for (int k = 0; k < np_i; k++) {
+                if (d_cum[k] <= D(hn ? hull[hn - 1] : -1)) continue;
+                while (hn) {
+                    int prev = hn >= 2 ? hull[hn - 2] : -1;
+                    double dr_top = R(hull[hn - 1]) - R(prev);
+                    double s_top =
+                        (D(hull[hn - 1]) - D(prev)) /
+                        (dr_top > 1e-9 ? dr_top : 1e-9);
+                    double dr_new = (double)r[k] - R(prev);
+                    double s_new = (d_cum[k] - D(prev)) /
+                                   (dr_new > 1e-9 ? dr_new : 1e-9);
+                    if (s_new >= s_top)
+                        hn--;
+                    else
+                        break;
+                }
+                hull[hn++] = k;
+            }
+            int prev_idx = -1;
+            double r0 = 0.0, d0 = 0.0;
+            for (int hi2 = 0; hi2 < hn; hi2++) {
+                int h = hull[hi2];
+                double dr = (double)r[h] - r0;
+                double seg = (d_cum[h] - d0) / (dr > 1e-9 ? dr : 1e-9);
+                for (int k = prev_idx + 1; k <= h; k++) srow[k] = seg;
+                r0 = (double)r[h];
+                d0 = d_cum[h];
+                prev_idx = h;
+            }
+        }
+        delete[] d_cum;
+        delete[] hull;
+    }
+    return 0;
+}
+
+// Fused reversible color transform + DC shift (forward): inputs are the
+// raw component planes; outputs are the shifted/transformed int32 planes.
+int rct_dc_forward(const int32_t* r, const int32_t* g, const int32_t* b,
+                   int32_t* y, int32_t* cb, int32_t* cr, int64_t n,
+                   int32_t dc0, int32_t dc1, int32_t dc2,
+                   int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        int32_t rr = r[i] - dc0, gg = g[i] - dc1, bb = b[i] - dc2;
+        y[i] = (rr + 2 * gg + bb) >> 2;
+        cb[i] = bb - gg;
+        cr[i] = rr - gg;
+    }
+    return 0;
+}
+
+int rct_inverse_c(const int32_t* y, const int32_t* cb, const int32_t* cr,
+                  int32_t* r, int32_t* g, int32_t* b, int64_t n,
+                  int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        int32_t gg = y[i] - ((cb[i] + cr[i]) >> 2);
+        r[i] = cr[i] + gg;
+        g[i] = gg;
+        b[i] = cb[i] + gg;
+    }
+    return 0;
+}
+
+// Fused ICT + DC shift (forward), float32 in the numpy op order.
+int ict_dc_forward(const int32_t* r, const int32_t* g, const int32_t* b,
+                   float* y, float* cb, float* cr, int64_t n, int32_t dc0,
+                   int32_t dc1, int32_t dc2, int32_t num_threads) {
+    const float m00 = 0.299f, m01 = 0.587f, m02 = 0.114f;
+    const float m10 = -0.168736f, m11 = -0.331264f, m12 = 0.5f;
+    const float m20 = 0.5f, m21 = -0.418688f, m22 = -0.081312f;
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        float rr = (float)(r[i] - dc0), gg = (float)(g[i] - dc1),
+              bb = (float)(b[i] - dc2);
+        y[i] = m00 * rr + m01 * gg + m02 * bb;
+        cb[i] = m10 * rr + m11 * gg + m12 * bb;
+        cr[i] = m20 * rr + m21 * gg + m22 * bb;
+    }
+    return 0;
+}
+
+int ict_inverse_c(const float* y, const float* cb, const float* cr, float* r,
+                  float* g, float* b, int64_t n, int32_t num_threads) {
+    const float m02 = 1.402f, m11 = -0.344136f, m12 = -0.714136f,
+                m21 = 1.772f;
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        r[i] = y[i] + m02 * cr[i];
+        g[i] = y[i] + m11 * cb[i] + m12 * cr[i];
+        b[i] = y[i] + m21 * cb[i];
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -269,7 +269,8 @@ int t2_encode_packets(
     const int32_t* cb_global, const int32_t* cb_cx, const int32_t* cb_cy,
     // per global T1 codeblock
     int64_t ncb, const uint8_t* cb_data, int64_t data_stride,
-    const int64_t* pass_rates, int32_t max_passes, const int32_t* cb_numbps,
+    int32_t data_off, const int64_t* pass_rates, int32_t max_passes,
+    const int32_t* cb_numbps,
     const int32_t* cb_npasses, const int32_t* cb_style,
     const int64_t* cum_passes, int32_t num_layers,  // [num_layers, ncb]
     // flags
@@ -448,7 +449,7 @@ int t2_encode_packets(
         for (size_t bi = 0; bi < body_src.size(); bi += 4) {
             int64_t g = body_src[bi + 1], off = body_src[bi + 2],
                     n = body_src[bi + 3];
-            if (!put(cb_data + g * data_stride + off, n)) return 1;
+            if (!put(cb_data + g * data_stride + data_off + off, n)) return 1;
         }
         pkt_lens[pk] = opos - start;
         if (ppt && hdr_lens) hdr_lens[pk] = hpos - hstart;
