@@ -132,6 +132,15 @@ def get_lib() -> ctypes.CDLL | None:
         i32 = ctypes.c_int32
         lib.hull_slopes.argtypes = [i64p, f64p, i32p, i64, i32, f64p, i32]
         lib.hull_slopes.restype = ctypes.c_int
+        lib.gather_segments.argtypes = [u8p, i32p, i64p, i64p, i64,
+                                        u8p, i64, i64p]
+        lib.gather_segments.restype = ctypes.c_int
+        lib.scatter_rows.argtypes = [i32p, i32, i32, i32p, i64, i32p, i32p,
+                                     i32p, i32p, i32p, i32, i32]
+        lib.scatter_rows.restype = ctypes.c_int
+        lib.gather_rows.argtypes = [i32p, i32, i32p, i64, i32p, i32p,
+                                    i32p, i32p, i32p, i32, i32, i32]
+        lib.gather_rows.restype = ctypes.c_int
         lib.rct_dc_forward.argtypes = [i32p, i32p, i32p, i32p, i32p, i32p,
                                        i64, i32, i32, i32, i32]
         lib.rct_dc_forward.restype = ctypes.c_int

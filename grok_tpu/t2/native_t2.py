@@ -47,6 +47,38 @@ class FlatTileT2:
                             cb_cy.append(cg.cy)
                             cb_style.append(sty)
                         cb_off.append(cb_off[-1] + len(prc.cblks))
+        # per-entry geometry for flat T1 batch assembly / scatter
+        e_comp, e_res, e_orient, e_h, e_w, e_py, e_px = [], [], [], [], [], [], []
+        for c in range(siz.num_comps):
+            g = geoms[c]
+            for res in g.resolutions:
+                for bi, band in enumerate(res.bands):
+                    if band.orient == 0:
+                        oy = ox = 0
+                    else:
+                        prev = g.resolutions[res.r - 1].rect
+                        oy = prev.height if band.orient in (2, 3) else 0
+                        ox = prev.width if band.orient in (1, 3) else 0
+                    for prc in band.precincts:
+                        for cg in prc.cblks:
+                            e_comp.append(c)
+                            e_res.append(res.r)
+                            e_orient.append(band.orient)
+                            e_h.append(cg.rect.height)
+                            e_w.append(cg.rect.width)
+                            if cg.rect.empty():
+                                e_py.append(0)
+                                e_px.append(0)
+                            else:
+                                e_py.append(cg.rect.y0 - band.rect.y0 + oy)
+                                e_px.append(cg.rect.x0 - band.rect.x0 + ox)
+        self.e_comp = np.asarray(e_comp, dtype=np.int32)
+        self.e_res = np.asarray(e_res, dtype=np.int32)
+        self.e_orient = np.asarray(e_orient, dtype=np.int32)
+        self.e_h = np.asarray(e_h, dtype=np.int32)
+        self.e_w = np.asarray(e_w, dtype=np.int32)
+        self.e_py = np.asarray(e_py, dtype=np.int32)
+        self.e_px = np.asarray(e_px, dtype=np.int32)
         self.prc_numbps = np.asarray(prc_numbps, dtype=np.int32)
         self.prc_gw = np.asarray(prc_gw, dtype=np.int32)
         self.prc_gh = np.asarray(prc_gh, dtype=np.int32)
@@ -166,7 +198,7 @@ def decode_packets(lib, flat: FlatTileT2, body, max_layers, use_sop, use_eph,
         if rc == 0:
             n = int(n_contrib[0])
             return entry_numbps, (out_entry[:n], out_np[:n], out_nb[:n],
-                                  out_off[:n])
+                                  out_off[:n]), body_arr
         if rc == 1:
             raise CorruptPacketError("packet parse error")
         max_contrib *= 4

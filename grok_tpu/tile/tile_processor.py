@@ -433,24 +433,130 @@ class TileProcessor:
     # ==================================================================
     # decode
     # ==================================================================
-    def decompress(
-        self, body: memoryview, max_layers: int = 0, reduce: int = 0,
-        packed_headers: bytes | None = None,
-    ) -> list[np.ndarray]:
-        """Decode a tile body into per-component arrays.
 
-        ``reduce`` discards that many highest resolution levels (the
-        cp_reduce fast path: high-res codeblocks are never entropy-decoded,
-        the inverse DWT runs fewer levels)."""
+    def _decompress_t1_flat(self, lib, body, max_layers, reduce,
+                            packed_headers, use_sop, use_eph, cbh, cbw,
+                            staging):
+        """Array-driven T2 parse + T1 decode + scatter (no per-cblk objects)."""
+        from ..t2 import native_t2
+
         siz, tcp = self.siz, self.tcp
         ncomp = siz.num_comps
-        irrev = tcp.tccps[0].irreversible
+        flat = getattr(self, "_flat_t2", None)
+        if flat is None:
+            flat = native_t2.FlatTileT2(siz, tcp, self.geoms, self.tile_rect)
+            self._flat_t2 = flat
+        entry_numbps, (c_entry, c_np, c_nb, c_off), body_arr = (
+            native_t2.decode_packets(
+                lib, flat, bytes(body), max_layers, use_sop, use_eph,
+                bytes(packed_headers) if packed_headers is not None else None,
+            )
+        )
+        te = len(flat.e_comp)
+        entry_np = np.zeros(te, dtype=np.int64)
+        entry_bytes = np.zeros(te, dtype=np.int64)
+        if len(c_entry):
+            np.add.at(entry_np, c_entry, c_np.astype(np.int64))
+            np.add.at(entry_bytes, c_entry, c_nb)
+        keep = (entry_np > 0) & (flat.e_h > 0) & (flat.e_w > 0)
+        if reduce:
+            numres = np.array(
+                [tcp.tccps[c].num_resolutions for c in range(ncomp)],
+                dtype=np.int32,
+            )
+            keep &= flat.e_res < (numres[flat.e_comp] - reduce)
+        sel = np.nonzero(keep)[0]
+        n = len(sel)
+        if n == 0:
+            return
+        row_of = np.full(te, -1, dtype=np.int32)
+        row_of[sel] = np.arange(n, dtype=np.int32)
+        lens = entry_bytes[sel]
+        maxlen = int(lens.max(initial=0))
+        data = np.zeros((n, max(maxlen, 1)), dtype=np.uint8)
+        cursors = np.zeros(n, dtype=np.int64)
+        if len(c_entry):
+            lib.gather_segments(
+                body_arr, np.ascontiguousarray(row_of[c_entry]),
+                np.ascontiguousarray(c_nb), np.ascontiguousarray(c_off),
+                len(c_entry), data, data.shape[1], cursors,
+            )
+        styles = flat.cb_style[sel]
+        nbps = entry_numbps[sel].astype(np.int64)
+        nps = entry_np[sel]
+        hs = flat.e_h[sel].astype(np.int64)
+        ws = flat.e_w[sel].astype(np.int64)
+        ors = flat.e_orient[sel].astype(np.int64)
 
-        # quantization info
+        seg_arr = None
+        if (styles & 0x05).any():
+            from ..t2.packets import _segment_splits
+
+            seg_lists = []
+            for ri in range(n):
+                if not (styles[ri] & 0x05):
+                    seg_lists.append([])
+                    continue
+                e = int(sel[ri])
+                idxs = np.nonzero(c_entry == e)[0]
+                targets = _segment_splits(int(styles[ri]), 0, int(nps[ri]))
+                merged = []
+                acc_b = acc_p = 0
+                ti2 = 0
+                for k in idxs:
+                    acc_b += int(c_nb[k])
+                    acc_p += int(c_np[k])
+                    while ti2 < len(targets) and acc_p >= targets[ti2]:
+                        acc_p -= targets[ti2]
+                        merged.append(acc_b)
+                        acc_b = 0
+                        ti2 += 1
+                if acc_b:
+                    merged.append(acc_b)
+                seg_lists.append(merged)
+            max_segs = max((len(sl) for sl in seg_lists), default=0)
+            if max_segs:
+                seg_arr = np.zeros((n, max(max_segs, 1)), dtype=np.int64)
+                for i2, sl in enumerate(seg_lists):
+                    if sl:
+                        seg_arr[i2, : len(sl)] = sl
+
+        if tcp.tccps[0].cblk_style & 0x40:
+            from ..t1 import ht as t1
+
+            coeffs, planes = t1.decode_cblks(
+                data, lens, nbps, nps, hs, ws, ors, cbh, cbw,
+            )
+        else:
+            t1 = select_backend()
+            _check_styles_supported(styles, t1)
+            coeffs, planes = t1.decode_cblks(
+                data, lens, nbps, nps, hs, ws, ors, cbh, cbw,
+                styles=styles.astype(np.int64), seg_lengths=seg_arr,
+            )
+        coeffs = np.ascontiguousarray(coeffs, dtype=np.int32)
+        rows_all = np.arange(n, dtype=np.int32)
+        comp_sel = flat.e_comp[sel]
         for c in range(ncomp):
-            apply_band_quant(self.geoms[c], tcp.tccps[c], self._comp_prec(c))
+            mask = comp_sel == c
+            if not mask.any():
+                continue
+            lib.scatter_rows(
+                coeffs, cbh, cbw,
+                np.ascontiguousarray(rows_all[mask]), int(mask.sum()),
+                np.ascontiguousarray(flat.e_py[sel][mask]),
+                np.ascontiguousarray(flat.e_px[sel][mask]),
+                np.ascontiguousarray(flat.e_h[sel][mask]),
+                np.ascontiguousarray(flat.e_w[sel][mask]),
+                staging[c], staging[c].shape[1], 0,
+            )
 
-        # ---- T2: parse packets
+    def _decompress_t1_objects(self, body, max_layers, reduce,
+                               packed_headers, use_sop, use_eph, cbh, cbw,
+                               staging):
+        """Reference per-object T2/T1 decode path (numpy fallback)."""
+        siz, tcp = self.siz, self.tcp
+        ncomp = siz.num_comps
         prc_ctx_map: dict[tuple[int, int, int, int], PrecinctCtx] = {}
         for c in range(ncomp):
             g = self.geoms[c]
@@ -462,69 +568,26 @@ class TileProcessor:
                         for ci in range(len(prc.cblks)):
                             ctx.cblks[ci] = CblkDec(style=sty)
                         prc_ctx_map[(c, res.r, bi, pi)] = ctx
+        pos = 0
+        hdr_reader = None
+        if packed_headers is not None:
+            from ..codestream.bitio import BitReader
 
-        use_sop = bool(tcp.csty & 0x02)
-        use_eph = bool(tcp.csty & 0x04)
-        import os
-
-        from ..t2 import native_t2
-
-        lib = native_t2.get_lib() if os.environ.get(
-            "GROK_TPU_NATIVE_OPS", "1") != "0" else None
-        if lib is not None:
-            flat = getattr(self, "_flat_t2", None)
-            if flat is None:
-                flat = native_t2.FlatTileT2(siz, tcp, self.geoms, self.tile_rect)
-                self._flat_t2 = flat
-            entry_numbps, (c_entry, c_np, c_nb, c_off) = native_t2.decode_packets(
-                lib, flat, bytes(body), max_layers, use_sop, use_eph,
-                bytes(packed_headers) if packed_headers is not None else None,
+            hdr_reader = BitReader(packed_headers, 0)
+        for pk in packet_order(siz, tcp, self.geoms, self.tile_rect):
+            if max_layers and pk.layer >= max_layers:
+                continue
+            res = self.geoms[pk.comp].resolutions[pk.res]
+            ctxs = [
+                prc_ctx_map[(pk.comp, pk.res, bi, pk.prec)]
+                for bi in range(len(res.bands))
+            ]
+            if pos >= len(body) and hdr_reader is None:
+                break  # truncated stream: remaining packets empty
+            pos = decode_packet(
+                body, pos, ctxs, pk.layer, use_sop, use_eph, hdr_reader
             )
-            mv = memoryview(bytes(body))
-            for key in flat.prc_keys:
-                base = flat.entry_of[key]
-                ctx = prc_ctx_map[key]
-                for ci in range(len(ctx.cblks)):
-                    nb = int(entry_numbps[base + ci])
-                    if nb >= 0:
-                        ctx.cblks[ci].numbps = nb
-                        ctx.cblks[ci].included = True
-            entry_to_cblk = {}
-            for key in flat.prc_keys:
-                base = flat.entry_of[key]
-                ctx = prc_ctx_map[key]
-                for ci, cb in enumerate(ctx.cblks):
-                    entry_to_cblk[base + ci] = cb
-            for i2 in range(len(c_entry)):
-                cb = entry_to_cblk[int(c_entry[i2])]
-                off = int(c_off[i2])
-                nb2 = int(c_nb[i2])
-                cb.segments.append(bytes(mv[off : off + nb2]))
-                cb.seg_passes.append(int(c_np[i2]))
-                cb.npasses += int(c_np[i2])
-        else:
-            pos = 0
-            hdr_reader = None
-            if packed_headers is not None:
-                from ..codestream.bitio import BitReader
 
-                hdr_reader = BitReader(packed_headers, 0)
-            for pk in packet_order(siz, tcp, self.geoms, self.tile_rect):
-                if max_layers and pk.layer >= max_layers:
-                    continue
-                res = self.geoms[pk.comp].resolutions[pk.res]
-                ctxs = [
-                    prc_ctx_map[(pk.comp, pk.res, bi, pk.prec)]
-                    for bi in range(len(res.bands))
-                ]
-                if pos >= len(body) and hdr_reader is None:
-                    break  # truncated stream: remaining packets empty
-                pos = decode_packet(
-                    body, pos, ctxs, pk.layer, use_sop, use_eph, hdr_reader
-                )
-
-        # ---- batch T1 decode
-        cbh, cbw = self._nominal_cblk()
         refs, datas, lens, nps, nbps, hs, ws, ors = [], [], [], [], [], [], [], []
         seg_lists = []
         for (c, r, bi, pi), ctx in prc_ctx_map.items():
@@ -550,7 +613,6 @@ class TileProcessor:
 
                     targets = _segment_splits(cb.style, 0, cb.npasses)
                     merged = []
-                    it = zip(cb.segments, cb.seg_passes)
                     acc_b, acc_p = 0, 0
                     ti2 = 0
                     for chunk, np_c in zip(cb.segments, cb.seg_passes):
@@ -567,6 +629,94 @@ class TileProcessor:
                 else:
                     seg_lists.append([])
 
+        if not refs:
+            return
+        n = len(refs)
+        maxlen = max(lens)
+        data = np.zeros((n, max(maxlen, 1)), dtype=np.uint8)
+        for i, d in enumerate(datas):
+            data[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
+        styles = np.array(
+            [tcp.tccps[r.comp].cblk_style & 0x3F for r in refs], dtype=np.int32
+        )
+        if tcp.tccps[0].cblk_style & 0x40:
+            from ..t1 import ht as t1
+
+            coeffs, planes = t1.decode_cblks(
+                data,
+                np.array(lens, dtype=np.int64),
+                np.array(nbps, dtype=np.int64),
+                np.array(nps, dtype=np.int64),
+                np.array(hs, dtype=np.int64),
+                np.array(ws, dtype=np.int64),
+                np.array(ors, dtype=np.int64),
+                cbh,
+                cbw,
+            )
+        else:
+            t1 = select_backend()
+            _check_styles_supported(styles, t1)
+            max_segs = max((len(sl) for sl in seg_lists), default=0)
+            seg_arr = None
+            if max_segs:
+                seg_arr = np.zeros((n, max(max_segs, 1)), dtype=np.int64)
+                for i2, sl in enumerate(seg_lists):
+                    if sl:
+                        seg_arr[i2, : len(sl)] = sl
+            coeffs, planes = t1.decode_cblks(
+                data,
+                np.array(lens, dtype=np.int64),
+                np.array(nbps, dtype=np.int64),
+                np.array(nps, dtype=np.int64),
+                np.array(hs, dtype=np.int64),
+                np.array(ws, dtype=np.int64),
+                np.array(ors, dtype=np.int64),
+                cbh,
+                cbw,
+                styles=styles,
+                seg_lengths=seg_arr,
+            )
+        coeffs = coeffs.astype(np.int32)
+        for i, ref in enumerate(refs):
+            g = self.geoms[ref.comp]
+            band = g.resolutions[ref.res].bands[ref.band_i]
+            cg = band.precincts[ref.prec].cblks[ref.cblk_i]
+            oy, ox = _band_origin_in_packed(g, ref.res, band.orient)
+            y0 = cg.rect.y0 - band.rect.y0 + oy
+            x0 = cg.rect.x0 - band.rect.x0 + ox
+            staging[ref.comp][
+                y0 : y0 + cg.rect.height, x0 : x0 + cg.rect.width
+            ] = coeffs[i, : cg.rect.height, : cg.rect.width]
+
+
+    def decompress(
+        self, body: memoryview, max_layers: int = 0, reduce: int = 0,
+        packed_headers: bytes | None = None,
+    ) -> list[np.ndarray]:
+        """Decode a tile body into per-component arrays.
+
+        ``reduce`` discards that many highest resolution levels (the
+        cp_reduce fast path: high-res codeblocks are never entropy-decoded,
+        the inverse DWT runs fewer levels)."""
+        siz, tcp = self.siz, self.tcp
+        ncomp = siz.num_comps
+        irrev = tcp.tccps[0].irreversible
+
+        # quantization info
+        for c in range(ncomp):
+            apply_band_quant(self.geoms[c], tcp.tccps[c], self._comp_prec(c))
+
+        # ---- T2: parse packets
+        use_sop = bool(tcp.csty & 0x02)
+        use_eph = bool(tcp.csty & 0x04)
+        import os
+
+        from ..t2 import native_t2
+
+        lib = native_t2.get_lib() if os.environ.get(
+            "GROK_TPU_NATIVE_OPS", "1") != "0" else None
+
+        cbh, cbw = self._nominal_cblk()
         coeff_arrays = []
         for c2, g in enumerate(self.geoms):
             top = max(g.num_resolutions - 1 - reduce, 0)
@@ -574,121 +724,71 @@ class TileProcessor:
             coeff_arrays.append(
                 np.zeros((rr.height, rr.width), dtype=np.float32 if irrev else np.int32)
             )
+        staging = (
+            coeff_arrays
+            if not irrev
+            else [np.zeros(a.shape, dtype=np.int32) for a in coeff_arrays]
+        )
 
-        if refs:
-            n = len(refs)
-            maxlen = max(lens)
-            data = np.zeros((n, max(maxlen, 1)), dtype=np.uint8)
-            for i, d in enumerate(datas):
-                data[i, : len(d)] = np.frombuffer(d, dtype=np.uint8)
-            styles = np.array(
-                [tcp.tccps[r.comp].cblk_style & 0x3F for r in refs], dtype=np.int32
+        if lib is not None:
+            self._decompress_t1_flat(
+                lib, body, max_layers, reduce, packed_headers, use_sop,
+                use_eph, cbh, cbw, staging,
             )
-            if tcp.tccps[0].cblk_style & 0x40:
-                from ..t1 import ht as t1
-
-                coeffs, planes = t1.decode_cblks(
-                    data,
-                    np.array(lens, dtype=np.int64),
-                    np.array(nbps, dtype=np.int64),
-                    np.array(nps, dtype=np.int64),
-                    np.array(hs, dtype=np.int64),
-                    np.array(ws, dtype=np.int64),
-                    np.array(ors, dtype=np.int64),
-                    cbh,
-                    cbw,
-                )
-            else:
-                t1 = select_backend()
-                _check_styles_supported(styles, t1)
-                max_segs = max((len(sl) for sl in seg_lists), default=0)
-                seg_arr = None
-                if max_segs:
-                    seg_arr = np.zeros((n, max(max_segs, 1)), dtype=np.int64)
-                    for i2, sl in enumerate(seg_lists):
-                        if sl:
-                            seg_arr[i2, : len(sl)] = sl
-                coeffs, planes = t1.decode_cblks(
-                    data,
-                    np.array(lens, dtype=np.int64),
-                    np.array(nbps, dtype=np.int64),
-                    np.array(nps, dtype=np.int64),
-                    np.array(hs, dtype=np.int64),
-                    np.array(ws, dtype=np.int64),
-                    np.array(ors, dtype=np.int64),
-                    cbh,
-                    cbw,
-                    styles=styles,
-                    seg_lengths=seg_arr,
-                )
-            coeffs = coeffs.astype(np.int32)
-            # scatter raw integer coefficients into staging band arrays;
-            # ROI unshift + dequant run vectorized per band afterwards
-            staging = (
-                coeff_arrays
-                if not irrev
-                else [
-                    np.zeros(a.shape, dtype=np.int32) for a in coeff_arrays
-                ]
+        else:
+            self._decompress_t1_objects(
+                body, max_layers, reduce, packed_headers, use_sop, use_eph,
+                cbh, cbw, staging,
             )
-            for i, ref in enumerate(refs):
-                g = self.geoms[ref.comp]
-                band = g.resolutions[ref.res].bands[ref.band_i]
-                cg = band.precincts[ref.prec].cblks[ref.cblk_i]
-                oy, ox = _band_origin_in_packed(g, ref.res, band.orient)
-                y0 = cg.rect.y0 - band.rect.y0 + oy
-                x0 = cg.rect.x0 - band.rect.x0 + ox
-                staging[ref.comp][
-                    y0 : y0 + cg.rect.height, x0 : x0 + cg.rect.width
-                ] = coeffs[i, : cg.rect.height, : cg.rect.width]
-            from ..ops import native_ops
 
-            for c2 in range(ncomp):
-                tccp2 = tcp.tccps[c2]
-                if tccp2.roi_shift:
-                    a2 = np.ascontiguousarray(staging[c2], dtype=np.int32)
-                    if native_ops.roi_unshift(a2, tccp2.roi_shift) is not None:
-                        staging[c2] = a2 if irrev else a2.astype(
-                            staging[c2].dtype, copy=False
-                        )
-                    else:
-                        a2 = staging[c2]
-                        mag = np.abs(a2)
-                        thresh = np.int32(1) << tccp2.roi_shift
-                        mag = np.where(
-                            mag >= thresh, mag >> tccp2.roi_shift, mag
-                        )
-                        staging[c2] = np.where(a2 < 0, -mag, mag).astype(
-                            a2.dtype if not irrev else np.int32
-                        )
-                if irrev:
-                    g2 = self.geoms[c2]
-                    a2 = staging[c2]
-                    out2 = coeff_arrays[c2]
-                    top = max(g2.num_resolutions - 1 - reduce, 0)
-                    bands2 = [
-                        (*_band_origin_in_packed(g2, res2.r, band2.orient),
-                         band2.rect.height, band2.rect.width, band2.step)
-                        for res2 in g2.resolutions[: top + 1]
-                        for band2 in res2.bands
-                    ]
-                    deq = native_ops.dequant_bands(
-                        np.ascontiguousarray(a2, dtype=np.int32), bands2
+        from ..ops import native_ops
+
+        for c2 in range(ncomp):
+            tccp2 = tcp.tccps[c2]
+            if tccp2.roi_shift:
+                a2 = np.ascontiguousarray(staging[c2], dtype=np.int32)
+                if native_ops.roi_unshift(a2, tccp2.roi_shift) is not None:
+                    staging[c2] = a2 if irrev else a2.astype(
+                        staging[c2].dtype, copy=False
                     )
-                    if deq is not None:
-                        coeff_arrays[c2] = deq
-                    else:
-                        for (oy2, ox2, bh2, bw2, step2) in bands2:
-                            sl2 = (slice(oy2, oy2 + bh2),
-                                   slice(ox2, ox2 + bw2))
-                            q2 = a2[sl2].astype(np.float32)
-                            mag2 = np.abs(q2)
-                            rec2 = np.where(
-                                mag2 > 0,
-                                (mag2 + np.float32(0.5)) * np.float32(step2),
-                                np.float32(0.0),
-                            )
-                            out2[sl2] = np.where(q2 < 0, -rec2, rec2)
+                else:
+                    a2 = staging[c2]
+                    mag = np.abs(a2)
+                    thresh = np.int32(1) << tccp2.roi_shift
+                    mag = np.where(
+                        mag >= thresh, mag >> tccp2.roi_shift, mag
+                    )
+                    staging[c2] = np.where(a2 < 0, -mag, mag).astype(
+                        a2.dtype if not irrev else np.int32
+                    )
+            if irrev:
+                g2 = self.geoms[c2]
+                a2 = staging[c2]
+                out2 = coeff_arrays[c2]
+                top = max(g2.num_resolutions - 1 - reduce, 0)
+                bands2 = [
+                    (*_band_origin_in_packed(g2, res2.r, band2.orient),
+                     band2.rect.height, band2.rect.width, band2.step)
+                    for res2 in g2.resolutions[: top + 1]
+                    for band2 in res2.bands
+                ]
+                deq = native_ops.dequant_bands(
+                    np.ascontiguousarray(a2, dtype=np.int32), bands2
+                )
+                if deq is not None:
+                    coeff_arrays[c2] = deq
+                else:
+                    for (oy2, ox2, bh2, bw2, step2) in bands2:
+                        sl2 = (slice(oy2, oy2 + bh2),
+                               slice(ox2, ox2 + bw2))
+                        q2 = a2[sl2].astype(np.float32)
+                        mag2 = np.abs(q2)
+                        rec2 = np.where(
+                            mag2 > 0,
+                            (mag2 + np.float32(0.5)) * np.float32(step2),
+                            np.float32(0.0),
+                        )
+                        out2[sl2] = np.where(q2 < 0, -rec2, rec2)
 
         # ---- inverse DWT (fewer levels under resolution reduction)
         out = []

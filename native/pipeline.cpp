@@ -714,4 +714,58 @@ int ict_inverse_c(const float* y, const float* cb, const float* cr, float* r,
     return 0;
 }
 
+// Copy packet-body contributions into padded per-codeblock rows.
+int gather_segments(const uint8_t* body, const int32_t* c_row,
+                    const int64_t* c_nb, const int64_t* c_off,
+                    int64_t ncontrib, uint8_t* dst, int64_t stride,
+                    int64_t* row_cursor) {
+    for (int64_t i = 0; i < ncontrib; i++) {
+        int32_t r = c_row[i];
+        if (r < 0) continue;
+        std::memcpy(dst + (int64_t)r * stride + row_cursor[r],
+                    body + c_off[i], (size_t)c_nb[i]);
+        row_cursor[r] += c_nb[i];
+    }
+    return 0;
+}
+
+// Scatter decoded [N, BH, BW] batch rows into a packed int32 plane.
+int scatter_rows(const int32_t* batch, int32_t BH, int32_t BW,
+                 const int32_t* rows, int64_t nrows, const int32_t* y0s,
+                 const int32_t* x0s, const int32_t* hs, const int32_t* ws,
+                 int32_t* dst, int32_t dstW, int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+    for (int64_t i = 0; i < nrows; i++) {
+        int32_t r = rows[i];
+        const int32_t* src = batch + (int64_t)r * BH * BW;
+        for (int y = 0; y < hs[i]; y++)
+            std::memcpy(dst + (int64_t)(y0s[i] + y) * dstW + x0s[i],
+                        src + (int64_t)y * BW, (size_t)ws[i] * 4);
+    }
+    return 0;
+}
+
+// Gather codeblock rows from a packed int32 plane into the batch.
+int gather_rows(const int32_t* src, int32_t srcW, const int32_t* rows,
+                int64_t nrows, const int32_t* y0s, const int32_t* x0s,
+                const int32_t* hs, const int32_t* ws, int32_t* batch,
+                int32_t BH, int32_t BW, int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+    for (int64_t i = 0; i < nrows; i++) {
+        int32_t r = rows[i];
+        int32_t* dstrow = batch + (int64_t)r * BH * BW;
+        for (int y = 0; y < hs[i]; y++)
+            std::memcpy(dstrow + (int64_t)y * BW,
+                        src + (int64_t)(y0s[i] + y) * srcW + x0s[i],
+                        (size_t)ws[i] * 4);
+    }
+    return 0;
+}
+
 }  // extern "C"
