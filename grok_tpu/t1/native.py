@@ -41,6 +41,7 @@ def _build() -> str | None:
         return out
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", "-std=c++17",
            "-ffp-contract=off",  # keep float op-for-op identical to numpy
+           "-march=native",  # built at runtime on the machine that runs it
            "-o", out, *srcs]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=240)

@@ -448,6 +448,9 @@ struct BlockCtx {
     bool vsc;
     uint32_t* flags;  // padded flags plane
     uint32_t* mag;    // padded |coefficient| plane
+    uint64_t* colact = nullptr;  // per-stripe column-activity bits (w <= 64)
+    bool use_bits = false;
+    uint64_t wmask = 0;
     uint32_t vmask[4];
 
     inline int idx(int y, int x) const { return (y + 1) * stride + (x + 1); }
@@ -457,8 +460,15 @@ struct BlockCtx {
         vmask[3] = vsc ? ~F_VSC_CUT : ~0u;
     }
 
-    // call when padded index i becomes significant with sign neg (0/nonzero)
-    inline void mark_sig(int i, uint32_t neg) {
+    void init_colact(uint64_t* buf) {
+        colact = buf;
+        use_bits = w <= 64;
+        wmask = w >= 64 ? ~0ULL : ((1ULL << w) - 1);
+        if (use_bits) std::memset(colact, 0, ((h + 3) / 4) * sizeof(uint64_t));
+    }
+
+    // call when block position (y, x) / padded index i becomes significant
+    inline void mark_sig(int i, uint32_t neg, int y, int x) {
         const int s = stride;
         flags[i] |= F_SIG | (neg ? F_SELF_SGN : 0u);
         flags[i - 1] |= F_E | (neg ? F_SGN_E : 0u);
@@ -469,6 +479,12 @@ struct BlockCtx {
         flags[i - s + 1] |= F_SW;
         flags[i + s - 1] |= F_NE;
         flags[i + s + 1] |= F_NW;
+        if (use_bits) {
+            uint64_t m = (x > 0 ? 7ULL << (x - 1) : 3ULL) & wmask;
+            colact[y >> 2] |= m;
+            if (y > 0) colact[(y - 1) >> 2] |= m;
+            if (y + 1 < h) colact[(y + 1) >> 2] |= m;
+        }
     }
 };
 
@@ -478,11 +494,8 @@ static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
     const int s = B.stride;
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
-        for (int x = 0; x < B.w; x++) {
+        auto col = [&](int x) __attribute__((always_inline)) {
             int i0 = B.idx(y0, x);
-            uint32_t any = 0;
-            for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
-            if (!(any & F_NBR)) continue;  // nothing codeable in this column
             for (int k = 0; k < rows; k++) {
                 int i = i0 + k * s;
                 uint32_t f = B.flags[i] & B.vmask[k];
@@ -502,9 +515,30 @@ static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                         mq.encode((int)((neg ? 1u : 0u) ^ FL.sc_xor[si]),
                                   FL.sc_ctx[si]);
                     }
-                    B.mark_sig(i, neg);
+                    B.mark_sig(i, neg, y0 + k, x);
                     *dist += dd_sig((int64_t)B.mag[i], plane);
                 }
+            }
+        };
+        if (B.use_bits) {
+            int str = y0 >> 2;
+            uint64_t done = 0;
+            for (;;) {
+                uint64_t avail = B.colact[str] & B.wmask & ~done;
+                if (!avail) break;
+                int x = __builtin_ctzll(avail);
+                // strictly left-to-right: a bit newly set at x-1 by a
+                // mark_sig during col(x) must not be revisited this pass
+                done |= (2ULL << x) - 1;
+                col(x);
+            }
+        } else {
+            for (int x = 0; x < B.w; x++) {
+                int i0 = B.idx(y0, x);
+                uint32_t any = 0;
+                for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
+                if (!(any & F_NBR)) continue;
+                col(x);
             }
         }
     }
@@ -515,11 +549,8 @@ static void enc_mrp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
     const int s = B.stride;
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
-        for (int x = 0; x < B.w; x++) {
+        auto col = [&](int x) __attribute__((always_inline)) {
             int i0 = B.idx(y0, x);
-            uint32_t any = 0;
-            for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
-            if (!(any & F_SIG)) continue;
             for (int k = 0; k < rows; k++) {
                 int i = i0 + k * s;
                 uint32_t f = B.flags[i];
@@ -537,6 +568,22 @@ static void enc_mrp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                 B.flags[i] |= F_REFINED;
                 *dist += dd_ref((int64_t)B.mag[i], plane);
             }
+        };
+        if (B.use_bits) {
+            uint64_t avail = B.colact[y0 >> 2] & B.wmask;
+            while (avail) {
+                int x = __builtin_ctzll(avail);
+                avail &= avail - 1;
+                col(x);
+            }
+        } else {
+            for (int x = 0; x < B.w; x++) {
+                int i0 = B.idx(y0, x);
+                uint32_t any = 0;
+                for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
+                if (!(any & F_SIG)) continue;
+                col(x);
+            }
         }
     }
 }
@@ -547,15 +594,20 @@ static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         bool full = rows == 4;
+        int str = y0 >> 2;
         for (int x = 0; x < B.w; x++) {
             int i0 = B.idx(y0, x);
             int first_k = 4;
             bool rl = false;
             if (full) {
-                uint32_t any = 0;
-                for (int k = 0; k < 4; k++)
-                    any |= B.flags[i0 + k * s] & B.vmask[k];
-                rl = (any & (F_SIG | F_VISITED | F_NBR)) == 0;
+                if (B.use_bits && !((B.colact[str] >> x) & 1)) {
+                    rl = true;  // untouched column: provably all-clear
+                } else {
+                    uint32_t any = 0;
+                    for (int k = 0; k < 4; k++)
+                        any |= B.flags[i0 + k * s] & B.vmask[k];
+                    rl = (any & (F_SIG | F_VISITED | F_NBR)) == 0;
+                }
             }
             if (rl) {
                 for (int k = 0; k < 4; k++)
@@ -585,7 +637,7 @@ static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                     uint32_t si = sc_index(f & B.vmask[k]);
                     mq.encode((int)((neg ? 1u : 0u) ^ FL.sc_xor[si]),
                               FL.sc_ctx[si]);
-                    B.mark_sig(i, neg);
+                    B.mark_sig(i, neg, y0 + k, x);
                     *dist += dd_sig((int64_t)B.mag[i], plane);
                 }
             }
@@ -604,11 +656,8 @@ static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
     const int s = B.stride;
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
-        for (int x = 0; x < B.w; x++) {
+        auto col = [&](int x) __attribute__((always_inline)) {
             int i0 = B.idx(y0, x);
-            uint32_t any = 0;
-            for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
-            if (!(any & F_NBR)) continue;
             for (int k = 0; k < rows; k++) {
                 int i = i0 + k * s;
                 uint32_t f = B.flags[i] & B.vmask[k];
@@ -626,8 +675,29 @@ static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
                               FL.sc_xor[si];
                     }
                     B.mag[i] |= 1u << plane;
-                    B.mark_sig(i, neg);
+                    B.mark_sig(i, neg, y0 + k, x);
                 }
+            }
+        };
+        if (B.use_bits) {
+            int str = y0 >> 2;
+            uint64_t done = 0;
+            for (;;) {
+                uint64_t avail = B.colact[str] & B.wmask & ~done;
+                if (!avail) break;
+                int x = __builtin_ctzll(avail);
+                // strictly left-to-right: a bit newly set at x-1 by a
+                // mark_sig during col(x) must not be revisited this pass
+                done |= (2ULL << x) - 1;
+                col(x);
+            }
+        } else {
+            for (int x = 0; x < B.w; x++) {
+                int i0 = B.idx(y0, x);
+                uint32_t any = 0;
+                for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
+                if (!(any & F_NBR)) continue;
+                col(x);
             }
         }
     }
@@ -637,11 +707,8 @@ static void dec_mrp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
     const int s = B.stride;
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
-        for (int x = 0; x < B.w; x++) {
+        auto col = [&](int x) __attribute__((always_inline)) {
             int i0 = B.idx(y0, x);
-            uint32_t any = 0;
-            for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
-            if (!(any & F_SIG)) continue;
             for (int k = 0; k < rows; k++) {
                 int i = i0 + k * s;
                 uint32_t f = B.flags[i];
@@ -659,6 +726,22 @@ static void dec_mrp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
                 if (bit) B.mag[i] |= 1u << plane;
                 B.flags[i] |= F_REFINED;
             }
+        };
+        if (B.use_bits) {
+            uint64_t avail = B.colact[y0 >> 2] & B.wmask;
+            while (avail) {
+                int x = __builtin_ctzll(avail);
+                avail &= avail - 1;
+                col(x);
+            }
+        } else {
+            for (int x = 0; x < B.w; x++) {
+                int i0 = B.idx(y0, x);
+                uint32_t any = 0;
+                for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
+                if (!(any & F_SIG)) continue;
+                col(x);
+            }
         }
     }
 }
@@ -668,15 +751,20 @@ static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         bool full = rows == 4;
+        int str = y0 >> 2;
         for (int x = 0; x < B.w; x++) {
             int i0 = B.idx(y0, x);
             int first_k = 0;
             bool rl = false;
             if (full) {
-                uint32_t any = 0;
-                for (int k = 0; k < 4; k++)
-                    any |= B.flags[i0 + k * s] & B.vmask[k];
-                rl = (any & (F_SIG | F_VISITED | F_NBR)) == 0;
+                if (B.use_bits && !((B.colact[str] >> x) & 1)) {
+                    rl = true;
+                } else {
+                    uint32_t any = 0;
+                    for (int k = 0; k < 4; k++)
+                        any |= B.flags[i0 + k * s] & B.vmask[k];
+                    rl = (any & (F_SIG | F_VISITED | F_NBR)) == 0;
+                }
             }
             if (rl) {
                 if (!mq.decode(CTX_RL)) continue;
@@ -700,7 +788,7 @@ static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
                     uint32_t neg =
                         (uint32_t)mq.decode(FL.sc_ctx[si]) ^ FL.sc_xor[si];
                     B.mag[i] |= 1u << plane;
-                    B.mark_sig(i, neg);
+                    B.mark_sig(i, neg, y0 + k, x);
                 }
             }
         }
@@ -737,6 +825,7 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
         // per-thread workspace: packed flags + magnitude planes
         uint32_t* flags = new uint32_t[plane_sz];
         uint32_t* mag = new uint32_t[plane_sz];
+        uint64_t* colact = new uint64_t[(H + 3) / 4 + 1];
 
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
@@ -775,6 +864,7 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
             BlockCtx B{h, w, orients[b], stride,
                        (style & STY_VSC) != 0, flags, mag};
             B.init_vmask();
+            B.init_colact(colact);
             MQEncoder mq;
             mq.init(out_data + b * max_bytes, max_bytes);
             bool reset = (style & STY_RESET) != 0;
@@ -850,6 +940,7 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
         }
         delete[] flags;
         delete[] mag;
+        delete[] colact;
     }
     return 0;
 }
@@ -872,6 +963,7 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
     {
         uint32_t* flags = new uint32_t[plane_sz];
         uint32_t* mag = new uint32_t[plane_sz];
+        uint64_t* colact = new uint64_t[(H + 3) / 4 + 1];
 
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
@@ -891,6 +983,7 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
             BlockCtx B{h, w, orients[b], stride,
                        (style & STY_VSC) != 0, flags, mag};
             B.init_vmask();
+            B.init_colact(colact);
             bool reset = (style & STY_RESET) != 0;
             bool segsym = (style & STY_SEGSYM) != 0;
             bool termall = (style & STY_TERMALL) != 0;
@@ -960,6 +1053,7 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
         }
         delete[] flags;
         delete[] mag;
+        delete[] colact;
     }
     return 0;
 }
