@@ -49,10 +49,14 @@ class FlatTileT2:
                         cb_off.append(cb_off[-1] + len(prc.cblks))
         # per-entry geometry for flat T1 batch assembly / scatter
         e_comp, e_res, e_orient, e_h, e_w, e_py, e_px = [], [], [], [], [], [], []
+        e_band = []
+        self.band_keys: list[tuple[int, int, int]] = []
         for c in range(siz.num_comps):
             g = geoms[c]
             for res in g.resolutions:
                 for bi, band in enumerate(res.bands):
+                    self.band_keys.append((c, res.r, bi))
+                    band_id = len(self.band_keys) - 1
                     if band.orient == 0:
                         oy = ox = 0
                     else:
@@ -61,6 +65,7 @@ class FlatTileT2:
                         ox = prev.width if band.orient in (1, 3) else 0
                     for prc in band.precincts:
                         for cg in prc.cblks:
+                            e_band.append(band_id)
                             e_comp.append(c)
                             e_res.append(res.r)
                             e_orient.append(band.orient)
@@ -79,6 +84,7 @@ class FlatTileT2:
         self.e_w = np.asarray(e_w, dtype=np.int32)
         self.e_py = np.asarray(e_py, dtype=np.int32)
         self.e_px = np.asarray(e_px, dtype=np.int32)
+        self.e_band = np.asarray(e_band, dtype=np.int32)
         self.prc_numbps = np.asarray(prc_numbps, dtype=np.int32)
         self.prc_gw = np.asarray(prc_gw, dtype=np.int32)
         self.prc_gh = np.asarray(prc_gh, dtype=np.int32)
@@ -103,11 +109,16 @@ class FlatTileT2:
 def encode_packets(lib, flat: FlatTileT2, refs, t1res, cum_passes,
                    num_layers, use_sop, use_eph, ppt):
     """Emit all packets natively; returns (body, pkt_lens, headers|None)."""
-    ncb = len(refs)
-    cb_global = np.full(len(flat.cb_cx), -1, dtype=np.int32)
-    for i, ref in enumerate(refs):
-        e = flat.entry_of[(ref.comp, ref.res, ref.band_i, ref.prec)] + ref.cblk_i
-        cb_global[e] = i
+    if refs is None:
+        # flat encode path: entry e IS global codeblock e (same iteration order)
+        ncb = len(flat.cb_cx)
+        cb_global = np.arange(ncb, dtype=np.int32)
+    else:
+        ncb = len(refs)
+        cb_global = np.full(len(flat.cb_cx), -1, dtype=np.int32)
+        for i, ref in enumerate(refs):
+            e = flat.entry_of[(ref.comp, ref.res, ref.band_i, ref.prec)] + ref.cblk_i
+            cb_global[e] = i
     if t1res.raw_data is not None:
         data, data_off = t1res.raw_data
         data = np.ascontiguousarray(data)  # no-op when already contiguous

@@ -198,47 +198,85 @@ class TileProcessor:
 
         # ---- gather codeblocks into one preallocated batch
         cbh, cbw = self._nominal_cblk()
-        refs: list[_CblkRef] = []
-        slots = []  # (band array, y0, x0, h, w)
-        hs, ws, ors = [], [], []
-        for c in range(ncomp):
-            g = self.geoms[c]
-            arr = coeff_arrays[c]
-            for res in g.resolutions:
-                for bi, band in enumerate(res.bands):
-                    oy, ox = _band_origin_in_packed(g, res.r, band.orient)
-                    for pi, prc in enumerate(band.precincts):
-                        for ci, cg in enumerate(prc.cblks):
-                            rect = cg.rect
-                            refs.append(_CblkRef(c, res.r, bi, pi, ci))
-                            ors.append(band.orient)
-                            if rect.empty():
-                                slots.append(None)
-                                hs.append(0)
-                                ws.append(0)
-                                continue
-                            y0 = rect.y0 - band.rect.y0 + oy
-                            x0 = rect.x0 - band.rect.x0 + ox
-                            slots.append((arr, y0, x0, rect.height, rect.width))
-                            hs.append(rect.height)
-                            ws.append(rect.width)
+        import os
 
-        n = len(refs)
-        if n == 0:
-            return b"", []
-        batch = np.zeros((n, cbh, cbw), dtype=np.int32)
-        for i, sl in enumerate(slots):
-            if sl is None:
-                continue
-            arr, y0, x0, bh2, bw2 = sl
-            batch[i, :bh2, :bw2] = arr[y0 : y0 + bh2, x0 : x0 + bw2]
-        heights = np.array(hs, dtype=np.int64)
-        widths = np.array(ws, dtype=np.int64)
-        orients = np.array(ors, dtype=np.int64)
+        from ..t2 import native_t2
 
-        styles = np.array(
-            [tcp.tccps[r.comp].cblk_style & 0x3F for r in refs], dtype=np.int32
-        )
+        t2lib = native_t2.get_lib() if os.environ.get(
+            "GROK_TPU_NATIVE_OPS", "1") != "0" else None
+        refs = None
+        if t2lib is not None:
+            # flat path: entry order == ref order; native per-component gather
+            flat = getattr(self, "_flat_t2", None)
+            if flat is None:
+                flat = native_t2.FlatTileT2(siz, tcp, self.geoms, self.tile_rect)
+                self._flat_t2 = flat
+            n = len(flat.e_comp)
+            if n == 0:
+                return b"", []
+            batch = np.zeros((n, cbh, cbw), dtype=np.int32)
+            rows_all = np.arange(n, dtype=np.int32)
+            nonempty = flat.e_h > 0
+            for c in range(ncomp):
+                mask = (flat.e_comp == c) & nonempty
+                if not mask.any():
+                    continue
+                arr = np.ascontiguousarray(coeff_arrays[c], dtype=np.int32)
+                t2lib.gather_rows(
+                    arr, arr.shape[1],
+                    np.ascontiguousarray(rows_all[mask]), int(mask.sum()),
+                    np.ascontiguousarray(flat.e_py[mask]),
+                    np.ascontiguousarray(flat.e_px[mask]),
+                    np.ascontiguousarray(flat.e_h[mask]),
+                    np.ascontiguousarray(flat.e_w[mask]),
+                    batch, cbh, cbw, 0,
+                )
+            heights = flat.e_h.astype(np.int64)
+            widths = flat.e_w.astype(np.int64)
+            orients = flat.e_orient.astype(np.int64)
+            styles = flat.cb_style
+        else:
+            refs = []
+            slots = []  # (band array, y0, x0, h, w)
+            hs, ws, ors = [], [], []
+            for c in range(ncomp):
+                g = self.geoms[c]
+                arr = coeff_arrays[c]
+                for res in g.resolutions:
+                    for bi, band in enumerate(res.bands):
+                        oy, ox = _band_origin_in_packed(g, res.r, band.orient)
+                        for pi, prc in enumerate(band.precincts):
+                            for ci, cg in enumerate(prc.cblks):
+                                rect = cg.rect
+                                refs.append(_CblkRef(c, res.r, bi, pi, ci))
+                                ors.append(band.orient)
+                                if rect.empty():
+                                    slots.append(None)
+                                    hs.append(0)
+                                    ws.append(0)
+                                    continue
+                                y0 = rect.y0 - band.rect.y0 + oy
+                                x0 = rect.x0 - band.rect.x0 + ox
+                                slots.append((arr, y0, x0, rect.height, rect.width))
+                                hs.append(rect.height)
+                                ws.append(rect.width)
+
+            n = len(refs)
+            if n == 0:
+                return b"", []
+            batch = np.zeros((n, cbh, cbw), dtype=np.int32)
+            for i, sl in enumerate(slots):
+                if sl is None:
+                    continue
+                arr, y0, x0, bh2, bw2 = sl
+                batch[i, :bh2, :bw2] = arr[y0 : y0 + bh2, x0 : x0 + bw2]
+            heights = np.array(hs, dtype=np.int64)
+            widths = np.array(ws, dtype=np.int64)
+            orients = np.array(ors, dtype=np.int64)
+
+            styles = np.array(
+                [tcp.tccps[r.comp].cblk_style & 0x3F for r in refs], dtype=np.int32
+            )
         if tcp.tccps[0].cblk_style & 0x40:
             from ..t1 import ht as t1
 
@@ -375,7 +413,7 @@ class TileProcessor:
 
         tcp = self.tcp
         num_layers = tcp.num_layers
-        n = len(refs)
+        n = len(t1res.npasses)
         p = self.enc_params
         rates_cfg = getattr(p, "layer_rates", None) if p is not None else None
         psnrs_cfg = getattr(p, "layer_psnrs", None) if p is not None else None
@@ -385,15 +423,26 @@ class TileProcessor:
 
         # distortion weights: (step * band-synthesis-norm * mct-weight)^2
         mct_w = self._mct_weights()
-        w2 = np.ones(n, dtype=np.float64)
-        for i, ref in enumerate(refs):
-            g = self.geoms[ref.comp]
-            band = g.resolutions[ref.res].bands[ref.band_i]
-            tccp = tcp.tccps[ref.comp]
+
+        def band_w2(c, r, bi):
+            band = self.geoms[c].resolutions[r].bands[bi]
+            tccp = tcp.tccps[c]
             nl = tccp.num_resolutions - 1
             lvl = band.level if band.orient != 0 else nl
             bn = band_norm(tccp.irreversible, band.orient, lvl)
-            w2[i] = (band.step * bn * mct_w[ref.comp]) ** 2
+            return (band.step * bn * mct_w[c]) ** 2
+
+        if refs is None:
+            flat = self._flat_t2
+            per_band = np.array(
+                [band_w2(c, r, bi) for (c, r, bi) in flat.band_keys],
+                dtype=np.float64,
+            )
+            w2 = per_band[flat.e_band]
+        else:
+            w2 = np.ones(n, dtype=np.float64)
+            for i, ref in enumerate(refs):
+                w2[i] = band_w2(ref.comp, ref.res, ref.band_i)
         dists = t1res.pass_dist * w2[:, None]
 
         # cumulative byte targets per layer (minus any measured overshoot)

@@ -157,7 +157,10 @@ static void vert_lift(T* a, int h, int w, int stride, int P, Step1 st1,
     int sn = sn_of(h, P), dn = h - sn;
     auto S = [&](int i) { return a + (size_t)(2 * i + P) * stride; };
     auto D = [&](int j) { return a + (size_t)(2 * j + 1 - P) * stride; };
-    // step over d rows
+    // step over d rows (independent per row: parallel)
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if ((int64_t)dn * w > 65536)
+#endif
     for (int j = 0; j < dn; j++) {
         const T *l, *r;
         if (P == 0) {
@@ -170,6 +173,9 @@ static void vert_lift(T* a, int h, int w, int stride, int P, Step1 st1,
         st1(D(j), l, r, w);
     }
     // step over s rows
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if ((int64_t)sn * w > 65536)
+#endif
     for (int i = 0; i < sn; i++) {
         const T *l, *r;
         if (P == 0) {
@@ -190,6 +196,9 @@ static void vert_lift_packed(T* a, int h, int w, int stride, int P, Step1 st2,
     int sn = sn_of(h, P), dn = h - sn;
     auto S = [&](int i) { return a + (size_t)i * stride; };
     auto D = [&](int j) { return a + (size_t)(sn + j) * stride; };
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if ((int64_t)sn * w > 65536)
+#endif
     for (int i = 0; i < sn; i++) {
         const T *l, *r;
         if (P == 0) {
@@ -201,6 +210,9 @@ static void vert_lift_packed(T* a, int h, int w, int stride, int P, Step1 st2,
         }
         st2(S(i), l, r, w);
     }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if ((int64_t)dn * w > 65536)
+#endif
     for (int j = 0; j < dn; j++) {
         const T *l, *r;
         if (P == 0) {
@@ -225,6 +237,9 @@ static void deinterleave_rows(T* a, int h, int w, int stride, int P,
         std::memcpy(scratch + (size_t)(sn + j) * w,
                     a + (size_t)(2 * j + 1 - P) * stride,
                     (size_t)w * sizeof(T));
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if ((int64_t)h * w > 65536)
+#endif
     for (int y = 0; y < h; y++)
         std::memcpy(a + (size_t)y * stride, scratch + (size_t)y * w,
                     (size_t)w * sizeof(T));
