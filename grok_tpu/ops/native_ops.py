@@ -102,24 +102,27 @@ def roi_unshift(arr: np.ndarray, shift: int, num_threads: int = 0):
 
 
 def finish_irrev(arr: np.ndarray, off: float, lo: int, hi: int,
-                 num_threads: int = 0):
-    """clip(floor(a + float32(0.5 + off)), lo, hi) -> int32."""
+                 num_threads: int = 0, in_place: bool = False):
+    """clip(floor(a + float32(0.5 + off)), lo, hi) -> int32.
+
+    With in_place, the float32 buffer is reused as the int32 output (same
+    element size; the kernel is read-then-write per element)."""
     lib = get_lib()
     if lib is None or arr.dtype != np.float32 or not arr.flags.c_contiguous:
         return None
-    out = np.empty(arr.shape, dtype=np.int32)
+    out = arr.view(np.int32) if in_place else np.empty(arr.shape, dtype=np.int32)
     lib.finish_irrev(arr.reshape(-1), out.reshape(-1), arr.size,
                      np.float32(0.5 + off), lo, hi, num_threads)
     return out
 
 
 def finish_rev(arr: np.ndarray, add: int, lo: int, hi: int,
-               num_threads: int = 0):
+               num_threads: int = 0, in_place: bool = False):
     """clip(a + add, lo, hi) int32."""
     lib = get_lib()
     if lib is None or arr.dtype != np.int32 or not arr.flags.c_contiguous:
         return None
-    out = np.empty(arr.shape, dtype=np.int32)
+    out = arr if in_place else np.empty(arr.shape, dtype=np.int32)
     lib.finish_rev(arr.reshape(-1), out.reshape(-1), arr.size, add, lo, hi,
                    num_threads)
     return out

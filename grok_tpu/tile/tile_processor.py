@@ -861,18 +861,14 @@ class TileProcessor:
                      else out[0].dtype == np.int32)
             )
             if fused:
+                # in place: the kernels are read-then-write per element
                 nel = out[0].size
                 if irrev:
-                    res3 = [np.empty(out[0].shape, dtype=np.float32)
-                            for _ in range(3)]
                     _nlib.ict_inverse_c(out[0], out[1], out[2],
-                                        res3[0], res3[1], res3[2], nel, 0)
+                                        out[0], out[1], out[2], nel, 0)
                 else:
-                    res3 = [np.empty(out[0].shape, dtype=np.int32)
-                            for _ in range(3)]
                     _nlib.rct_inverse_c(out[0], out[1], out[2],
-                                        res3[0], res3[1], res3[2], nel, 0)
-                out[0], out[1], out[2] = res3
+                                        out[0], out[1], out[2], nel, 0)
             elif irrev:
                 r, gg, b = mct_ops.ict_inverse(np, out[0], out[1], out[2])
                 out[0], out[1], out[2] = r, gg, b
@@ -891,7 +887,8 @@ class TileProcessor:
                 lo = -(1 << (prec2 - 1)) if signed2 else 0
                 hi = (1 << (prec2 - 1)) - 1 if signed2 else (1 << prec2) - 1
                 fused = native_ops.finish_irrev(
-                    np.ascontiguousarray(a, dtype=np.float32), off, lo, hi
+                    np.ascontiguousarray(a, dtype=np.float32), off, lo, hi,
+                    in_place=True,
                 )
                 if fused is not None:
                     a = fused
@@ -906,7 +903,7 @@ class TileProcessor:
                 fused = None
                 if a.dtype == np.int32:
                     fused = native_ops.finish_rev(
-                        np.ascontiguousarray(a), add, lo, hi
+                        np.ascontiguousarray(a), add, lo, hi, in_place=True
                     )
                 if fused is not None:
                     a = fused

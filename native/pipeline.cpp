@@ -684,10 +684,12 @@ int rct_inverse_c(const int32_t* y, const int32_t* cb, const int32_t* cr,
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t i = 0; i < n; i++) {
-        int32_t gg = y[i] - ((cb[i] + cr[i]) >> 2);
-        r[i] = cr[i] + gg;
+        // read all inputs first: callers may alias outputs onto inputs
+        int32_t yy = y[i], cbv = cb[i], crv = cr[i];
+        int32_t gg = yy - ((cbv + crv) >> 2);
+        r[i] = crv + gg;
         g[i] = gg;
-        b[i] = cb[i] + gg;
+        b[i] = cbv + gg;
     }
     return 0;
 }
@@ -722,9 +724,11 @@ int ict_inverse_c(const float* y, const float* cb, const float* cr, float* r,
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t i = 0; i < n; i++) {
-        r[i] = y[i] + m02 * cr[i];
-        g[i] = y[i] + m11 * cb[i] + m12 * cr[i];
-        b[i] = y[i] + m21 * cb[i];
+        // read all inputs first: callers may alias outputs onto inputs
+        float yy = y[i], cbv = cb[i], crv = cr[i];
+        r[i] = yy + m02 * crv;
+        g[i] = yy + m11 * cbv + m12 * crv;
+        b[i] = yy + m21 * cbv;
     }
     return 0;
 }

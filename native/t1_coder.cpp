@@ -124,9 +124,9 @@ struct MQEncoder {
     inline void encode(int bit, int ctx) {
         uint32_t qe = MQT.qe[state[ctx]];
         uint8_t s = state[ctx];
-        if (bit == mps[ctx]) {
+        if (__builtin_expect(bit == mps[ctx], 1)) {
             a -= qe;
-            if ((a & 0x8000) == 0) {
+            if (__builtin_expect((a & 0x8000) == 0, 0)) {
                 if (a < qe)
                     a = qe;
                 else
@@ -312,7 +312,7 @@ struct MQDecoder {
         uint32_t qe = MQT.qe[s];
         int d;
         a -= qe;
-        if (((c >> 16) & 0xFFFF) < qe) {
+        if (__builtin_expect(((c >> 16) & 0xFFFF) < qe, 0)) {
             // LPS subinterval
             if (a < qe) {
                 d = mps[ctx];
@@ -326,7 +326,7 @@ struct MQDecoder {
             renorm();
         } else {
             c -= (uint32_t)qe << 16;
-            if ((a & 0x8000) == 0) {
+            if (__builtin_expect((a & 0x8000) == 0, 0)) {
                 if (a < qe) {
                     d = 1 - mps[ctx];
                     if (MQT.sw[s]) mps[ctx] = 1 - mps[ctx];
@@ -492,6 +492,7 @@ struct BlockCtx {
 static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                     bool raw = false) {
     const int s = B.stride;
+    const uint8_t* zc = FL.zc[B.orient];
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         auto col = [&](int x) __attribute__((always_inline)) {
@@ -504,7 +505,7 @@ static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                 if (raw)
                     mq.raw_bit(bit);
                 else
-                    mq.encode(bit, FL.zc[B.orient][f & F_NBR]);
+                    mq.encode(bit, zc[f & F_NBR]);
                 B.flags[i] |= F_VISITED;
                 if (bit) {
                     uint32_t neg = f & F_SELF_SGN;
@@ -591,6 +592,7 @@ static void enc_mrp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
 static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                     bool segsym) {
     const int s = B.stride;
+    const uint8_t* zc = FL.zc[B.orient];
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         bool full = rows == 4;
@@ -630,7 +632,7 @@ static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                 } else {
                     bit = (int)((B.mag[i] >> plane) & 1);
                     mq.encode(bit,
-                              FL.zc[B.orient][(f & B.vmask[k]) & F_NBR]);
+                              zc[(f & B.vmask[k]) & F_NBR]);
                 }
                 if (bit) {
                     uint32_t neg = f & F_SELF_SGN;
@@ -654,6 +656,7 @@ static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
 // --------------------------------------------------------------- decoder
 static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
     const int s = B.stride;
+    const uint8_t* zc = FL.zc[B.orient];
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         auto col = [&](int x) __attribute__((always_inline)) {
@@ -663,7 +666,7 @@ static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
                 uint32_t f = B.flags[i] & B.vmask[k];
                 if ((f & F_SIG) || !(f & F_NBR)) continue;
                 int bit = raw ? mq.raw_bit()
-                              : mq.decode(FL.zc[B.orient][f & F_NBR]);
+                              : mq.decode(zc[f & F_NBR]);
                 B.flags[i] |= F_VISITED;
                 if (bit) {
                     uint32_t neg;
@@ -748,6 +751,7 @@ static void dec_mrp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
 
 static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
     const int s = B.stride;
+    const uint8_t* zc = FL.zc[B.orient];
     for (int y0 = 0; y0 < B.h; y0 += 4) {
         int rows = std::min(4, B.h - y0);
         bool full = rows == 4;
@@ -781,7 +785,7 @@ static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
                     bit = 1;
                 } else {
                     bit = mq.decode(
-                        FL.zc[B.orient][(f & B.vmask[k]) & F_NBR]);
+                        zc[(f & B.vmask[k]) & F_NBR]);
                 }
                 if (bit) {
                     uint32_t si = sc_index(f & B.vmask[k]);
