@@ -43,6 +43,28 @@ static const MQTables MQT = {
 };
 
 constexpr int NUM_CTX = 19;
+
+// merged state/MPS representation: one byte 2*s + mps per context, with
+// transition bytes precomputed (removes the MPS array + switch branch)
+struct MqMergedState {
+    uint16_t qe;
+    uint8_t nmps, nlps;
+};
+struct MqMerged {
+    MqMergedState st[94];
+    MqMerged() {
+        for (int sidx = 0; sidx < 47; sidx++) {
+            for (int mps = 0; mps < 2; mps++) {
+                MqMergedState& e = st[2 * sidx + mps];
+                e.qe = MQT.qe[sidx];
+                e.nmps = (uint8_t)(2 * MQT.nmps[sidx] + mps);
+                int nm = MQT.sw[sidx] ? 1 - mps : mps;
+                e.nlps = (uint8_t)(2 * MQT.nlps[sidx] + nm);
+            }
+        }
+    }
+};
+static const MqMerged MQM;
 constexpr int CTX_ZC0 = 0, CTX_SC0 = 9, CTX_MR0 = 14, CTX_RL = 17, CTX_UNI = 18;
 
 // codeblock style flags (T.800 Table A-19)
@@ -56,15 +78,13 @@ struct MQEncoder {
     int64_t pos = 0;
     int64_t cap = INT64_MAX;  // buffer capacity; writes past it set overflow
     bool overflow = false;
-    uint8_t state[NUM_CTX];
-    uint8_t mps[NUM_CTX];
+    uint8_t state[NUM_CTX];  // merged 2*s + mps
 
     void reset_ctx() {
         std::memset(state, 0, sizeof(state));
-        std::memset(mps, 0, sizeof(mps));
-        state[CTX_ZC0] = 4;
-        state[CTX_RL] = 3;
-        state[CTX_UNI] = 46;
+        state[CTX_ZC0] = 2 * 4;
+        state[CTX_RL] = 2 * 3;
+        state[CTX_UNI] = 2 * 46;
     }
 
     void init(uint8_t* b, int64_t capacity = INT64_MAX) {
@@ -122,16 +142,17 @@ struct MQEncoder {
     }
 
     inline void encode(int bit, int ctx) {
-        uint32_t qe = MQT.qe[state[ctx]];
         uint8_t s = state[ctx];
-        if (__builtin_expect(bit == mps[ctx], 1)) {
+        const MqMergedState& e = MQM.st[s];
+        uint32_t qe = e.qe;
+        if (__builtin_expect(bit == (s & 1), 1)) {
             a -= qe;
             if (__builtin_expect((a & 0x8000) == 0, 0)) {
                 if (a < qe)
                     a = qe;
                 else
                     c += qe;
-                state[ctx] = MQT.nmps[s];
+                state[ctx] = e.nmps;
                 renorm();
             } else {
                 c += qe;
@@ -142,8 +163,7 @@ struct MQEncoder {
                 c += qe;
             else
                 a = qe;
-            if (MQT.sw[s]) mps[ctx] = 1 - mps[ctx];
-            state[ctx] = MQT.nlps[s];
+            state[ctx] = e.nlps;
             renorm();
         }
     }
@@ -222,8 +242,7 @@ struct MQDecoder {
     int ct = 0;
     const uint8_t* buf;
     int64_t bp = 0, end = 0;
-    uint8_t state[NUM_CTX];
-    uint8_t mps[NUM_CTX];
+    uint8_t state[NUM_CTX];  // merged 2*s + mps
 
     inline uint8_t byte_at(int64_t i) const {
         return i < end ? buf[i] : 0xFF;
@@ -250,10 +269,9 @@ struct MQDecoder {
 
     void reset_ctx() {
         std::memset(state, 0, sizeof(state));
-        std::memset(mps, 0, sizeof(mps));
-        state[CTX_ZC0] = 4;
-        state[CTX_RL] = 3;
-        state[CTX_UNI] = 46;
+        state[CTX_ZC0] = 2 * 4;
+        state[CTX_RL] = 2 * 3;
+        state[CTX_UNI] = 2 * 46;
     }
 
     void init_registers(const uint8_t* b, int64_t len) {
@@ -309,18 +327,18 @@ struct MQDecoder {
 
     inline int decode(int ctx) {
         uint8_t s = state[ctx];
-        uint32_t qe = MQT.qe[s];
+        const MqMergedState& e = MQM.st[s];
+        uint32_t qe = e.qe;
         int d;
         a -= qe;
         if (__builtin_expect(((c >> 16) & 0xFFFF) < qe, 0)) {
             // LPS subinterval
             if (a < qe) {
-                d = mps[ctx];
-                state[ctx] = MQT.nmps[s];
+                d = s & 1;
+                state[ctx] = e.nmps;
             } else {
-                d = 1 - mps[ctx];
-                if (MQT.sw[s]) mps[ctx] = 1 - mps[ctx];
-                state[ctx] = MQT.nlps[s];
+                d = 1 - (s & 1);
+                state[ctx] = e.nlps;
             }
             a = qe;
             renorm();
@@ -328,16 +346,15 @@ struct MQDecoder {
             c -= (uint32_t)qe << 16;
             if (__builtin_expect((a & 0x8000) == 0, 0)) {
                 if (a < qe) {
-                    d = 1 - mps[ctx];
-                    if (MQT.sw[s]) mps[ctx] = 1 - mps[ctx];
-                    state[ctx] = MQT.nlps[s];
+                    d = 1 - (s & 1);
+                    state[ctx] = e.nlps;
                 } else {
-                    d = mps[ctx];
-                    state[ctx] = MQT.nmps[s];
+                    d = s & 1;
+                    state[ctx] = e.nmps;
                 }
                 renorm();
             } else {
-                d = mps[ctx];
+                d = s & 1;
             }
         }
         return d;
