@@ -91,18 +91,29 @@ def bench_grok(arr, mp):
         }.items():
             j2k = os.path.join(td, f"{name}.j2k")
             dec = os.path.join(td, f"{name}_dec.ppm")
-            t0 = time.perf_counter()
-            subprocess.run(
-                [os.path.join(grk, "grk_compress"), "-i", src, "-o", j2k, *args],
-                capture_output=True,
-            )
-            t_enc = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            subprocess.run(
-                [os.path.join(grk, "grk_decompress"), "-i", j2k, "-o", dec],
-                capture_output=True,
-            )
-            t_dec = time.perf_counter() - t0
+
+            def _run(cmd, marker, wall):
+                """Prefer the codec's own -v codec-time report (excludes
+                subprocess spawn + image file I/O) over wall clock, so the
+                comparison is codec-vs-codec; fall back to wall time."""
+                import re
+
+                t0 = time.perf_counter()
+                r = subprocess.run(cmd, capture_output=True, text=True)
+                t = time.perf_counter() - t0
+                m = re.search(marker + r" time: ([0-9.]+) ms", r.stdout + r.stderr)
+                if m:
+                    t = min(t, float(m.group(1)) / 1000.0)
+                return t
+
+            t_enc = _run(
+                [os.path.join(grk, "grk_compress"), "-i", src, "-o", j2k,
+                 "-v", *args],
+                "compress", None)
+            t_dec = _run(
+                [os.path.join(grk, "grk_decompress"), "-i", j2k, "-o", dec,
+                 "-v"],
+                "decompress", None)
             res[name] = {
                 "enc_mps": round(mp / t_enc, 3),
                 "dec_mps": round(mp / t_dec, 3),
