@@ -119,6 +119,8 @@ class CompressParams:
     cblk_width: int = 64  # power of two, 4..1024, w*h <= 4096
     cblk_height: int = 64
     cblk_style: int = 0  # CBLK_* flags
+    # HTJ2K: encode 3-pass HT sets (cleanup @ plane 1 + SigProp/MagRef)
+    ht_refine: bool = False
     precinct_sizes: list[tuple[int, int]] | None = None  # per-res (PPx, PPy) widths
 
     # --- layers / rate control ---

@@ -8,18 +8,26 @@ blocks one position per step. Renormalization is branch-free (CLZ + three
 unrolled byte-boundary blocks), context-state updates are dense one-hot
 selects (19 contexts), and flag updates are single-row dynamic slices.
 
-This is the "MQ coder as batched per-codeblock TPU state machine" the
-design brief names; bit-exact against the numpy/C++ coders.
+Both directions are implemented (encode and decode), with the VSC / RESET /
+SEGSYM codeblock styles as per-lane masks (SUPPORTED_STYLES matches the
+numpy reference; BYPASS/TERMALL/PTERM need per-pass segment termination and
+remain native-backend-only). Per-pass rates use the same safe Taubman bound
+as the host coders; per-pass distortions are accumulated on device in
+float32 (the host backends use float64 — layer allocation may differ in
+ties, the codestreams remain standard-conformant and self-consistent).
+
+Bit-exact against the numpy/C++ coders for the supported styles
+(tests/test_t1.py); parity targets t1/t1_part1/T1.cpp + mqc_*.cpp.
 """
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
-from .ebcot_np import T1EncodeResult, _ZC_LUT, _SC_CTX, _SC_XOR
+from .ebcot_np import T1EncodeResult, _ZC_LUT, _SC_CTX, _SC_XOR, _local_pass_index
 from .mq_np import NMPS, NLPS, QE, SWITCH, CTX_MR0, CTX_RL, CTX_UNI
+
+SUPPORTED_STYLES = 0x2A  # RESET | VSC | SEGSYM (parity with ebcot_np)
 
 
 def _j():
@@ -29,7 +37,7 @@ def _j():
     return jax, jnp
 
 
-# ---------------------------------------------------------------- MQ (enc)
+# ---------------------------------------------------------------- MQ tables
 def _mq_tables(jnp):
     return (
         jnp.asarray(QE, dtype=jnp.int32),
@@ -39,11 +47,18 @@ def _mq_tables(jnp):
     )
 
 
+_INIT_CTX = np.zeros(19, dtype=np.int32)
+_INIT_CTX[0] = 4
+_INIT_CTX[CTX_RL] = 3
+_INIT_CTX[CTX_UNI] = 46
+
+
 def _bitlen32(jax, jnp, v):
     """bit length of positive int32 values."""
     return 32 - jax.lax.clz(v.astype(jnp.int32))
 
 
+# ---------------------------------------------------------------- MQ (enc)
 def _enc_byteout(jax, jnp, st, do):
     """Branch-free lockstep BYTEOUT. st: dict of MQ state arrays."""
     n = st["a"].shape[0]
@@ -147,7 +162,96 @@ def _enc_flush(jax, jnp, st):
     return st
 
 
-# ------------------------------------------------------------- scan bodies
+# ---------------------------------------------------------------- MQ (dec)
+def _dec_byte_at(jax, jnp, st, idx):
+    n = st["a"].shape[0]
+    lanes = jnp.arange(n)
+    clipped = jnp.minimum(idx, st["buf"].shape[0] - 1)
+    vals = st["buf"][clipped, lanes].astype(jnp.int32)
+    return jnp.where(idx < st["end"], vals, 0xFF)
+
+
+def _dec_bytein(jax, jnp, st, mask):
+    b = _dec_byte_at(jax, jnp, st, st["bp"])
+    b1 = _dec_byte_at(jax, jnp, st, st["bp"] + 1)
+    is_ff = b == 0xFF
+    marker = is_ff & (b1 > 0x8F)  # marker (or end): feed 1 bits
+    adv7 = is_ff & ~marker
+
+    c = st["c"]  # uint32
+    b1u = b1.astype(jnp.uint32)
+    new_c = jnp.where(marker, c + jnp.uint32(0xFF00),
+                      jnp.where(adv7, c + (b1u << 9), c + (b1u << 8)))
+    new_ct = jnp.where(marker, 8, jnp.where(adv7, 7, 8))
+    new_bp = jnp.where(marker, st["bp"], st["bp"] + 1)
+
+    st = dict(st)
+    st["c"] = jnp.where(mask, new_c, c)
+    st["ct"] = jnp.where(mask, new_ct, st["ct"])
+    st["bp"] = jnp.where(mask, new_bp, st["bp"])
+    return st
+
+
+def _dec_renorm(jax, jnp, st, need):
+    """Lockstep decoder renorm: a <<= k with byteins when CT exhausts.
+
+    Mirrors mq_np.MQDecoder._renorm (bytein when ct==0, THEN shift)."""
+    a = st["a"]
+    k = jnp.where(need, 16 - _bitlen32(jax, jnp, jnp.maximum(a, 1)), 0)
+    st = dict(st)
+    st["a"] = jnp.where(need, a << k, a)
+    for _ in range(3):
+        st = _dec_bytein(jax, jnp, st, need & (st["ct"] == 0) & (k > 0))
+        take = jnp.minimum(k, st["ct"]).astype(jnp.uint32)
+        st["c"] = jnp.where(need, st["c"] << take, st["c"])
+        st["ct"] = st["ct"] - jnp.where(need, take.astype(jnp.int32), 0)
+        k = k - take.astype(jnp.int32)
+    return st
+
+
+def _dec_decode(jax, jnp, st, ctx, mask, tables):
+    """One lockstep DECODE; returns (st, bit [N] int32)."""
+    qe_t, nmps_t, nlps_t, sw_t = tables
+    onehot = (jnp.arange(19)[None, :] == ctx[:, None]) & mask[:, None]
+
+    state = jnp.take_along_axis(st["cx_state"], ctx[:, None], axis=1)[:, 0]
+    mps = jnp.take_along_axis(st["cx_mps"], ctx[:, None], axis=1)[:, 0]
+    qe = jnp.take(qe_t, state)
+
+    a = st["a"] - qe
+    chigh = ((st["c"] >> 16) & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    lps_path = mask & (chigh < qe)
+    mps_path = mask & ~lps_path
+
+    st = dict(st)
+    st["c"] = jnp.where(mps_path, st["c"] - (qe.astype(jnp.uint32) << 16),
+                        st["c"])
+    st["a"] = jnp.where(mask, a, st["a"])
+
+    need_renorm_mps = mps_path & ((a & 0x8000) == 0)
+    ex_mps = need_renorm_mps & (a < qe)  # exchange: decode LPS symbol
+    ex_lps = lps_path & (a < qe)  # exchange: decode MPS symbol
+
+    bit = jnp.where(mps_path, jnp.where(ex_mps, 1 - mps, mps),
+                    jnp.where(ex_lps, mps, 1 - mps))
+    bit = jnp.where(mask, bit, 0).astype(jnp.int32)
+
+    # state transitions
+    take_nmps = (mps_path & ~ex_mps & need_renorm_mps) | ex_lps
+    take_nlps = ex_mps | (lps_path & ~ex_lps)
+    new_state = jnp.where(take_nmps, jnp.take(nmps_t, state),
+                          jnp.where(take_nlps, jnp.take(nlps_t, state), state))
+    st["cx_state"] = jnp.where(onehot, new_state[:, None], st["cx_state"])
+    sw = take_nlps & (jnp.take(sw_t, state) == 1)
+    new_mps = jnp.where(sw, 1 - mps, mps)
+    st["cx_mps"] = jnp.where(onehot, new_mps[:, None], st["cx_mps"])
+
+    st["a"] = jnp.where(lps_path, qe, st["a"])
+    st = _dec_renorm(jax, jnp, st, need_renorm_mps | lps_path)
+    return st, bit
+
+
+# ------------------------------------------------------------- scan helpers
 def _neigh(jnp, plane_arr, y, x):
     """3x3 window [3,3,N] around padded coords (y, x) from [H+2,W+2,N]."""
     import jax
@@ -157,24 +261,32 @@ def _neigh(jnp, plane_arr, y, x):
     )
 
 
-def _zc_ctx(jax, jnp, sig, orients_oh, y, x, zc_lut):
+def _is_stripe_bottom(jnp, y):
+    """Row at a stripe bottom (block row (y-1) has (y-1)&3 == 3)."""
+    return ((y - 1) % 4) == 3
+
+
+def _zc_ctx(jax, jnp, sig, orients_oh, y, x, zc_lut, vsc_m):
     win = _neigh(jnp, sig, y, x)
+    cut = vsc_m & _is_stripe_bottom(jnp, y)
+    below = lambda col: jnp.where(cut, 0, win[2, col])
     hcnt = win[1, 0] + win[1, 2]
-    vcnt = win[0, 1] + win[2, 1]
-    dcnt = win[0, 0] + win[0, 2] + win[2, 0] + win[2, 2]
+    vcnt = win[0, 1] + below(1)
+    dcnt = win[0, 0] + win[0, 2] + below(0) + below(2)
     idx = hcnt * 15 + vcnt * 5 + dcnt
-    # zc_lut: [4, 45]; orient one-hot [N, 4]
     vals = jnp.take(zc_lut, idx[None, :] + 45 * jnp.arange(4)[:, None])  # [4, N]
     ctx = jnp.sum(vals * orients_oh.T, axis=0).astype(jnp.int32)
     return ctx, hcnt + vcnt + dcnt
 
 
-def _sc_ctx(jax, jnp, sig, sgn, y, x, sc_ctx_t, sc_xor_t):
+def _sc_ctx(jax, jnp, sig, sgn, y, x, sc_ctx_t, sc_xor_t, vsc_m):
     ws = _neigh(jnp, sig, y, x)
     wg = _neigh(jnp, sgn, y, x)
+    cut = vsc_m & _is_stripe_bottom(jnp, y)
     contrib = lambda a, b: ws[a, b] * (1 - 2 * wg[a, b])
+    below = jnp.where(cut, 0, contrib(2, 1))
     hbar = jnp.clip(contrib(1, 0) + contrib(1, 2), -1, 1)
-    vbar = jnp.clip(contrib(0, 1) + contrib(2, 1), -1, 1)
+    vbar = jnp.clip(contrib(0, 1) + below, -1, 1)
     idx = (hbar + 1) * 3 + (vbar + 1)
     return jnp.take(sc_ctx_t, idx).astype(jnp.int32), jnp.take(sc_xor_t, idx)
 
@@ -187,21 +299,52 @@ def _get_at(jax, jnp, plane_arr, y, x):
     return jax.lax.dynamic_slice(plane_arr, (y, x, 0), (1, 1, plane_arr.shape[2]))[0, 0]
 
 
+def _dd_sig_f32(jnp, mag, plane):
+    dv = mag.astype(jnp.float32)
+    rec = jnp.float32(1.5) * jnp.exp2(plane.astype(jnp.float32))
+    return dv * dv - (dv - rec) * (dv - rec)
+
+
+def _dd_ref_f32(jnp, mag, plane):
+    dv = mag.astype(jnp.float32)
+    rb = ((mag >> (plane + 1)) << (plane + 1)).astype(jnp.float32) + jnp.exp2(
+        plane.astype(jnp.float32)
+    )
+    ra = ((mag >> plane) << plane).astype(jnp.float32) + jnp.exp2(
+        plane.astype(jnp.float32) - 1
+    )
+    return (dv - rb) * (dv - rb) - (dv - ra) * (dv - ra)
+
+
+def _reset_ctx_lanes(jnp, st, mask):
+    init = jnp.asarray(_INIT_CTX)[None, :]
+    st = dict(st)
+    st["cx_state"] = jnp.where(mask[:, None], init, st["cx_state"])
+    st["cx_mps"] = jnp.where(mask[:, None], 0, st["cx_mps"])
+    return st
+
+
+def _lpi(jnp, plane, kind, numbps):
+    """Lane-local pass index (mirror of ebcot_np._local_pass_index)."""
+    rel = numbps - 1 - plane
+    return jnp.where(rel <= 0, 0, (rel - 1) * 3 + 1 + kind)
+
+
 # ================================================================= encoder
-def _build_encoder(jax, jnp, H, W, N, max_bytes):
+def _build_encoder(jax, jnp, H, W, N, max_bytes, max_passes):
     tables = _mq_tables(jnp)
     zc_lut = jnp.asarray(_ZC_LUT.reshape(-1), dtype=jnp.int32)
     sc_ctx_t = jnp.asarray(_SC_CTX, dtype=jnp.int32)
     sc_xor_t = jnp.asarray(_SC_XOR, dtype=jnp.int32)
     nstripes = (H + 3) // 4
 
-    # the in-block predicate [H, W, N] is data, closed over inside jit
     def make(inb):
         def mq_enc(st, bit, ctx, mask):
             return _enc_encode(jax, jnp, st, bit, ctx, mask, tables)
 
-        def code_sign(st, y, x, became):
-            sc, xr = _sc_ctx(jax, jnp, st["sig"], st["sgn"], y, x, sc_ctx_t, sc_xor_t)
+        def code_sign(st, y, x, became, plane):
+            sc, xr = _sc_ctx(jax, jnp, st["sig"], st["sgn"], y, x, sc_ctx_t,
+                             sc_xor_t, st["vsc"])
             sbit = (_get_at(jax, jnp, st["sgn"], y, x) ^ xr).astype(jnp.int32)
             st = mq_enc(st, sbit, sc, became)
             st["sig"] = _set_at(
@@ -209,12 +352,17 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes):
                 y, x,
                 jnp.where(became, 1, _get_at(jax, jnp, st["sig"], y, x)),
             )
+            mag_v = _get_at(jax, jnp, st["mag"], y, x)
+            st["dist_acc"] = st["dist_acc"] + jnp.where(
+                became, _dd_sig_f32(jnp, mag_v, plane), 0.0
+            )
             return st
 
         def spp_body(st, y, x, plane, lanes_m):
             pos_inb = jax.lax.dynamic_slice(inb, (y - 1, x - 1, 0), (1, 1, N))[0, 0]
             sig_v = _get_at(jax, jnp, st["sig"], y, x)
-            ctx, ncnt = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x, zc_lut)
+            ctx, ncnt = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x, zc_lut,
+                                st["vsc"])
             code = lanes_m & (pos_inb == 1) & (sig_v == 0) & (ncnt > 0)
             bit = ((_get_at(jax, jnp, st["mag"], y, x) >> plane) & 1).astype(jnp.int32)
             st = mq_enc(st, bit, ctx, code)
@@ -223,7 +371,7 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes):
                 jax, jnp, st["visited"], y, x, jnp.where(code, 1, vis)
             )
             became = code & (bit == 1)
-            st = code_sign(st, y, x, became)
+            st = code_sign(st, y, x, became, plane)
             return st
 
         def mrp_body(st, y, x, plane, lanes_m):
@@ -231,21 +379,25 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes):
             sig_v = _get_at(jax, jnp, st["sig"], y, x)
             vis = _get_at(jax, jnp, st["visited"], y, x)
             code = lanes_m & (pos_inb == 1) & (sig_v == 1) & (vis == 0)
-            _, ncnt = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x, zc_lut)
+            _, ncnt = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x, zc_lut,
+                              st["vsc"])
             ref = _get_at(jax, jnp, st["refined"], y, x)
             ctx = jnp.where(
                 ref == 1, CTX_MR0 + 2, jnp.where(ncnt > 0, CTX_MR0 + 1, CTX_MR0)
             ).astype(jnp.int32)
-            bit = ((_get_at(jax, jnp, st["mag"], y, x) >> plane) & 1).astype(jnp.int32)
+            mag_v = _get_at(jax, jnp, st["mag"], y, x)
+            bit = ((mag_v >> plane) & 1).astype(jnp.int32)
             st = mq_enc(st, bit, ctx, code)
             st["refined"] = _set_at(
                 jax, jnp, st["refined"], y, x, jnp.where(code, 1, ref)
+            )
+            st["dist_acc"] = st["dist_acc"] + jnp.where(
+                code, _dd_ref_f32(jnp, mag_v, plane), 0.0
             )
             return st
 
         def cup_col(st, s_idx, x, plane, lanes_m):
             y0 = 4 * s_idx + 1
-            # RL eligibility over the 4 rows
             rl = lanes_m & (st["full_stripe"][s_idx] == 1)
             colw = jax.lax.dynamic_slice(inb, (4 * s_idx, x - 1, 0), (4, 1, N))[:, 0]
             rl = rl & (colw[0] == 1)  # x within lane width, row0 in block
@@ -255,7 +407,8 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes):
                 y = y0 + k
                 sig_v = _get_at(jax, jnp, st["sig"], y, x)
                 vis = _get_at(jax, jnp, st["visited"], y, x)
-                _, ncnt = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x, zc_lut)
+                _, ncnt = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x,
+                                  zc_lut, st["vsc"])
                 rl = rl & (sig_v == 0) & (vis == 0) & (ncnt == 0)
                 bits4.append(
                     ((_get_at(jax, jnp, st["mag"], y, x) >> plane) & 1).astype(jnp.int32)
@@ -281,11 +434,12 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes):
                 pre_run = rl & (rl_bit == 1) & (k < first_k)
                 implied = rl & (rl_bit == 1) & (k == first_k)
                 zc_code = base & ~pre_run & ~implied
-                ctx, _ = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x, zc_lut)
+                ctx, _ = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x,
+                                 zc_lut, st["vsc"])
                 bit = ((_get_at(jax, jnp, st["mag"], y, x) >> plane) & 1).astype(jnp.int32)
                 st = mq_enc(st, bit, ctx, zc_code)
                 became = (zc_code & (bit == 1)) | implied
-                st = code_sign(st, y, x, became)
+                st = code_sign(st, y, x, became, plane)
             return st
 
         def pass_loop(st, plane, lanes_m, kind):
@@ -304,7 +458,31 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes):
 
                 return jax.lax.fori_loop(0, W, col_loop, st)
 
-            return jax.lax.fori_loop(0, nstripes, stripe_loop, st)
+            st = jax.lax.fori_loop(0, nstripes, stripe_loop, st)
+            if kind == 2:
+                # segmentation symbol 1010 for SEGSYM lanes
+                uni_ctx = jnp.full((N,), CTX_UNI, dtype=jnp.int32)
+                seg = st["segsym"] & lanes_m
+                for b in (1, 0, 1, 0):
+                    st = mq_enc(st, jnp.full((N,), b, jnp.int32), uni_ctx, seg)
+            return st
+
+        def end_pass(st, plane, kind, lanes_m, numbps):
+            """Record the safe truncation rate + pass distortion; reset."""
+            idx = _lpi(jnp, plane, kind, numbps)
+            est = st["pos"] + (27 - st["ct"] + 7) // 8
+            lanes = jnp.arange(N)
+            st = dict(st)
+            st["rates"] = st["rates"].at[idx, lanes].set(
+                jnp.where(lanes_m, est, st["rates"][idx, lanes]), mode="drop"
+            )
+            st["dists"] = st["dists"].at[idx, lanes].set(
+                jnp.where(lanes_m, st["dist_acc"], st["dists"][idx, lanes]),
+                mode="drop",
+            )
+            st["dist_acc"] = jnp.zeros_like(st["dist_acc"])
+            st = _reset_ctx_lanes(jnp, st, st["reset"] & lanes_m)
+            return st
 
         def plane_body(p_rev, carry):
             st, numbps, pmax = carry
@@ -312,13 +490,17 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes):
             spp_lanes = (numbps - 1 > plane) & (plane >= 0)
             cup_lanes = (numbps - 1 >= plane) & (plane >= 0)
             st = pass_loop(st, plane, spp_lanes, 0)
+            st = end_pass(st, plane, 0, spp_lanes, numbps)
             st = pass_loop(st, plane, spp_lanes, 1)
+            st = end_pass(st, plane, 1, spp_lanes, numbps)
             st = pass_loop(st, plane, cup_lanes, 2)
+            st = end_pass(st, plane, 2, cup_lanes, numbps)
             st = dict(st)
             st["visited"] = jnp.zeros_like(st["visited"])
             return (st, numbps, pmax)
 
-        def encode(mag, sgn, or_oh, inb_dyn, full_stripe, numbps, pmax):
+        def encode(mag, sgn, or_oh, inb_dyn, full_stripe, numbps, vsc, reset,
+                   segsym, pmax):
             st = {
                 "mag": mag,
                 "sgn": sgn,
@@ -327,19 +509,19 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes):
                 "refined": jnp.zeros((H + 2, W + 2, N), jnp.int32),
                 "or_oh": or_oh,
                 "full_stripe": full_stripe,
+                "vsc": vsc,
+                "reset": reset,
+                "segsym": segsym,
                 "a": jnp.full((N,), 0x8000, jnp.int32),
                 "c": jnp.zeros((N,), jnp.int32),
                 "ct": jnp.full((N,), 12, jnp.int32),
                 "buf": jnp.zeros((max_bytes, N), jnp.uint8),
                 "pos": jnp.zeros((N,), jnp.int32),
-                "cx_state": jnp.tile(
-                    jnp.asarray(
-                        [4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 3, 46],
-                        jnp.int32,
-                    )[None, :],
-                    (N, 1),
-                ),
+                "cx_state": jnp.tile(jnp.asarray(_INIT_CTX)[None, :], (N, 1)),
                 "cx_mps": jnp.zeros((N, 19), jnp.int32),
+                "rates": jnp.zeros((max_passes, N), jnp.int32),
+                "dists": jnp.zeros((max_passes, N), jnp.float32),
+                "dist_acc": jnp.zeros((N,), jnp.float32),
             }
             st, _, _ = jax.lax.fori_loop(
                 0, pmax, plane_body, (st, numbps, jnp.int32(pmax))
@@ -348,19 +530,221 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes):
             lanes = jnp.arange(N)
             lastb = st["buf"][st["pos"], lanes]
             lengths = st["pos"] + jnp.where(lastb != 0xFF, 1, 0) - 1
-            return st["buf"], lengths
+            return st["buf"], lengths, st["rates"], st["dists"]
 
         return encode
 
     return make
 
 
-def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0, styles=None):
-    if styles is not None and int(np.max(np.asarray(styles), initial=0)) != 0:
-        from .ebcot_np import encode_cblks as _np_enc
+# ================================================================= decoder
+def _build_decoder(jax, jnp, H, W, N, max_bytes):
+    tables = _mq_tables(jnp)
+    zc_lut = jnp.asarray(_ZC_LUT.reshape(-1), dtype=jnp.int32)
+    sc_ctx_t = jnp.asarray(_SC_CTX, dtype=jnp.int32)
+    sc_xor_t = jnp.asarray(_SC_XOR, dtype=jnp.int32)
+    nstripes = (H + 3) // 4
 
-        return _np_enc(coeffs, heights, widths, orients, styles=styles)
+    def make(inb):
+        def mq_dec(st, ctx, mask):
+            return _dec_decode(jax, jnp, st, ctx, mask, tables)
+
+        def dec_sign(st, y, x, became, plane):
+            sc, xr = _sc_ctx(jax, jnp, st["sig"], st["sgn"], y, x, sc_ctx_t,
+                             sc_xor_t, st["vsc"])
+            st, sbit = mq_dec(st, sc, became)
+            sgn_v = _get_at(jax, jnp, st["sgn"], y, x)
+            st["sgn"] = _set_at(
+                jax, jnp, st["sgn"], y, x,
+                jnp.where(became, sbit ^ xr, sgn_v),
+            )
+            mag_v = _get_at(jax, jnp, st["mag"], y, x)
+            st["mag"] = _set_at(
+                jax, jnp, st["mag"], y, x,
+                jnp.where(became, mag_v | (1 << plane), mag_v),
+            )
+            st["sig"] = _set_at(
+                jax, jnp, st["sig"], y, x,
+                jnp.where(became, 1, _get_at(jax, jnp, st["sig"], y, x)),
+            )
+            return st
+
+        def spp_body(st, y, x, plane, lanes_m):
+            pos_inb = jax.lax.dynamic_slice(inb, (y - 1, x - 1, 0), (1, 1, N))[0, 0]
+            sig_v = _get_at(jax, jnp, st["sig"], y, x)
+            ctx, ncnt = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x, zc_lut,
+                                st["vsc"])
+            code = lanes_m & (pos_inb == 1) & (sig_v == 0) & (ncnt > 0)
+            st, bit = mq_dec(st, ctx, code)
+            vis = _get_at(jax, jnp, st["visited"], y, x)
+            st["visited"] = _set_at(
+                jax, jnp, st["visited"], y, x, jnp.where(code, 1, vis)
+            )
+            became = code & (bit == 1)
+            st = dec_sign(st, y, x, became, plane)
+            return st
+
+        def mrp_body(st, y, x, plane, lanes_m):
+            pos_inb = jax.lax.dynamic_slice(inb, (y - 1, x - 1, 0), (1, 1, N))[0, 0]
+            sig_v = _get_at(jax, jnp, st["sig"], y, x)
+            vis = _get_at(jax, jnp, st["visited"], y, x)
+            code = lanes_m & (pos_inb == 1) & (sig_v == 1) & (vis == 0)
+            _, ncnt = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x, zc_lut,
+                              st["vsc"])
+            ref = _get_at(jax, jnp, st["refined"], y, x)
+            ctx = jnp.where(
+                ref == 1, CTX_MR0 + 2, jnp.where(ncnt > 0, CTX_MR0 + 1, CTX_MR0)
+            ).astype(jnp.int32)
+            st, bit = mq_dec(st, ctx, code)
+            mag_v = _get_at(jax, jnp, st["mag"], y, x)
+            st["mag"] = _set_at(
+                jax, jnp, st["mag"], y, x,
+                jnp.where(code & (bit == 1), mag_v | (1 << plane), mag_v),
+            )
+            st["refined"] = _set_at(
+                jax, jnp, st["refined"], y, x, jnp.where(code, 1, ref)
+            )
+            return st
+
+        def cup_col(st, s_idx, x, plane, lanes_m):
+            y0 = 4 * s_idx + 1
+            rl = lanes_m & (st["full_stripe"][s_idx] == 1)
+            colw = jax.lax.dynamic_slice(inb, (4 * s_idx, x - 1, 0), (4, 1, N))[:, 0]
+            rl = rl & (colw[0] == 1)
+            for k in range(4):
+                y = y0 + k
+                sig_v = _get_at(jax, jnp, st["sig"], y, x)
+                vis = _get_at(jax, jnp, st["visited"], y, x)
+                _, ncnt = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x,
+                                  zc_lut, st["vsc"])
+                rl = rl & (sig_v == 0) & (vis == 0) & (ncnt == 0)
+            rl_ctx = jnp.full((N,), CTX_RL, dtype=jnp.int32)
+            uni_ctx = jnp.full((N,), CTX_UNI, dtype=jnp.int32)
+            st, rl_bit = mq_dec(st, rl_ctx, rl)
+            sigcol = rl & (rl_bit == 1)
+            st, b1 = mq_dec(st, uni_ctx, sigcol)
+            st, b0 = mq_dec(st, uni_ctx, sigcol)
+            first_k = jnp.where(sigcol, (b1 << 1) | b0, 4)
+            skip_rl0 = rl & (rl_bit == 0)
+            for k in range(4):
+                y = y0 + k
+                pos_inb = jax.lax.dynamic_slice(inb, (y - 1, x - 1, 0), (1, 1, N))[0, 0]
+                sig_v = _get_at(jax, jnp, st["sig"], y, x)
+                vis = _get_at(jax, jnp, st["visited"], y, x)
+                base = (
+                    lanes_m & (pos_inb == 1) & (sig_v == 0) & (vis == 0) & ~skip_rl0
+                )
+                pre_run = rl & (rl_bit == 1) & (k < first_k)
+                implied = rl & (rl_bit == 1) & (k == first_k)
+                zc_code = base & ~pre_run & ~implied
+                ctx, _ = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x,
+                                 zc_lut, st["vsc"])
+                st, bit = mq_dec(st, ctx, zc_code)
+                became = (zc_code & (bit == 1)) | implied
+                st = dec_sign(st, y, x, became, plane)
+            return st
+
+        def pass_loop(st, plane, lanes_m, kind):
+            def stripe_loop(s_idx, st):
+                def col_loop(x, st):
+                    if kind == 2:
+                        return cup_col(st, s_idx, x + 1, plane, lanes_m)
+                    st2 = st
+                    for k in range(4):
+                        y = 4 * s_idx + k + 1
+                        if kind == 0:
+                            st2 = spp_body(st2, y, x + 1, plane, lanes_m)
+                        else:
+                            st2 = mrp_body(st2, y, x + 1, plane, lanes_m)
+                    return st2
+
+                return jax.lax.fori_loop(0, W, col_loop, st)
+
+            st = jax.lax.fori_loop(0, nstripes, stripe_loop, st)
+            if kind == 2:
+                uni_ctx = jnp.full((N,), CTX_UNI, dtype=jnp.int32)
+                seg = st["segsym"] & lanes_m
+                for _ in range(4):
+                    st, _b = mq_dec(st, uni_ctx, seg)
+            return st
+
+        def plane_body(p_rev, carry):
+            st, numbps, npasses, pmax = carry
+            plane = pmax - 1 - p_rev
+            lp_spp = _lpi(jnp, plane, 0, numbps)
+            lp_mrp = _lpi(jnp, plane, 1, numbps)
+            lp_cup = _lpi(jnp, plane, 2, numbps)
+            spp_lanes = (numbps - 1 > plane) & (lp_spp < npasses) & (plane >= 0)
+            mrp_lanes = (numbps - 1 > plane) & (lp_mrp < npasses) & (plane >= 0)
+            cup_lanes = (numbps - 1 >= plane) & (lp_cup < npasses) & (plane >= 0)
+            first_cup = (numbps - 1 == plane) & (npasses > 0) & (plane >= 0)
+            cup_lanes = cup_lanes | first_cup
+            st = pass_loop(st, plane, spp_lanes, 0)
+            st = _reset_ctx_lanes(jnp, st, st["reset"] & spp_lanes)
+            st = pass_loop(st, plane, mrp_lanes, 1)
+            st = _reset_ctx_lanes(jnp, st, st["reset"] & mrp_lanes)
+            st = pass_loop(st, plane, cup_lanes, 2)
+            st = _reset_ctx_lanes(jnp, st, st["reset"] & cup_lanes)
+            st = dict(st)
+            st["visited"] = jnp.zeros_like(st["visited"])
+            return (st, numbps, npasses, pmax)
+
+        def decode(buf, lengths, or_oh, inb_dyn, full_stripe, numbps, npasses,
+                   vsc, reset, segsym, pmax):
+            st = {
+                "mag": jnp.zeros((H + 2, W + 2, N), jnp.int32),
+                "sgn": jnp.zeros((H + 2, W + 2, N), jnp.int32),
+                "sig": jnp.zeros((H + 2, W + 2, N), jnp.int32),
+                "visited": jnp.zeros((H + 2, W + 2, N), jnp.int32),
+                "refined": jnp.zeros((H + 2, W + 2, N), jnp.int32),
+                "or_oh": or_oh,
+                "full_stripe": full_stripe,
+                "vsc": vsc,
+                "reset": reset,
+                "segsym": segsym,
+                "buf": buf,
+                "end": lengths,
+                "bp": jnp.zeros((N,), jnp.int32),
+                "a": jnp.zeros((N,), jnp.int32),
+                "c": jnp.zeros((N,), jnp.uint32),
+                "ct": jnp.zeros((N,), jnp.int32),
+                "cx_state": jnp.tile(jnp.asarray(_INIT_CTX)[None, :], (N, 1)),
+                "cx_mps": jnp.zeros((N, 19), jnp.int32),
+            }
+            # INITDEC
+            b0 = _dec_byte_at(jax, jnp, st, st["bp"])
+            st["c"] = b0.astype(jnp.uint32) << 16
+            st = _dec_bytein(jax, jnp, st, jnp.ones((N,), bool))
+            st["c"] = st["c"] << 7
+            st["ct"] = st["ct"] - 7
+            st["a"] = jnp.full((N,), 0x8000, jnp.int32)
+            st, _, _, _ = jax.lax.fori_loop(
+                0, pmax, plane_body, (st, numbps, npasses, jnp.int32(pmax))
+            )
+            coeffs = st["mag"] * (1 - 2 * st["sgn"])
+            return coeffs[1 : H + 1, 1 : W + 1, :]
+
+        return decode
+
+    return make
+
+
+# =============================================================== entry API
+def _style_masks(np_styles, n):
+    st = np.zeros(n, dtype=np.int64) if np_styles is None else np.asarray(np_styles)
+    return (st & 0x08) != 0, (st & 0x02) != 0, (st & 0x20) != 0
+
+
+def _check_styles(styles):
+    if styles is not None and int(np.max(np.asarray(styles) & ~SUPPORTED_STYLES & 0x3F, initial=0)):
+        raise NotImplementedError(
+            "bypass/termall/pterm only in the native backend"
+        )
+
+
+def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0, styles=None):
     """Backend-API entry: host numpy in/out, device lockstep inside."""
+    _check_styles(styles)
     jax, jnp = _j()
     coeffs = np.ascontiguousarray(coeffs, dtype=np.int64)
     n, h, w = coeffs.shape
@@ -380,6 +764,7 @@ def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0, styles=
     pmax = int(numbps.max(initial=0))
     npasses = np.maximum(numbps * 3 - 2, 0)
     max_bytes = max(64, (pmax * h * w) // 4 + 128)
+    max_passes = max(int(npasses.max(initial=0)), 1)
 
     if pmax == 0:
         return T1EncodeResult(
@@ -396,52 +781,128 @@ def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0, styles=
         (4 * np.arange(nstripes)[:, None] + 4) <= np.asarray(heights)[None, :]
     ).astype(np.int32)
 
-    # pad state planes (lanes minor)
     mag_d = np.zeros((h + 2, w + 2, n), dtype=np.int32)
     mag_d[1 : h + 1, 1 : w + 1, :] = np.transpose(mag_np, (1, 2, 0))
     sgn_d = np.zeros((h + 2, w + 2, n), dtype=np.int32)
     sgn_d[1 : h + 1, 1 : w + 1, :] = np.transpose(sgn_np, (1, 2, 0))
     or_oh = (np.arange(4)[None, :] == np.asarray(orients)[:, None]).astype(np.int32)
+    vsc, reset, segsym = _style_masks(styles, n)
 
-    enc = _get_cached_encoder(h, w, n, max_bytes)
-    buf, lengths = enc(
-        jnp.asarray(mag_d),
-        jnp.asarray(sgn_d),
-        jnp.asarray(or_oh),
-        jnp.asarray(inb),
-        jnp.asarray(full_stripe),
-        jnp.asarray(numbps, dtype=jnp.int32),
+    import jax.numpy as jnp2
+
+    enc = _get_cached_encoder(h, w, n, max_bytes, max_passes)
+    buf, lengths, rates_d, dists_d = enc(
+        jnp2.asarray(mag_d),
+        jnp2.asarray(sgn_d),
+        jnp2.asarray(or_oh),
+        jnp2.asarray(inb),
+        jnp2.asarray(full_stripe),
+        jnp2.asarray(numbps, dtype=jnp2.int32),
+        jnp2.asarray(vsc),
+        jnp2.asarray(reset),
+        jnp2.asarray(segsym),
         pmax,
     )
     buf = np.asarray(buf)  # [max_bytes, N]
     lengths = np.asarray(lengths).astype(np.int64)
     lengths = np.where(npasses > 0, lengths, 0)
     data = np.ascontiguousarray(buf.T[:, 1:])
-    rates = np.tile(lengths[:, None], (1, max(int(npasses.max(initial=0)), 1)))
-    # conservative uniform rates (exact final length on every pass): callers
-    # doing PCRD should prefer the native backend; this keeps the API total.
+    rates = np.asarray(rates_d).T.astype(np.int64)  # [N, max_passes]
+    dists = np.asarray(dists_d).T.astype(np.float64)
+    # final pass rate = actual flushed length; clamp the safe bounds
+    if max_passes:
+        last = np.maximum(npasses - 1, 0)
+        rates[np.arange(n), last] = lengths
+        np.minimum(rates, lengths[:, None], out=rates)
     return T1EncodeResult(
         data=data,
+        raw_data=(buf.T, 1) if buf.T.flags.c_contiguous else None,
         lengths=lengths,
         numbps=numbps,
         npasses=npasses,
         pass_rates=rates,
-        pass_dist=np.zeros_like(rates, dtype=np.float64),
+        pass_dist=dists,
     )
 
 
+def decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
+                 block_h, block_w, num_threads: int = 0, styles=None,
+                 seg_lengths=None):
+    """Device lockstep decode; mirrors ebcot_np.decode_cblks."""
+    _check_styles(styles)
+    jax, jnp = _j()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = data.shape[0]
+    h, w = block_h, block_w
+    numbps = np.asarray(numbps, dtype=np.int64)
+    npasses = np.asarray(npasses, dtype=np.int64)
+    pmax = int(numbps.max(initial=0))
+    if pmax == 0 or n == 0:
+        return np.zeros((n, h, w), dtype=np.int64), np.zeros(n, dtype=np.int64)
+
+    inb = (
+        (np.arange(h)[:, None, None] < np.asarray(heights)[None, None, :])
+        & (np.arange(w)[None, :, None] < np.asarray(widths)[None, None, :])
+    ).astype(np.int32)
+    nstripes = (h + 3) // 4
+    full_stripe = (
+        (4 * np.arange(nstripes)[:, None] + 4) <= np.asarray(heights)[None, :]
+    ).astype(np.int32)
+    or_oh = (np.arange(4)[None, :] == np.asarray(orients)[:, None]).astype(np.int32)
+    vsc, reset, segsym = _style_masks(styles, n)
+
+    import jax.numpy as jnp2
+
+    dec = _get_cached_decoder(h, w, n, data.shape[1])
+    coeffs_d = dec(
+        jnp2.asarray(np.ascontiguousarray(data.T)),  # [max_bytes, N]
+        jnp2.asarray(np.asarray(lengths, dtype=np.int32)),
+        jnp2.asarray(or_oh),
+        jnp2.asarray(inb),
+        jnp2.asarray(full_stripe),
+        jnp2.asarray(numbps, dtype=jnp2.int32),
+        jnp2.asarray(npasses, dtype=jnp2.int32),
+        jnp2.asarray(vsc),
+        jnp2.asarray(reset),
+        jnp2.asarray(segsym),
+        pmax,
+    )
+    coeffs = np.transpose(np.asarray(coeffs_d), (2, 0, 1)).astype(np.int64)
+    planes_decoded = np.minimum((npasses + 2) // 3, numbps)
+    return coeffs, planes_decoded
+
+
 _ENC_CACHE: dict = {}
+_DEC_CACHE: dict = {}
 
 
-def _get_cached_encoder(h, w, n, max_bytes):
+def _get_cached_encoder(h, w, n, max_bytes, max_passes):
+    jax, jnp = _j()
+    key = (h, w, n, max_bytes, max_passes)
+    if key not in _ENC_CACHE:
+        make = _build_encoder(jax, jnp, h, w, n, max_bytes, max_passes)
+
+        def run(mag, sgn, or_oh, inb, full_stripe, numbps, vsc, reset,
+                segsym, pmax):
+            encode = make(inb)
+            return encode(mag, sgn, or_oh, inb, full_stripe, numbps, vsc,
+                          reset, segsym, pmax)
+
+        _ENC_CACHE[key] = jax.jit(run, static_argnums=(9,))
+    return _ENC_CACHE[key]
+
+
+def _get_cached_decoder(h, w, n, max_bytes):
     jax, jnp = _j()
     key = (h, w, n, max_bytes)
-    if key not in _ENC_CACHE:
-        make = _build_encoder(jax, jnp, h, w, n, max_bytes)
+    if key not in _DEC_CACHE:
+        make = _build_decoder(jax, jnp, h, w, n, max_bytes)
 
-        def run(mag, sgn, or_oh, inb, full_stripe, numbps, pmax):
-            encode = make(inb)
-            return encode(mag, sgn, or_oh, inb, full_stripe, numbps, pmax)
+        def run(buf, lengths, or_oh, inb, full_stripe, numbps, npasses, vsc,
+                reset, segsym, pmax):
+            decode = make(inb)
+            return decode(buf, lengths, or_oh, inb, full_stripe, numbps,
+                          npasses, vsc, reset, segsym, pmax)
 
-        _ENC_CACHE[key] = jax.jit(run, static_argnums=(6,))
-    return _ENC_CACHE[key]
+        _DEC_CACHE[key] = jax.jit(run, static_argnums=(10,))
+    return _DEC_CACHE[key]

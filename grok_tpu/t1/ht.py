@@ -633,11 +633,18 @@ def decode_cleanup(seg: bytes, h: int, w: int) -> np.ndarray:
 
 
 # ========================================================== batch interface
-def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0):
-    """Batch API matching the Part-1 T1 backends (cleanup-only HT sets)."""
+def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0,
+                 refine: bool = False):
+    """Batch API matching the Part-1 T1 backends.
+
+    With ``refine``, blocks whose magnitudes span >= 2 bitplanes are coded
+    as 3-pass HT sets (cleanup @ plane 1 + SigProp/MagRef @ plane 0), giving
+    PCRD truncation points at the cleanup boundary."""
     from .ebcot_np import T1EncodeResult
     from . import native as _native
 
+    if refine:
+        return _encode_cblks_refine(coeffs, heights, widths, orients)
     if _native.available():
         return _native.ht_encode_cblks(coeffs, heights, widths, orients, num_threads)
 
@@ -675,22 +682,327 @@ def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0):
     )
 
 
+def _encode_cblks_refine(coeffs, heights, widths, orients):
+    from .ebcot_np import T1EncodeResult
+
+    coeffs = np.asarray(coeffs, dtype=np.int64)
+    n, h, w = coeffs.shape
+    segs = []
+    numbps = np.zeros(n, dtype=np.int64)
+    npasses = np.zeros(n, dtype=np.int64)
+    rates = np.zeros((n, 3), dtype=np.int64)
+    dists = np.zeros((n, 3), dtype=np.float64)
+    for i in range(n):
+        hi, wi = int(heights[i]), int(widths[i])
+        if hi == 0 or wi == 0:
+            segs.append(b"")
+            continue
+        blk = coeffs[i, :hi, :wi]
+        mx = int(np.abs(blk).max(initial=0))
+        if mx == 0:
+            segs.append(b"")
+            continue
+        e = float((blk.astype(np.float64) ** 2).sum())
+        if mx < 2:
+            # all magnitudes fit below the refinement plane: cleanup-only
+            seg = encode_cleanup(blk, hi, wi)
+            segs.append(seg)
+            numbps[i] = 1
+            npasses[i] = 1
+            rates[i, 0] = len(seg)
+            dists[i, 0] = e
+            continue
+        s1, s2 = encode_refinement(blk, hi, wi)
+        segs.append(s1 + s2)
+        numbps[i] = 2
+        npasses[i] = 3
+        rates[i] = (len(s1), len(s1) + len(s2), len(s1) + len(s2))
+        # monotone heuristic split of the energy across the three passes
+        dists[i] = (0.8 * e, 0.1 * e, 0.1 * e)
+    lengths = np.array([len(s) for s in segs], dtype=np.int64)
+    maxlen = max(int(lengths.max(initial=0)), 1)
+    data = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, sg in enumerate(segs):
+        data[i, : len(sg)] = np.frombuffer(sg, dtype=np.uint8)
+    return T1EncodeResult(
+        data=data, lengths=lengths, numbps=numbps, npasses=npasses,
+        pass_rates=rates, pass_dist=dists,
+    )
+
+
 def decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
-                 block_h, block_w, num_threads: int = 0):
+                 block_h, block_w, num_threads: int = 0, seg_lengths=None):
     from . import native as _native
 
-    if _native.available():
+    numbps = np.asarray(numbps, dtype=np.int64)
+    npasses = np.asarray(npasses, dtype=np.int64)
+    multi = (np.asarray(numbps) > 1) | (np.asarray(npasses) > 1)
+    if _native.available() and not multi.any():
         return _native.ht_decode_cblks(
             data, lengths, numbps, npasses, heights, widths, orients,
             block_h, block_w, num_threads,
         )
     n = data.shape[0]
-    out = np.zeros((n, block_h, block_w), dtype=np.int64)
-    for i in range(n):
+    if _native.available():
+        # multi-pass blocks are decoded below; keep the native fast path for
+        # the cleanup-only ones by hiding the others from it
+        lengths_n = np.where(multi, 0, np.asarray(lengths, dtype=np.int64))
+        out, planes = _native.ht_decode_cblks(
+            data, lengths_n, numbps, npasses, heights, widths, orients,
+            block_h, block_w, num_threads,
+        )
+        out = out.astype(np.int64, copy=False)
+    else:
+        out = np.zeros((n, block_h, block_w), dtype=np.int64)
+        planes = np.asarray(numbps, dtype=np.int64).copy()
+        for i in range(n):
+            if npasses[i] <= 0 or lengths[i] <= 0 or multi[i]:
+                continue
+            hi, wi = int(heights[i]), int(widths[i])
+            seg = bytes(data[i, : lengths[i]])
+            out[i, :hi, :wi] = decode_cleanup(seg, hi, wi)
+    for i in np.nonzero(multi)[0]:
         if npasses[i] <= 0 or lengths[i] <= 0:
+            out[i] = 0
             continue
         hi, wi = int(heights[i]), int(widths[i])
-        seg = bytes(data[i, : lengths[i]])
-        out[i, :hi, :wi] = decode_cleanup(seg, hi, wi)
-    planes = np.asarray(numbps, dtype=np.int64).copy()
-    return out, planes
+        nb = int(numbps[i])
+        if nb <= 1 and npasses[i] <= 1:
+            continue
+        if seg_lengths is not None and npasses[i] > 1:
+            l1 = int(seg_lengths[i][0])
+            l2 = int(seg_lengths[i][1]) if seg_lengths.shape[1] > 1 else 0
+        else:
+            l1 = int(lengths[i])
+            l2 = 0
+        seg1 = bytes(data[i, :l1])
+        seg2 = bytes(data[i, l1 : l1 + l2])
+        out[i, :hi, :wi] = decode_refinement(
+            seg1, seg2, hi, wi, int(npasses[i]), nb
+        )
+        out[i, hi:, :] = 0
+        out[i, :, wi:] = 0
+    return out, np.asarray(numbps, dtype=np.int64).copy()
+
+
+# ==================================== SigProp / MagRef refinement passes
+# (T.814 7.4/7.5 — behavior cross-checked against the reference decoder's
+# pipeline in t1_ht/coding/ojph_block_decoder.cpp; re-implemented scalar.)
+#
+# A 3-pass HT set codes the cleanup at bitplane 1 (magnitudes >> 1) and
+# refines bitplane 0 with two raw-coded passes sharing one codeword segment:
+# SigProp bits grow forward from its start, MagRef bits grow backward from
+# its end (the same bidirectional packing the cleanup uses for MEL/VLC).
+
+
+class SppEnc(MsEnc):
+    """Forward LSB-first writer, zero-padded termination (decoder pads 0)."""
+
+    def terminate(self) -> bytes:
+        if self.used:
+            self.bytes.append(self.tmp)
+            self.max_bits = 8
+            self.tmp = 0
+            self.used = 0
+        return bytes(self.bytes)
+
+
+class SppDec(MsDec):
+    """Forward LSB-first reader; pads 0 beyond the segment end."""
+
+    def _fill(self, need):
+        while self.bits < need:
+            if self.pos < len(self.data):
+                b = self.data[self.pos]
+                self.pos += 1
+            else:
+                b = 0
+            nbits = 7 if self.prev_ff else 8
+            self.prev_ff = b == 0xFF
+            self.tmp |= (b & ((1 << nbits) - 1)) << self.bits
+            self.bits += nbits
+
+
+class MrpEnc:
+    """Backward-growing LSB-first writer with the >0x8F stuffing rule
+    (the VLC scheme without the cleanup locator prefill)."""
+
+    def __init__(self):
+        self.bytes = bytearray()
+        self.tmp = 0
+        self.used = 0
+        self.last_gt_8f = True  # the decoder starts with unstuff=True
+
+    def encode(self, cwd, ln):
+        while ln > 0:
+            avail = 8 - (1 if self.last_gt_8f else 0) - self.used
+            t = min(avail, ln)
+            self.tmp |= (cwd & ((1 << t) - 1)) << self.used
+            self.used += t
+            avail -= t
+            ln -= t
+            cwd >>= t
+            if avail == 0:
+                if self.last_gt_8f and self.tmp != 0x7F:
+                    self.last_gt_8f = False
+                    continue
+                self.bytes.append(self.tmp)
+                self.last_gt_8f = self.tmp > 0x8F
+                self.tmp = 0
+                self.used = 0
+
+    def terminate(self) -> bytes:
+        out = bytearray(self.bytes)
+        if self.used:
+            out.append(self.tmp)
+        return bytes(reversed(out))  # stream order: last-read byte last
+
+
+class MrpDec:
+    """Backward LSB-first reader from the end of the shared segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = len(data) - 1
+        self.tmp = 0
+        self.bits = 0
+        self.unstuff = True
+
+    def read(self, n) -> int:
+        while self.bits < n:
+            b = self.data[self.pos] if self.pos >= 0 else 0
+            self.pos -= 1
+            if self.unstuff and (b & 0x7F) == 0x7F:
+                nbits = 7
+            else:
+                nbits = 8
+            self.unstuff = b > 0x8F
+            self.tmp |= (b & ((1 << nbits) - 1)) << self.bits
+            self.bits += nbits
+        v = self.tmp & ((1 << n) - 1)
+        self.tmp >>= n
+        self.bits -= n
+        return v
+
+
+def _sigprop_scan(h, w, sigma, visit):
+    """Drive the SigProp scan order; ``visit(y, x, eligible)`` returns
+    whether the sample became significant (updating ``new``). Eligibility =
+    any 8-neighbor significant (cleanup or newly coded) at scan time; bits
+    for each aligned 4-column group are emitted before that group's signs
+    (the caller interleaves via its two callbacks)."""
+    new = np.zeros_like(sigma)
+
+    def any_nbr(y, x):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                yy, xx = y + dy, x + dx
+                if 0 <= yy < h and 0 <= xx < w and (sigma[yy, xx] or new[yy, xx]):
+                    return True
+        return False
+
+    for s in range(0, h, 4):
+        rows = min(4, h - s)
+        for g in range(0, w, 4):
+            cols = range(g, min(g + 4, w))
+            group = []
+            for j in cols:
+                for k in range(rows):
+                    y = s + k
+                    if sigma[y, j] or new[y, j]:
+                        continue
+                    if not any_nbr(y, j):
+                        continue
+                    became = visit(y, j)
+                    if became:
+                        new[y, j] = True
+                        group.append((y, j))
+            yield group  # caller codes this group's signs now
+    return
+
+
+def encode_refinement(coeffs: np.ndarray, h: int, w: int):
+    """3-pass HT encode: returns (seg1, seg2).
+
+    seg1 = cleanup at bitplane 1; seg2 = SigProp (fwd) + MagRef (bwd)
+    refining bitplane 0."""
+    mag = np.abs(coeffs)
+    neg = coeffs < 0
+    hi = mag >> 1
+    cleanup_vals = np.where(neg, -hi, hi).astype(np.int64)
+    seg1 = encode_cleanup(cleanup_vals, h, w)
+    sigma = hi > 0
+
+    spp = SppEnc()
+
+    def visit(y, x):
+        bit = int(mag[y, x] & 1)  # |v| in {0,1} here (hi == 0)
+        spp.encode(bit, 1)
+        return bit == 1
+
+    scan = _sigprop_scan(h, w, sigma, visit)
+    for group in scan:
+        for (y, x) in group:
+            spp.encode(int(neg[y, x]), 1)
+    spp_bytes = spp.terminate()
+
+    mrp = MrpEnc()
+    for s in range(0, h, 4):
+        rows = min(4, h - s)
+        for j in range(w):
+            for k in range(rows):
+                y = s + k
+                if sigma[y, j]:
+                    mrp.encode(int(mag[y, j] & 1), 1)
+    mrp_bytes = mrp.terminate()
+    return seg1, spp_bytes + mrp_bytes
+
+
+def decode_refinement(seg1: bytes, seg2: bytes, h: int, w: int,
+                      npasses: int, numbps: int = 2) -> np.ndarray:
+    """Decode an HT set with up to 3 passes (cleanup @ plane numbps-1 +
+    SigProp + MagRef @ plane numbps-2). Missing refinement info
+    reconstructs at the bin center (the reference's fixed-point
+    convention: value = (mu << p) | (1 << (p-1)))."""
+    p = max(numbps - 1, 1)
+    hi = decode_cleanup(seg1, h, w)  # signed cleanup magnitudes (plane-p units)
+    mag_hi = np.abs(hi)
+    neg = hi < 0
+    sigma = mag_hi > 0
+    out_mag = np.where(sigma, (mag_hi << 1) | 1, 0).astype(np.int64)
+    out_neg = neg.copy()
+
+    if npasses >= 2 and len(seg2) > 0:
+        spp = SppDec(seg2)
+
+        def visit(y, x):
+            return spp.read(1) == 1
+
+        new_list = []
+        for group in _sigprop_scan(h, w, sigma, visit):
+            for (y, x) in group:
+                out_neg[y, x] = spp.read(1) == 1
+                out_mag[y, x] = 1
+                new_list.append((y, x))
+
+        if npasses >= 3:
+            mrp = MrpDec(seg2)
+            for s in range(0, h, 4):
+                rows = min(4, h - s)
+                for j in range(w):
+                    for k in range(rows):
+                        y = s + k
+                        if sigma[y, j]:
+                            bit = mrp.read(1)
+                            # refine the plane below cleanup: replace center
+                            out_mag[y, j] = (out_mag[y, j] & ~np.int64(1)) | bit
+
+    out = np.where(out_neg, -out_mag, out_mag)
+    if p > 1:
+        # deeper truncation: scale to plane p-1 units and re-center
+        mag = np.abs(out)
+        mag = np.where(mag > 0, (mag << (p - 1)) | ((1 << (p - 1)) >> 1), 0)
+        out = np.where(out < 0, -mag, mag)
+    return out

@@ -31,7 +31,7 @@ class FlatTileT2:
         cb_cx, cb_cy, cb_style = [], [], []
         self.entry_of: dict[tuple[int, int, int, int], int] = {}
         for c in range(siz.num_comps):
-            sty = tcp.tccps[c].cblk_style & 0x3F
+            sty = tcp.tccps[c].cblk_style & 0x7F
             for res in geoms[c].resolutions:
                 for bi, band in enumerate(res.bands):
                     for pi, prc in enumerate(band.precincts):

@@ -25,6 +25,16 @@ def _floor_log2(n: int) -> int:
 def _segment_splits(style: int, start_pass: int, npasses: int) -> list[int]:
     """Pass counts of the codeword segments covering passes
     [start_pass, start_pass + npasses) (T.800 D.4 termination rules)."""
+    if style & 0x40:
+        # HT (T.814): the cleanup pass terminates its segment; SigProp and
+        # MagRef of the same HT set share the following segment
+        out = []
+        for p in range(start_pass, start_pass + npasses):
+            if p % 3 == 2 and out and (p - 1) >= start_pass and (p - 1) % 3 == 1:
+                out[-1] += 1  # MagRef joins its SigProp segment
+            else:
+                out.append(1)
+        return out
     if style & 0x04:  # TERMALL: every pass is its own segment
         return [1] * npasses
     if style & 0x01:  # BYPASS: boundaries at MQ<->raw coder switches

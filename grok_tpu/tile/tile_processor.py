@@ -109,6 +109,28 @@ class TileProcessor:
         ncomp = siz.num_comps
         irrev = tcp.tccps[0].irreversible
 
+        # ---- device-resident transform chain (GROK_TPU_DEVICE=jax):
+        # DC shift + MCT + DWT + quantization as one jitted XLA program
+        from ..ops import jax_pipeline
+
+        if jax_pipeline.device_enabled():
+            for c in range(ncomp):
+                apply_band_quant(self.geoms[c], tcp.tccps[c], self._comp_prec(c))
+            fwd = getattr(self, "_dev_fwd", None)
+            if fwd is None:
+                fwd = jax_pipeline.build_forward(
+                    self.geoms, tcp.tccps, siz.comps, tcp.mct
+                )
+                self._dev_fwd = fwd
+            import jax.numpy as jnp
+
+            dev_out = fwd(*[
+                jnp.asarray(np.ascontiguousarray(comp_arrays[c], dtype=np.int32))
+                for c in range(ncomp)
+            ])
+            coeff_arrays = [np.asarray(x) for x in dev_out]
+            return self._entropy_and_t2(coeff_arrays, packed_headers)
+
         # ---- DC shift + MCT (fused native kernel when available)
         from ..ops.native_ops import get_lib as _get_native
 
@@ -196,6 +218,12 @@ class TileProcessor:
                     packed = packed << tccp.roi_shift
                 coeff_arrays.append(packed)
 
+        return self._entropy_and_t2(coeff_arrays, packed_headers)
+
+    def _entropy_and_t2(self, coeff_arrays, packed_headers=None):
+        """Codeblock gather -> T1 -> PCRD -> T2 packet emission."""
+        siz, tcp = self.siz, self.tcp
+        ncomp = siz.num_comps
         # ---- gather codeblocks into one preallocated batch
         cbh, cbw = self._nominal_cblk()
         import os
@@ -275,12 +303,14 @@ class TileProcessor:
             orients = np.array(ors, dtype=np.int64)
 
             styles = np.array(
-                [tcp.tccps[r.comp].cblk_style & 0x3F for r in refs], dtype=np.int32
+                [tcp.tccps[r.comp].cblk_style & 0x7F for r in refs], dtype=np.int32
             )
         if tcp.tccps[0].cblk_style & 0x40:
             from ..t1 import ht as t1
 
-            t1res = t1.encode_cblks(batch, heights, widths, orients)
+            refine = bool(getattr(self.enc_params, "ht_refine", False))
+            t1res = t1.encode_cblks(batch, heights, widths, orients,
+                                    refine=refine)
         else:
             t1 = select_backend()
             _check_styles_supported(styles, t1)
@@ -538,12 +568,12 @@ class TileProcessor:
         ors = flat.e_orient[sel].astype(np.int64)
 
         seg_arr = None
-        if (styles & 0x05).any():
+        if (styles & 0x45).any():
             from ..t2.packets import _segment_splits
 
             seg_lists = []
             for ri in range(n):
-                if not (styles[ri] & 0x05):
+                if not (styles[ri] & 0x45):
                     seg_lists.append([])
                     continue
                 e = int(sel[ri])
@@ -575,6 +605,7 @@ class TileProcessor:
 
             coeffs, planes = t1.decode_cblks(
                 data, lens, nbps, nps, hs, ws, ors, cbh, cbw,
+                seg_lengths=seg_arr,
             )
         else:
             t1 = select_backend()
@@ -613,7 +644,7 @@ class TileProcessor:
                 for bi, band in enumerate(res.bands):
                     for pi, prc in enumerate(band.precincts):
                         ctx = PrecinctCtx(band, prc)
-                        sty = tcp.tccps[c].cblk_style & 0x3F
+                        sty = tcp.tccps[c].cblk_style & 0x7F
                         for ci in range(len(prc.cblks)):
                             ctx.cblks[ci] = CblkDec(style=sty)
                         prc_ctx_map[(c, res.r, bi, pi)] = ctx
@@ -655,7 +686,7 @@ class TileProcessor:
                 hs.append(cg.rect.height)
                 ws.append(cg.rect.width)
                 ors.append(band.orient)
-                if cb.style & 0x05:
+                if cb.style & 0x45:
                     # merge contribution pieces into whole codeword
                     # segments (a layer boundary may split a segment)
                     from ..t2.packets import _segment_splits
@@ -688,6 +719,13 @@ class TileProcessor:
         styles = np.array(
             [tcp.tccps[r.comp].cblk_style & 0x3F for r in refs], dtype=np.int32
         )
+        max_segs0 = max((len(sl) for sl in seg_lists), default=0)
+        seg_arr0 = None
+        if max_segs0:
+            seg_arr0 = np.zeros((n, max(max_segs0, 1)), dtype=np.int64)
+            for i2, sl in enumerate(seg_lists):
+                if sl:
+                    seg_arr0[i2, : len(sl)] = sl
         if tcp.tccps[0].cblk_style & 0x40:
             from ..t1 import ht as t1
 
@@ -701,17 +739,12 @@ class TileProcessor:
                 np.array(ors, dtype=np.int64),
                 cbh,
                 cbw,
+                seg_lengths=seg_arr0,
             )
         else:
             t1 = select_backend()
             _check_styles_supported(styles, t1)
-            max_segs = max((len(sl) for sl in seg_lists), default=0)
-            seg_arr = None
-            if max_segs:
-                seg_arr = np.zeros((n, max(max_segs, 1)), dtype=np.int64)
-                for i2, sl in enumerate(seg_lists):
-                    if sl:
-                        seg_arr[i2, : len(sl)] = sl
+            seg_arr = seg_arr0
             coeffs, planes = t1.decode_cblks(
                 data,
                 np.array(lens, dtype=np.int64),
@@ -789,6 +822,27 @@ class TileProcessor:
                 body, max_layers, reduce, packed_headers, use_sop, use_eph,
                 cbh, cbw, staging,
             )
+
+        # ---- device-resident inverse chain (GROK_TPU_DEVICE=jax)
+        from ..ops import jax_pipeline
+
+        if jax_pipeline.device_enabled():
+            key = ("_dev_inv", reduce)
+            inv = getattr(self, "_dev_inv_cache", {}).get(reduce)
+            if inv is None:
+                inv = jax_pipeline.build_inverse(
+                    self.geoms, tcp.tccps, siz.comps, tcp.mct, reduce
+                )
+                if not hasattr(self, "_dev_inv_cache"):
+                    self._dev_inv_cache = {}
+                self._dev_inv_cache[reduce] = inv
+            import jax.numpy as jnp
+
+            dev_out = inv(*[
+                jnp.asarray(np.ascontiguousarray(s, dtype=np.int32))
+                for s in staging
+            ])
+            return [np.asarray(x) for x in dev_out]
 
         from ..ops import native_ops
 

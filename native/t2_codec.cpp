@@ -201,6 +201,16 @@ static inline int bit_length(int64_t n) { return floor_log2(n) + 1; }
 // codeword segment splits (T.800 D.4): pass counts of the segments covering
 // [start, start+npasses)
 static int segment_splits(int style, int start, int npasses, int* out) {
+    if (style & 0x40) {  // HT: cleanup own segment; SigProp+MagRef share one
+        int n = 0;
+        for (int p = start; p < start + npasses; p++) {
+            if (p % 3 == 2 && n > 0 && (p - 1) >= start && (p - 1) % 3 == 1)
+                out[n - 1] += 1;
+            else
+                out[n++] = 1;
+        }
+        return n;
+    }
     if (style & 0x04) {  // TERMALL
         for (int i = 0; i < npasses; i++) out[i] = 1;
         return npasses;

@@ -1,0 +1,60 @@
+"""Device-resident transform chain (GROK_TPU_DEVICE=jax): the jitted
+DC/MCT/DWT/(de)quant XLA program must match the host pipeline — bit-exact
+for the reversible path, +-1 LSB for the irreversible one (XLA FMA)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import grok_tpu as gk
+from tests.conftest import natural_image
+
+
+@pytest.fixture
+def device_env():
+    os.environ["GROK_TPU_DEVICE"] = "jax"
+    yield
+    os.environ.pop("GROK_TPU_DEVICE", None)
+
+
+def _host_then_device(im, params, stream):
+    os.environ.pop("GROK_TPU_DEVICE", None)
+    host_enc = gk.compress(im, params)
+    host_dec = gk.decompress(stream).to_array()
+    os.environ["GROK_TPU_DEVICE"] = "jax"
+    dev_enc = gk.compress(im, params)
+    dev_dec = gk.decompress(stream).to_array()
+    os.environ.pop("GROK_TPU_DEVICE", None)
+    return host_enc, dev_enc, host_dec, dev_dec
+
+
+def test_device_lossless_bit_exact():
+    arr = natural_image(96, 128)
+    im = gk.Image.from_array(arr)
+    p = gk.CompressParams(num_resolutions=3)
+    stream = gk.compress(im, p)
+    host_enc, dev_enc, host_dec, dev_dec = _host_then_device(im, p, stream)
+    assert host_enc == dev_enc
+    assert np.array_equal(host_dec, dev_dec)
+    assert np.array_equal(dev_dec.squeeze(), arr)
+
+
+def test_device_rgb_mct_roundtrip():
+    arr = natural_image(80, 96, 3)
+    im = gk.Image.from_array(arr)
+    p = gk.CompressParams(num_resolutions=3)
+    stream = gk.compress(im, p)
+    host_enc, dev_enc, host_dec, dev_dec = _host_then_device(im, p, stream)
+    assert host_enc == dev_enc
+    assert np.array_equal(host_dec, dev_dec)
+
+
+def test_device_irreversible_within_one_lsb():
+    arr = natural_image(80, 96, 3)
+    im = gk.Image.from_array(arr)
+    p = gk.CompressParams(num_resolutions=3, irreversible=True)
+    stream = gk.compress(im, p)
+    host_enc, dev_enc, host_dec, dev_dec = _host_then_device(im, p, stream)
+    assert host_enc == dev_enc  # quantized ints identical on this image set
+    assert np.abs(host_dec.astype(int) - dev_dec.astype(int)).max() <= 1

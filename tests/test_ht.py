@@ -76,3 +76,52 @@ def test_ht_lossy():
     out = gk.decompress(stream).to_array()[:, :, 0]
     mse = np.mean((out.astype(np.float64) - arr) ** 2)
     assert 10 * np.log10(255**2 / mse) > 42
+
+
+# ---------------------------------------------------------------- refinement
+def test_ht_refinement_block_roundtrip(rng):
+    """3-pass HT sets (cleanup @ plane 1 + SigProp/MagRef) are exact."""
+    from grok_tpu.t1 import ht
+
+    for _ in range(10):
+        h = int(rng.integers(1, 24))
+        w = int(rng.integers(1, 24))
+        blk = rng.integers(-200, 200, (h, w)).astype(np.int64)
+        blk[rng.random((h, w)) < 0.5] = 0
+        s1, s2 = ht.encode_refinement(blk, h, w)
+        dec = ht.decode_refinement(s1, s2, h, w, 3)
+        assert np.array_equal(dec, blk)
+
+
+def test_ht_refinement_truncation_centers(rng):
+    """Cleanup-only decode of a 3-pass stream lands on the bin centers."""
+    from grok_tpu.t1 import ht
+
+    blk = rng.integers(-100, 100, (12, 12)).astype(np.int64)
+    blk[np.abs(blk) < 4] = 0
+    s1, s2 = ht.encode_refinement(blk, 12, 12)
+    dec1 = ht.decode_refinement(s1, b"", 12, 12, 1)
+    mag = np.abs(blk)
+    exp = np.where(mag >> 1 > 0, ((mag >> 1) << 1) | 1, 0)
+    exp = np.where(blk < 0, -exp, exp)
+    assert np.array_equal(dec1, exp)
+
+
+def test_ht_refine_end_to_end(rng):
+    """ht_refine codestreams survive the full codec losslessly.
+
+    (The reference cannot decode multi-pass HT at all — its T1HT.cpp:174
+    passes lengths2=0 into the block decoder — so interop is one-way by
+    construction; the pass semantics mirror its own decoder algorithm.)"""
+    import grok_tpu as gk
+    from tests.conftest import natural_image
+
+    for shape in [(96, 128, 3), (57, 101, 1)]:
+        arr = natural_image(*shape[:2]) if len(shape) == 2 or shape[2] == 1 \
+            else natural_image(*shape)
+        im = gk.Image.from_array(arr)
+        p = gk.CompressParams(num_resolutions=3, ht=True, ht_refine=True)
+        stream = gk.compress(im, p)
+        out = gk.decompress(stream)
+        ref = arr if arr.ndim == 3 else arr
+        assert np.array_equal(out.to_array().squeeze(), ref.squeeze())

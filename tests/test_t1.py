@@ -62,17 +62,67 @@ def test_sparse(rng):
 
 
 def test_jax_encoder_matches_numpy(rng):
-    """Device lockstep coder must produce bit-identical MQ streams."""
+    """Device lockstep coder must produce bit-identical MQ streams,
+    per-pass rates included, across the supported codeblock styles."""
     from grok_tpu.t1 import ebcot_jax
 
-    N, H, W = 4, 8, 8
+    N, H, W = 5, 8, 8
     coeffs = (rng.standard_normal((N, H, W)) * 20).astype(np.int64)
-    hs = np.array([8, 5, 8, 3])
-    ws = np.array([8, 8, 6, 8])
-    ors = np.array([0, 1, 2, 3])
-    r_np = encode_cblks(coeffs, hs, ws, ors)
-    r_jx = ebcot_jax.encode_cblks(coeffs, hs, ws, ors)
+    hs = np.array([8, 5, 8, 3, 8])
+    ws = np.array([8, 8, 6, 8, 8])
+    ors = np.array([0, 1, 2, 3, 0])
+    styles = np.array([0, 0x08, 0x02, 0x20, 0x2A])  # -, VSC, RESET, SEGSYM, all
+    r_np = encode_cblks(coeffs, hs, ws, ors, styles=styles)
+    r_jx = ebcot_jax.encode_cblks(coeffs, hs, ws, ors, styles=styles)
     for i in range(N):
         ln, lj = int(r_np.lengths[i]), int(r_jx.lengths[i])
         assert ln == lj
         assert np.array_equal(r_np.data[i, :ln], r_jx.data[i, :lj])
+    mp = min(r_np.pass_rates.shape[1], r_jx.pass_rates.shape[1])
+    assert np.array_equal(r_np.pass_rates[:, :mp], r_jx.pass_rates[:, :mp])
+
+
+def test_jax_decoder_roundtrip(rng):
+    """Device lockstep DECODER: native-encoded streams decode bit-exact."""
+    from grok_tpu.t1 import ebcot_jax
+
+    N, H, W = 5, 8, 8
+    coeffs = (rng.standard_normal((N, H, W)) * 25).astype(np.int64)
+    hs = np.array([8, 5, 8, 3, 8])
+    ws = np.array([8, 8, 6, 8, 8])
+    ors = np.array([0, 1, 2, 3, 0])
+    styles = np.array([0, 0x08, 0x02, 0x20, 0x2A])
+    res = encode_cblks(coeffs, hs, ws, ors, styles=styles)
+    dec, _ = ebcot_jax.decode_cblks(
+        res.data, res.lengths, res.numbps, res.npasses,
+        hs, ws, ors, H, W, styles=styles,
+    )
+    for i in range(N):
+        assert np.array_equal(
+            coeffs[i, : hs[i], : ws[i]], dec[i, : hs[i], : ws[i]]
+        ), f"block {i}"
+
+
+def test_jax_backend_end_to_end(rng):
+    """GROK_TPU_T1=jax drives the full codec (compress AND decompress)."""
+    import os
+
+    import grok_tpu as gk
+
+    arr = (rng.standard_normal((24, 24)) * 40 + 128).clip(0, 255).astype(np.uint8)
+    im = gk.Image.from_array(arr.astype(np.int32))
+    old = os.environ.get("GROK_TPU_T1")
+    os.environ["GROK_TPU_T1"] = "jax"
+    try:
+        stream = gk.compress(im, gk.CompressParams(num_resolutions=2, cblk_width=16, cblk_height=16))
+        out = gk.decompress(stream)
+        assert np.array_equal(out.components[0].data, arr.astype(np.int32))
+        # the jax stream must equal the native stream bit-for-bit
+        os.environ["GROK_TPU_T1"] = "native"
+        ref = gk.compress(im, gk.CompressParams(num_resolutions=2, cblk_width=16, cblk_height=16))
+        assert stream == ref
+    finally:
+        if old is None:
+            os.environ.pop("GROK_TPU_T1", None)
+        else:
+            os.environ["GROK_TPU_T1"] = old
