@@ -137,10 +137,13 @@ class Decoder:
         return tcp, memoryview(b"".join(bytes(b) for b in bodies)), packed_blob
 
     # ---------------------------------------------------------------- tiles
-    def decompress_tile(self, tile_index: int) -> list[np.ndarray]:
-        cached = self.cache.get(tile_index)
-        if cached is not None:
-            return cached
+    def decompress_tile(self, tile_index: int, window: Rect | None = None):
+        """Decode one tile; with ``window``, only the sub-tile region is
+        entropy-decoded/reconstructed and (arrays, rects) is returned."""
+        if window is None:
+            cached = self.cache.get(tile_index)
+            if cached is not None:
+                return cached
         siz = self.header.siz
         if tile_index >= siz.num_tiles:
             raise CodestreamError("tile index out of range")
@@ -148,7 +151,7 @@ class Decoder:
             # missing tile: all-zero components
             tp = TileProcessor(siz, self.header.default_tcp.copy(), tile_index)
             out = tp.decompress(memoryview(b""), self.params.max_layers,
-                                self.params.reduce)
+                                self.params.reduce, window=window)
         else:
             # corrupt-tile tolerance (parity: m_corrupt_packet /
             # DecodeUnknownMarkerAtEndOfTileException handling): a broken
@@ -160,15 +163,17 @@ class Decoder:
                 tcp, body, packed = self._parse_tile_headers(tile_index)
                 tp = TileProcessor(siz, tcp, tile_index)
                 out = tp.decompress(body, self.params.max_layers,
-                                    self.params.reduce, packed_headers=packed)
+                                    self.params.reduce, packed_headers=packed,
+                                    window=window)
             except (GrokTpuError, ValueError, IndexError, OverflowError) as e:
                 log.warn("tile %d failed to decode (%s); zero-filled",
                          tile_index, e)
                 tp = TileProcessor(siz, self.header.default_tcp.copy(),
                                    tile_index)
                 out = tp.decompress(memoryview(b""), self.params.max_layers,
-                                    self.params.reduce)
-        self.cache.put(tile_index, out)
+                                    self.params.reduce, window=window)
+        if window is None:
+            self.cache.put(tile_index, out)
         return out
 
     # ---------------------------------------------------------------- image
@@ -210,9 +215,29 @@ class Decoder:
             ]
         img = self._make_image(window)
         for ti in tiles:
-            arrays = self.decompress_tile(ti)
-            self._paste_tile(img, ti, arrays)
+            if window is not None:
+                arrays, rects = self.decompress_tile(ti, window)
+                self._paste_window(img, arrays, rects)
+            else:
+                arrays = self.decompress_tile(ti)
+                self._paste_tile(img, ti, arrays)
         return img
+
+    def _paste_window(self, img: Image, comp_arrays, rects) -> None:
+        """Paste windowed tile arrays (rects: reduced comp coords)."""
+        for ci, c in enumerate(img.components):
+            a = comp_arrays[ci]
+            r = rects[ci]
+            x0 = r.x0 - c.x0
+            y0 = r.y0 - c.y0
+            sy0 = max(0, -y0)
+            sx0 = max(0, -x0)
+            dy0 = max(0, y0)
+            dx0 = max(0, x0)
+            h = min(a.shape[0] - sy0, c.h - dy0)
+            w = min(a.shape[1] - sx0, c.w - dx0)
+            if h > 0 and w > 0:
+                c.data[dy0 : dy0 + h, dx0 : dx0 + w] = a[sy0 : sy0 + h, sx0 : sx0 + w]
 
     def _paste_tile(self, img: Image, tile_index: int, comp_arrays) -> None:
         siz = self.header.siz

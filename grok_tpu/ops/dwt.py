@@ -314,3 +314,162 @@ def _paste(xp, arr, sub, h, w):
         arr[..., :h, :w] = sub
         return arr
     return arr.at[..., :h, :w].set(sub)
+
+
+# --------------------------------------------------------- windowed inverse
+def window_supports(rect: Rect, num_levels: int, irrev: bool, win: Rect):
+    """Per-level support rects for reconstructing only ``win`` (level-0
+    canvas coords): sups[l] is the level-l region needed, each level padded
+    by the filter half-support (2 for 5/3, 4 for 9/7) before descending —
+    the reference's FILTER_WIDTH halo scheme (WaveletReverse.cpp:1890)."""
+    m = 4 if irrev else 2
+    rects = [rect]
+    for _ in range(num_levels):
+        rects.append(rects[-1].ceil_div_pow2(1))
+    sups = [win.intersect(rect)]
+    for l in range(1, num_levels + 1):
+        prev = sups[-1]
+        s = Rect(
+            prev.x0 // 2 - m, prev.y0 // 2 - m,
+            (prev.x1 + 1) // 2 + m, (prev.y1 + 1) // 2 + m,
+        ).intersect(rects[l])
+        sups.append(s)
+    return rects, sups
+
+
+def _phase_ranges(sup: Rect):
+    """(s-range, d-range) per axis for the interleaved region ``sup``."""
+    ys = ((sup.y0 + 1) // 2, (sup.y1 + 1) // 2)
+    yd = (sup.y0 // 2, sup.y1 // 2)
+    xs = ((sup.x0 + 1) // 2, (sup.x1 + 1) // 2)
+    xd = (sup.x0 // 2, sup.x1 // 2)
+    return ys, yd, xs, xd
+
+
+def inverse_window(xp, arr, rect: Rect, num_levels: int, irrev: bool,
+                   win: Rect):
+    """Windowed multi-level inverse DWT.
+
+    arr: Mallat-packed array (as produced by forward); only the coefficients
+    inside the per-level supports need to be valid — everything else may be
+    zero/garbage (the margins absorb boundary-clamp error, so the returned
+    region is exact). Returns (out, out_rect) with out_rect == sups[0] ⊇ win
+    clamped to the tile; out has out_rect's shape, natural sample order."""
+    inv = inv97_axis if irrev else inv53_axis
+    rects, sups = window_supports(rect, num_levels, irrev, win)
+    if sups[0].empty():
+        return arr[:0, :0], sups[0]
+
+    # the forward transform stops once a level becomes degenerate: only
+    # levels whose SOURCE rect is non-empty were ever transformed
+    start = num_levels
+    while start > 0 and rects[start - 1].empty():
+        start -= 1
+
+    top = sups[start]
+    r_top = rects[start]
+    if r_top.empty() or top.empty():
+        # no LL samples at the deepest level (all rows/cols are high-phase)
+        cur = arr[..., :0, :0]
+        cur_rect = Rect(0, 0, 0, 0)
+    else:
+        cur = arr[
+            ...,
+            top.y0 - r_top.y0 : top.y1 - r_top.y0,
+            top.x0 - r_top.x0 : top.x1 - r_top.x0,
+        ]
+        cur = cur.copy() if xp is np else cur
+        cur_rect = top
+    for l in range(start, 0, -1):
+        # reconstruct the FULL interleaved span of the available subband
+        # data; its outer margin absorbs boundary-clamp error so the next
+        # level's support region stays exact
+        sup_l = sups[l]
+        # span all interleaved samples derivable from the available data
+        # (the -1 keeps a leading high-phase sample on odd boundaries)
+        out_rect = Rect(
+            2 * sup_l.x0 - 1, 2 * sup_l.y0 - 1, 2 * sup_l.x1, 2 * sup_l.y1
+        ).intersect(rects[l - 1])
+        if out_rect.empty():
+            return arr[:0, :0], out_rect
+        ys, yd, xs, xd = _phase_ranges(out_rect)
+        sn_y, dn_y = ys[1] - ys[0], yd[1] - yd[0]
+        sn_x, dn_x = xs[1] - xs[0], xd[1] - xd[0]
+        r_prev = rects[l - 1]
+        # packed sub-array [sy | dy] x [sx | dx]
+        P = xp.zeros(
+            (*arr.shape[:-2], sn_y + dn_y, sn_x + dn_x), dtype=arr.dtype
+        )
+        # LL from cur (level-l canvas coords)
+        if sn_y > 0 and sn_x > 0:
+            ll = cur[
+                ...,
+                ys[0] - cur_rect.y0 : ys[1] - cur_rect.y0,
+                xs[0] - cur_rect.x0 : xs[1] - cur_rect.x0,
+            ]
+        else:
+            ll = None
+        # H bands from the packed array (Mallat offsets at level l-1's split)
+        ph, pw = rects[l].height, rects[l].width  # previous-level extent
+        ry0, rx0 = rects[l].y0, rects[l].x0  # s-phase band origin (canvas)
+        by0, bx0 = r_prev.y0 // 2, r_prev.x0 // 2  # d-phase band origin
+        hl = arr[
+            ...,
+            ys[0] - ry0 : ys[1] - ry0,
+            pw + xd[0] - bx0 : pw + xd[1] - bx0,
+        ]
+        lh = arr[
+            ...,
+            ph + yd[0] - by0 : ph + yd[1] - by0,
+            xs[0] - rx0 : xs[1] - rx0,
+        ]
+        hh = arr[
+            ...,
+            ph + yd[0] - by0 : ph + yd[1] - by0,
+            pw + xd[0] - bx0 : pw + xd[1] - bx0,
+        ]
+        if xp is np:
+            if ll is not None:
+                P[..., :sn_y, :sn_x] = ll
+            P[..., :sn_y, sn_x:] = hl
+            P[..., sn_y:, :sn_x] = lh
+            P[..., sn_y:, sn_x:] = hh
+        else:
+            if ll is not None:
+                P = P.at[..., :sn_y, :sn_x].set(ll)
+            P = P.at[..., :sn_y, sn_x:].set(hl)
+            P = P.at[..., sn_y:, :sn_x].set(lh)
+            P = P.at[..., sn_y:, sn_x:].set(hh)
+        P = inv(xp, P, P.ndim - 1, out_rect.x0 & 1)
+        P = inv(xp, P, P.ndim - 2, out_rect.y0 & 1)
+        cur = P
+        cur_rect = out_rect
+    return cur, cur_rect
+
+
+def window_band_needs(rect: Rect, num_levels: int, irrev: bool, win: Rect):
+    """Needed band regions (band coords) per (resolution, orient) for a
+    windowed decode; resolution 0 maps to the LL support."""
+    rects, sups = window_supports(rect, num_levels, irrev, win)
+    needs = {}
+    start = num_levels
+    while start > 0 and rects[start - 1].empty():
+        start -= 1
+    top = sups[start]
+    if not rects[start].empty() and not top.empty():
+        needs[(0, 0)] = top
+    else:
+        needs[(0, 0)] = Rect(0, 0, 0, 0)
+    for l in range(start, 0, -1):
+        rr = num_levels - l + 1  # geometry resolution index
+        sup_l = sups[l]
+        out_rect = Rect(
+            2 * sup_l.x0 - 1, 2 * sup_l.y0 - 1, 2 * sup_l.x1, 2 * sup_l.y1
+        ).intersect(rects[l - 1])
+        ys, yd, xs, xd = _phase_ranges(out_rect)
+        # absolute band coordinates (low phase: level-l canvas; high phase:
+        # canvas//2 — the same convention the tile geometry uses)
+        needs[(rr, 1)] = Rect(xd[0], ys[0], xd[1], ys[1])
+        needs[(rr, 2)] = Rect(xs[0], yd[0], xs[1], yd[1])
+        needs[(rr, 3)] = Rect(xd[0], yd[0], xd[1], yd[1])
+    return needs

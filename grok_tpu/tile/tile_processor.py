@@ -515,7 +515,7 @@ class TileProcessor:
 
     def _decompress_t1_flat(self, lib, body, max_layers, reduce,
                             packed_headers, use_sop, use_eph, cbh, cbw,
-                            staging):
+                            staging, comp_windows=None):
         """Array-driven T2 parse + T1 decode + scatter (no per-cblk objects)."""
         from ..t2 import native_t2
 
@@ -544,6 +544,10 @@ class TileProcessor:
                 dtype=np.int32,
             )
             keep &= flat.e_res < (numres[flat.e_comp] - reduce)
+        if comp_windows is not None:
+            # windowed decode: keep only codeblocks inside the per-level
+            # filter supports (everything else never touches the T1 coder)
+            keep &= self._window_entry_mask(flat, reduce, comp_windows)
         sel = np.nonzero(keep)[0]
         n = len(sel)
         if n == 0:
@@ -630,6 +634,49 @@ class TileProcessor:
                 np.ascontiguousarray(flat.e_w[sel][mask]),
                 staging[c], staging[c].shape[1], 0,
             )
+
+    def _window_entry_mask(self, flat, reduce, comp_windows):
+        """Entry mask: codeblock rect intersects its band's needed region."""
+        siz, tcp = self.siz, self.tcp
+        mask = np.zeros(len(flat.e_comp), dtype=bool)
+        band_need = {}
+        for c in range(siz.num_comps):
+            g = self.geoms[c]
+            tccp = tcp.tccps[c]
+            nl_red = max(tccp.num_resolutions - 1 - reduce, 0)
+            rect_red = g.rect.ceil_div_pow2(reduce) if reduce else g.rect
+            needs = dwt_ops.window_band_needs(
+                rect_red, nl_red, tccp.irreversible, comp_windows[c]
+            )
+            for (rr, orient), r in needs.items():
+                band_need[(c, rr, orient)] = r
+        for e in range(len(flat.e_comp)):
+            if flat.e_h[e] <= 0 or flat.e_w[e] <= 0:
+                continue
+            key = (int(flat.e_comp[e]), int(flat.e_res[e]),
+                   int(flat.e_orient[e]))
+            need = band_need.get(key)
+            if need is None or need.empty():
+                continue
+            c = int(flat.e_comp[e])
+            band = self.geoms[c].resolutions[int(flat.e_res[e])].bands[
+                0 if flat.e_orient[e] == 0 else
+                [b.orient for b in
+                 self.geoms[c].resolutions[int(flat.e_res[e])].bands].index(
+                    int(flat.e_orient[e]))
+            ]
+            cg = None  # rect from entry py/px is packed coords; use band rect
+            # entry rect in band coords: reconstruct from packed offsets
+            # (e_py/e_px are packed-array coords = band coords + band origin)
+            oy, ox = _band_origin_in_packed(
+                self.geoms[c], int(flat.e_res[e]), int(flat.e_orient[e])
+            )
+            by0 = int(flat.e_py[e]) - oy + band.rect.y0
+            bx0 = int(flat.e_px[e]) - ox + band.rect.x0
+            r = Rect(bx0, by0, bx0 + int(flat.e_w[e]), by0 + int(flat.e_h[e]))
+            if not r.intersect(need).empty():
+                mask[e] = True
+        return mask
 
     def _decompress_t1_objects(self, body, max_layers, reduce,
                                packed_headers, use_sop, use_eph, cbh, cbw,
@@ -773,13 +820,21 @@ class TileProcessor:
 
     def decompress(
         self, body: memoryview, max_layers: int = 0, reduce: int = 0,
-        packed_headers: bytes | None = None,
-    ) -> list[np.ndarray]:
+        packed_headers: bytes | None = None, window: Rect | None = None,
+    ):
         """Decode a tile body into per-component arrays.
 
         ``reduce`` discards that many highest resolution levels (the
         cp_reduce fast path: high-res codeblocks are never entropy-decoded,
-        the inverse DWT runs fewer levels)."""
+        the inverse DWT runs fewer levels).
+
+        ``window`` (full-resolution reference-grid coords) restricts the
+        decode to a sub-tile region: only codeblocks inside the per-level
+        filter supports are entropy-decoded and the inverse DWT runs
+        windowed with FILTER_WIDTH halos (parity:
+        T1DecompressScheduler.cpp:47 + WaveletReverse.cpp:1890). With a
+        window the return value is (arrays, rects) where rects give each
+        array's origin in reduced component coordinates."""
         siz, tcp = self.siz, self.tcp
         ncomp = siz.num_comps
         irrev = tcp.tccps[0].irreversible
@@ -812,10 +867,18 @@ class TileProcessor:
             else [np.zeros(a.shape, dtype=np.int32) for a in coeff_arrays]
         )
 
+        comp_windows = None
+        if window is not None:
+            comp_windows = []
+            for c in range(ncomp):
+                sc = siz.comps[c]
+                wc = window.ceil_div(sc.dx, sc.dy).ceil_div_pow2(reduce)
+                comp_windows.append(wc)
+
         if lib is not None:
             self._decompress_t1_flat(
                 lib, body, max_layers, reduce, packed_headers, use_sop,
-                use_eph, cbh, cbw, staging,
+                use_eph, cbh, cbw, staging, comp_windows,
             )
         else:
             self._decompress_t1_objects(
@@ -893,13 +956,23 @@ class TileProcessor:
                         )
                         out2[sl2] = np.where(q2 < 0, -rec2, rec2)
 
-        # ---- inverse DWT (fewer levels under resolution reduction)
+        # ---- inverse DWT (fewer levels under resolution reduction;
+        # windowed with filter halos when a sub-tile region was requested)
         out = []
+        out_rects = []
         for c in range(ncomp):
             g = self.geoms[c]
             nl = max(self.tcp.tccps[c].num_resolutions - 1 - reduce, 0)
             rect = g.rect.ceil_div_pow2(reduce) if reduce else g.rect
-            rec = dwt_ops.inverse(np, coeff_arrays[c], rect, nl, irrev)
+            if comp_windows is not None:
+                rec, orect = dwt_ops.inverse_window(
+                    np, coeff_arrays[c], rect, nl, irrev, comp_windows[c]
+                )
+                rec = np.ascontiguousarray(rec)
+                out_rects.append(orect)
+            else:
+                rec = dwt_ops.inverse(np, coeff_arrays[c], rect, nl, irrev)
+                out_rects.append(rect)
             out.append(rec)
 
         # ---- inverse MCT + DC shift
@@ -965,4 +1038,6 @@ class TileProcessor:
                     a = mct_ops.dc_shift_inverse(np, a, prec2, signed2)
                     a = a.astype(np.int32, copy=False)
             final.append(a)
+        if window is not None:
+            return final, out_rects
         return final
