@@ -82,8 +82,13 @@ def build_tcp(image: Image, params: CompressParams) -> Tcp:
     return tcp
 
 
-def compress(image: Image, params: CompressParams | None = None) -> bytes:
-    """Encode an Image to a raw .j2k codestream."""
+def compress(image: Image, params: CompressParams | None = None,
+             tile_coeff_fn=None) -> bytes:
+    """Encode an Image to a raw .j2k codestream.
+
+    ``tile_coeff_fn(tile_index)`` may supply pre-transformed packed
+    coefficient arrays (the distributed mesh path); returning None falls
+    back to the local per-tile transform."""
     params = params or CompressParams()
     params.validate()
     image.finalize()
@@ -148,9 +153,13 @@ def compress(image: Image, params: CompressParams | None = None) -> bytes:
     tile_part_lengths: list[tuple[int, int]] = []
     for ti in range(num_tiles):
         tp = TileProcessor(siz, tcp, ti, enc_params=params)
-        comp_arrays = _extract_tile(image, siz, ti)
         hdrs: list[bytes] | None = [] if params.write_ppt else None
-        body, pkt_lens = tp.compress(comp_arrays, packed_headers=hdrs)
+        coeffs = tile_coeff_fn(ti) if tile_coeff_fn is not None else None
+        if coeffs is not None:
+            body, pkt_lens = tp.compress_from_coeffs(coeffs, packed_headers=hdrs)
+        else:
+            comp_arrays = _extract_tile(image, siz, ti)
+            body, pkt_lens = tp.compress(comp_arrays, packed_headers=hdrs)
         ppt_bytes = b""
         if hdrs is not None:
             blob = b"".join(hdrs)

@@ -33,11 +33,8 @@ def _band_origin(geom, res_idx: int, orient: int):
     return prev.height, prev.width
 
 
-def build_forward(geoms, tccps, siz_comps, mct: int):
-    """Returns jitted fn(*comps int32 [H,W]) -> tuple of packed int32 arrays.
-
-    Band steps/ROI must already be applied to the geometry (apply_band_quant).
-    """
+def make_forward_fn(geoms, tccps, siz_comps, mct: int):
+    """Un-jitted forward transform fn(*comps) (see build_forward)."""
     import jax
     import jax.numpy as jnp
 
@@ -90,7 +87,17 @@ def build_forward(geoms, tccps, siz_comps, mct: int):
                 outs.append(packed << roi if roi else packed)
         return tuple(outs)
 
-    return jax.jit(f)
+    return f
+
+
+def build_forward(geoms, tccps, siz_comps, mct: int):
+    """Returns jitted fn(*comps int32 [H,W]) -> tuple of packed int32 arrays.
+
+    Band steps/ROI must already be applied to the geometry (apply_band_quant).
+    """
+    import jax
+
+    return jax.jit(make_forward_fn(geoms, tccps, siz_comps, mct))
 
 
 def build_inverse(geoms, tccps, siz_comps, mct: int, reduce: int = 0):

@@ -199,24 +199,12 @@ def make_sharded_transform(mesh, levels: int = 5):
         T, C, H, W = comps.shape
         flat = comps.reshape(T * C, H, W)
 
-        def one(x):
-            cur_h, cur_w = H, W
-            for _ in range(levels):
-                sub = x[:cur_h, :cur_w]
-                s = _fwd53_h_local(_fwd53_v_local(sub))
-                x = x.at[:cur_h, :cur_w].set(s)
-                cur_h //= 2
-                cur_w //= 2
-            return x
+        from ..core.rect import Rect
+        from ..ops import dwt as dwt_ops
 
-        def _fwd53_v_local(x):
-            s = x[0::2]
-            d = x[1::2]
-            s_right = jnp.concatenate([s[1:], s[-1:]], axis=0)
-            d = d - ((s + s_right) >> 1)
-            d_left = jnp.concatenate([d[:1], d[:-1]], axis=0)
-            s = s + ((d_left + d + 2) >> 2)
-            return jnp.concatenate([s, d], axis=0)
+        def one(x):
+            # the shared multi-level lifting (ops/dwt.py), traced under jit
+            return dwt_ops.forward(jnp, x, Rect(0, 0, W, H), levels, False)
 
         packed = jax.vmap(one)(flat).reshape(T, C, H, W)
         mags = jnp.abs(packed).reshape(T, C, H // 64, 64, W // 64, 64)

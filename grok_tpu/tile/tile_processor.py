@@ -220,6 +220,14 @@ class TileProcessor:
 
         return self._entropy_and_t2(coeff_arrays, packed_headers)
 
+    def compress_from_coeffs(self, coeff_arrays, packed_headers=None):
+        """Entropy-code + T2 pre-transformed packed coefficient arrays
+        (the distributed path: the DWT/MCT/quant ran sharded on a mesh)."""
+        for c in range(self.siz.num_comps):
+            apply_band_quant(self.geoms[c], self.tcp.tccps[c],
+                             self._comp_prec(c))
+        return self._entropy_and_t2(coeff_arrays, packed_headers)
+
     def _entropy_and_t2(self, coeff_arrays, packed_headers=None):
         """Codeblock gather -> T1 -> PCRD -> T2 packet emission."""
         siz, tcp = self.siz, self.tcp

@@ -31,24 +31,27 @@ def test_sharded_strip_dwt_matches_single_device(rng):
     back = np.asarray(inv(fwd(xd)))
     assert np.array_equal(back, x), "sharded inverse must reconstruct exactly"
 
-    # forward must be a row-permutation-consistent Mallat transform: undo
-    # the per-shard packing and compare to the reference DWT
+    # forward layout check (exact, positional): the per-shard packing keeps
+    # level-l lows in each shard's first S/2^l rows. Every band of every
+    # level must match the reference Mallat layout sample-for-sample.
     ref = dwt_ops.forward(np, x.astype(np.int32).copy(), Rect(0, 0, W, H), LV, False)
     S = H // n
-    # reconstruct global layout from per-shard packed rows, level by level
-    got = packed.copy()
-    rows = np.arange(H)
-    shard_of = rows // S
-    local = rows % S
-    # per-shard packing keeps each level's low band in the first S/2^l rows
-    # of each shard; verify level-1 high band rows match the reference
-    lvl1_high_ref = ref[H // 2 :, :]  # reference: rows H/2.. are level-1 d
-    lvl1_high_got = np.concatenate(
-        [packed[i * S + S // 2 : (i + 1) * S, :] for i in range(n)], axis=0
-    )
-    assert np.array_equal(
-        np.sort(lvl1_high_ref.ravel()), np.sort(lvl1_high_got.ravel())
-    )
+    for lvl in range(1, LV + 1):
+        rh, rw = S >> lvl, W >> lvl  # per-shard rows / global cols at lvl
+        for i in range(n):
+            # LH|HH rows (high vertical phase of this level)
+            got = packed[i * S + rh : i * S + 2 * rh, : 2 * rw]
+            rr = (H >> lvl) + i * rh
+            assert np.array_equal(got, ref[rr : rr + rh, : 2 * rw]), ("d", lvl, i)
+            # HL block (low vertical phase, high horizontal phase)
+            got = packed[i * S : i * S + rh, rw : 2 * rw]
+            rr = i * rh
+            assert np.array_equal(got, ref[rr : rr + rh, rw : 2 * rw]), ("HL", lvl, i)
+    # deepest LL
+    rh, rw = S >> LV, W >> LV
+    for i in range(n):
+        got = packed[i * S : i * S + rh, :rw]
+        assert np.array_equal(got, ref[i * rh : (i + 1) * rh, :rw]), ("LL", i)
 
 
 def test_sharded_transform_tile_parallel(rng):
@@ -63,5 +66,35 @@ def test_sharded_transform_tile_parallel(rng):
     assert packed.shape == (T, 3, H, W)
     assert blk_max.shape == (T, 3, 1, 1)
     assert np.isfinite(float(dist))
+    # the device transform must equal the host reference transform exactly
+    from grok_tpu.ops import mct as mct_ops
+
+    for t in range(T):
+        r, g, b = (batch[t, c].astype(np.int32) - 128 for c in range(3))
+        y, cb, cr = mct_ops.rct_forward(np, r, g, b)
+        for ci, comp in enumerate((y, cb, cr)):
+            ref = dwt_ops.forward(np, comp.copy(), Rect(0, 0, W, H), 3, False)
+            assert np.array_equal(np.asarray(packed)[t, ci], ref), (t, ci)
     # distortion psum must equal the direct sum
     assert abs(float(dist) - float(np.square(np.asarray(packed, np.float64)).sum())) < 1e-3 * abs(float(dist))
+
+
+def test_distributed_encode_byte_identical(rng):
+    """Full mesh-sharded encode must produce the exact single-chip stream
+    (tiles sharded over devices, ordered host assembly with TLM)."""
+    import grok_tpu as gk
+    from grok_tpu.parallel.distributed import compress_distributed
+    from tests.conftest import natural_image
+
+    arr = natural_image(192, 256, 3)
+    p = gk.CompressParams(num_resolutions=3, tile_size=(64, 64), write_tlm=True)
+    ref = gk.compress(gk.Image.from_array(arr), p)
+    dist = compress_distributed(gk.Image.from_array(arr), p)
+    assert dist == ref
+
+    # uneven boundary tiles take the host fallback inside the same assembly
+    arr2 = natural_image(150, 170, 3)
+    p2 = gk.CompressParams(num_resolutions=3, tile_size=(64, 64))
+    ref2 = gk.compress(gk.Image.from_array(arr2), p2)
+    dist2 = compress_distributed(gk.Image.from_array(arr2), p2)
+    assert dist2 == ref2
