@@ -162,7 +162,7 @@ def get_lib() -> ctypes.CDLL | None:
             i64, u8p, i64, i32,
             i64p, i32, i32p, i32p, i32p,
             i64p, i32,
-            i32, i32, i32, i32,
+            i32, i32, i32, i32, i32,
             u8p, i64, i64p, u8p, i64, i64p, i64p, i64p,
         ]
         lib.t2_encode_packets.restype = ctypes.c_int

@@ -107,8 +107,12 @@ class FlatTileT2:
 
 
 def encode_packets(lib, flat: FlatTileT2, refs, t1res, cum_passes,
-                   num_layers, use_sop, use_eph, ppt):
-    """Emit all packets natively; returns (body, pkt_lens, headers|None)."""
+                   num_layers, use_sop, use_eph, ppt, simulate=False):
+    """Emit all packets natively; returns (body, pkt_lens, headers|None).
+
+    With ``simulate``, nothing is materialized: the return value is the
+    exact total byte count (reference parity: T2Compress.cpp
+    compressPacketsSimulate)."""
     if refs is None:
         # flat encode path: entry e IS global codeblock e (same iteration order)
         ncb = len(flat.cb_cx)
@@ -135,6 +139,8 @@ def encode_packets(lib, flat: FlatTileT2, refs, t1res, cum_passes,
 
     npk = len(flat.pkt_layer)
     out_cap = int(t1res.lengths.sum()) + npk * 64 + len(flat.cb_cx) * 24 + 4096
+    if simulate:
+        out_cap = 16
     hdr_cap = out_cap if ppt else 16
     for _ in range(3):
         out = np.empty(out_cap, dtype=np.uint8)
@@ -150,11 +156,13 @@ def encode_packets(lib, flat: FlatTileT2, refs, t1res, cum_passes,
             ncb, data, data.shape[1] if data.ndim == 2 else 0, data_off,
             pass_rates, pass_rates.shape[1], numbps, npasses, g_style,
             cum, num_layers,
-            int(use_sop), int(use_eph), int(ppt), 0,
+            int(use_sop), int(use_eph), int(ppt), 0, int(simulate),
             out, out_cap, pkt_lens, hdr, hdr_cap, hdr_lens,
             total, total_h,
         )
         if rc == 0:
+            if simulate:
+                return int(total[0]) + int(total_h[0])
             body = out[: total[0]].tobytes()
             headers = None
             if ppt:

@@ -82,6 +82,11 @@ def passes_for_threshold(slopes: np.ndarray, lam: float) -> np.ndarray:
     return (slopes >= lam).sum(axis=1)
 
 
+def dist_for_threshold(dists: np.ndarray, slopes: np.ndarray, lam: float) -> float:
+    """Total distortion reduction captured by the passes above threshold."""
+    return float(np.where(slopes >= lam, dists, 0.0).sum())
+
+
 def rate_for_threshold(rates: np.ndarray, slopes: np.ndarray, lam: float) -> float:
     k = passes_for_threshold(slopes, lam)
     idx = np.maximum(k - 1, 0)
@@ -95,12 +100,18 @@ def allocate_layers(
     npasses: np.ndarray,
     layer_targets: list[float | None],
     header_overhead_fn=None,
+    exact_rate_fn=None,
+    dist_targets: list[float | None] | None = None,
 ) -> np.ndarray:
     """Compute per-block cumulative pass counts per layer.
 
     layer_targets: cumulative byte budgets per layer (None = include all).
-    header_overhead_fn(cum_passes [N]) -> estimated packet-header bytes for
-    an allocation (optional; refines the budget).
+    header_overhead_fn(cum_passes [N]) -> estimated packet-header bytes
+    (heuristic path). exact_rate_fn(cum_rows list of [N]) -> exact
+    cumulative stream bytes via full packet simulation (reference parity:
+    compressPacketsSimulate) — used instead of the heuristic when given.
+    dist_targets: per-layer residual-distortion ceilings (fixed-quality /
+    PSNR layers); a layer may carry either a rate or a distortion target.
     Returns [L, N] cumulative pass counts (non-decreasing across layers).
     """
     n, pmax = rates.shape
@@ -108,12 +119,40 @@ def allocate_layers(
     pos = slopes[slopes > 0]
     lo = float(pos.min()) if pos.size else 0.0
     hi = float(pos.max()) if pos.size else 1.0
+    total_d = float(dists.sum())
 
     out = np.zeros((len(layer_targets), n), dtype=np.int64)
     prev = np.zeros(n, dtype=np.int64)
+    prev_rows: list[np.ndarray] = []
     for li, target in enumerate(layer_targets):
-        if target is None:
+        dtarget = dist_targets[li] if dist_targets else None
+        if target is None and dtarget is None:
             k = npasses.astype(np.int64)
+        elif dtarget is not None:
+            # fixed quality: smallest pass set with residual distortion
+            # below the ceiling (largest feasible slope threshold)
+            a = max(lo * 0.5, 1e-12)
+            b = hi * 2.0 + 1.0
+            for _ in range(64):
+                mid = (a * b) ** 0.5
+                if total_d - dist_for_threshold(dists, slopes, mid) <= dtarget:
+                    a = mid
+                else:
+                    b = mid
+            k = passes_for_threshold(slopes, a)
+        elif exact_rate_fn is not None:
+            # geometric bisection (slopes span many decades) on the exact
+            # simulated stream length
+            a = max(lo * 0.5, 1e-12)
+            b = hi * 2.0 + 1.0
+            for _ in range(40):
+                mid = (a * b) ** 0.5
+                k_mid = np.maximum(passes_for_threshold(slopes, mid), prev)
+                if exact_rate_fn(prev_rows + [k_mid]) <= target:
+                    b = mid
+                else:
+                    a = mid
+            k = np.maximum(passes_for_threshold(slopes, b), prev)
         else:
             overhead = header_overhead_fn(prev) if header_overhead_fn else 0.0
             budget = max(target * 0.998 - overhead, 0.0)
@@ -130,4 +169,5 @@ def allocate_layers(
         k = np.maximum(k, prev)
         out[li] = k
         prev = k
+        prev_rows.append(k)
     return out

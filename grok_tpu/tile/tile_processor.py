@@ -458,6 +458,8 @@ class TileProcessor:
 
         if num_layers == 1 and not rates_cfg and not psnrs_cfg:
             return t1res.npasses[None, :].astype(np.int64)
+        if psnrs_cfg and rates_cfg:
+            raise ValueError("layer_rates and layer_psnrs are exclusive")
 
         # distortion weights: (step * band-synthesis-norm * mct-weight)^2
         mct_w = self._mct_weights()
@@ -487,6 +489,44 @@ class TileProcessor:
         targets = self._layer_targets() or [None] * num_layers
         targets = [None if t is None else max(t - extra_margin, 0.0) for t in targets]
 
+        # fixed-quality (PSNR) layers: residual-distortion ceilings in the
+        # weighted (image-domain) squared-error units of `dists`
+        dist_targets = None
+        if psnrs_cfg:
+            samples = sum(g.rect.area for g in self.geoms)
+            peak = max(
+                (1 << self.siz.comps[c].prec) - 1
+                for c in range(self.siz.num_comps)
+            )
+            dist_targets = [
+                None if (q is None or q <= 0)
+                else samples * float(peak) ** 2 / (10.0 ** (q / 10.0))
+                for q in psnrs_cfg
+            ]
+
+        # exact rate simulation (reference compressPacketsSimulate parity)
+        # when the native T2 is available and the flat encode path is active
+        exact_rate_fn = None
+        if refs is None:
+            import os
+
+            from ..t2 import native_t2
+
+            lib = native_t2.get_lib() if os.environ.get(
+                "GROK_TPU_NATIVE_OPS", "1") != "0" else None
+            flat = getattr(self, "_flat_t2", None)
+            if lib is not None and flat is not None:
+                use_sop = bool(tcp.csty & 0x02)
+                use_eph = bool(tcp.csty & 0x04)
+                ppt = bool(getattr(p, "write_ppt", False)) if p else False
+
+                def exact_rate_fn(rows):
+                    return native_t2.encode_packets(
+                        lib, flat, None, t1res,
+                        np.ascontiguousarray(np.stack(rows), dtype=np.int64),
+                        len(rows), use_sop, use_eph, ppt, simulate=True,
+                    )
+
         n_prc = sum(
             res.num_precincts for g in self.geoms for res in g.resolutions
         )
@@ -499,7 +539,8 @@ class TileProcessor:
             return n_prc * per_pkt + included * 4.0
 
         return allocate_layers(
-            t1res.pass_rates, dists, t1res.npasses, targets, header_overhead
+            t1res.pass_rates, dists, t1res.npasses, targets, header_overhead,
+            exact_rate_fn=exact_rate_fn, dist_targets=dist_targets,
         )
 
     def _mct_weights(self) -> list[float]:

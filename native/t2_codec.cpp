@@ -285,6 +285,7 @@ int t2_encode_packets(
     const int64_t* cum_passes, int32_t num_layers,  // [num_layers, ncb]
     // flags
     int32_t use_sop, int32_t use_eph, int32_t ppt, int32_t sop_start,
+    int32_t simulate,  // count bytes only (exact PCRD rate simulation)
     // outputs
     uint8_t* out, int64_t out_cap, int64_t* pkt_lens, uint8_t* hdr_out,
     int64_t hdr_cap, int64_t* hdr_lens, int64_t* total_out,
@@ -347,6 +348,7 @@ int t2_encode_packets(
 
     for (int32_t pk = 0; pk < npk; pk++) {
         int layer = pkt_layer[pk];
+        if (simulate && layer >= num_layers) continue;  // truncated stream
         hdr.clear();
         BitW bio(hdr);
         // any data?
@@ -430,6 +432,10 @@ int t2_encode_packets(
         // assemble the packet
         int64_t start = opos, hstart = hpos;
         auto put = [&](const uint8_t* src, int64_t n) -> bool {
+            if (simulate) {
+                opos += n;
+                return true;
+            }
             if (opos + n > out_cap) return false;
             std::memcpy(out + opos, src, (size_t)n);
             opos += n;
@@ -442,12 +448,16 @@ int t2_encode_packets(
             if (!put(sop, 6)) return 1;
         }
         if (ppt) {
-            if (hpos + (int64_t)hdr.size() + 2 > hdr_cap) return 1;
-            std::memcpy(hdr_out + hpos, hdr.data(), hdr.size());
-            hpos += (int64_t)hdr.size();
-            if (use_eph) {
-                hdr_out[hpos++] = 0xFF;
-                hdr_out[hpos++] = 0x92;
+            if (simulate) {
+                hpos += (int64_t)hdr.size() + (use_eph ? 2 : 0);
+            } else {
+                if (hpos + (int64_t)hdr.size() + 2 > hdr_cap) return 1;
+                std::memcpy(hdr_out + hpos, hdr.data(), hdr.size());
+                hpos += (int64_t)hdr.size();
+                if (use_eph) {
+                    hdr_out[hpos++] = 0xFF;
+                    hdr_out[hpos++] = 0x92;
+                }
             }
         } else {
             if (!put(hdr.data(), (int64_t)hdr.size())) return 1;

@@ -57,3 +57,52 @@ def test_97_rgb_ict():
     stream = gk.compress(im, p)
     out = gk.decompress(stream).to_array()
     assert psnr(arr, out) > 28
+
+
+# ------------------------------------------------------- exact PCRD / PSNR
+def test_exact_rate_target_single_shot(rng):
+    """Exact packet simulation lands within 0.5% of the byte budget."""
+    import grok_tpu.tile.tile_processor as TP
+    from tests.conftest import natural_image
+
+    arr = natural_image(256, 256, 3)
+    im = gk.Image.from_array(arr)
+    calls = []
+    orig = TP.TileProcessor._allocate_layers
+
+    def counting(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    TP.TileProcessor._allocate_layers = counting
+    try:
+        for rate in (6, 20):
+            calls.clear()
+            p = gk.CompressParams(num_resolutions=4, num_layers=1,
+                                  layer_rates=[rate])
+            stream = gk.compress(im, p)
+            target = 256 * 256 * 3 / rate
+            assert len(stream) <= target * 1.005 + 256
+            assert len(stream) >= target * 0.97
+            assert len(calls) == 1  # no shrink-retry needed
+    finally:
+        TP.TileProcessor._allocate_layers = orig
+
+
+def test_psnr_layer_targets(rng):
+    """Fixed-quality layers: decoded PSNR tracks the requested targets."""
+    from tests.conftest import natural_image
+
+    arr = natural_image(256, 256, 3)
+    im = gk.Image.from_array(arr)
+    p = gk.CompressParams(num_resolutions=4, num_layers=2,
+                          layer_psnrs=[28.0, 38.0])
+    stream = gk.compress(im, p)
+    prev = 0.0
+    for L, want in ((1, 28.0), (2, 38.0)):
+        out = gk.decompress(stream, gk.DecompressParams(max_layers=L)).to_array()
+        mse = ((out.astype(float) - arr) ** 2).mean()
+        psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+        assert psnr > want - 3.0, (L, psnr)
+        assert psnr > prev
+        prev = psnr
