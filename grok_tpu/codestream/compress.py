@@ -151,6 +151,8 @@ def compress(image: Image, params: CompressParams | None = None,
         out += mk.segment(mk.TLM, bytes(2 + entry * num_tiles))  # placeholder
 
     tile_part_lengths: list[tuple[int, int]] = []
+    tiles_blob = bytearray()
+    plm_parts: list[list[int]] = []  # per tile-part packet lengths (PLM)
     for ti in range(num_tiles):
         tp = TileProcessor(siz, tcp, ti, enc_params=params)
         hdrs: list[bytes] | None = [] if params.write_ppt else None
@@ -178,18 +180,42 @@ def compress(image: Image, params: CompressParams | None = None,
             for ln in pkt_lens:
                 plc.push(ln)
             plt_bytes = b"".join(plc.to_plt_segments())
-        psot = 12 + len(ppt_bytes) + len(plt_bytes) + 2 + len(body)
-        out += mk.write_sot(ti, psot, 0, 1)
-        out += ppt_bytes
-        out += plt_bytes
-        out += mk._u16(mk.SOD)
-        out += body
-        tile_part_lengths.append((ti, psot))
-    out += mk._u16(mk.EOC)
+
+        # split the tile into tile-parts at divider boundaries
+        # (parity: CodeStreamCompress.cpp getNumTileParts, divider 'C'/'R'/'L')
+        if params.tp_divider:
+            counts = tp.packet_part_counts(params.tp_divider)
+        else:
+            counts = [len(pkt_lens)]
+        parts: list[tuple[int, int, list[int]]] = []
+        idx = 0
+        off = 0
+        for cnt in counts:
+            ln = int(sum(pkt_lens[idx : idx + cnt]))
+            parts.append((off, ln, pkt_lens[idx : idx + cnt]))
+            off += ln
+            idx += cnt
+        assert off == len(body), "tile-part split must cover the body"
+        ntp = len(parts)
+        for tpi, (boff, blen, plens) in enumerate(parts):
+            extra = (ppt_bytes + plt_bytes) if tpi == 0 else b""
+            psot = 12 + len(extra) + 2 + blen
+            tiles_blob += mk.write_sot(ti, psot, tpi, ntp)
+            tiles_blob += extra
+            tiles_blob += mk._u16(mk.SOD)
+            tiles_blob += body[boff : boff + blen]
+            tile_part_lengths.append((ti, psot))
+            plm_parts.append(plens)
 
     if params.write_tlm and tlm_offset is not None:
-        tlm = mk.write_tlm(tile_part_lengths, st=1 if num_tiles <= 255 else 2)
+        tlm = mk.write_tlm(
+            tile_part_lengths, st=1 if num_tiles <= 255 else 2
+        )
         out[tlm_offset : tlm_offset + len(tlm)] = tlm
+    if params.write_plm:
+        out += mk.write_plm(plm_parts)
+    out += tiles_blob
+    out += mk._u16(mk.EOC)
     return bytes(out)
 
 

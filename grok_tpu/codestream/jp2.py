@@ -61,6 +61,11 @@ def wrap_jp2(codestream: bytes, image: Image) -> bytes:
         jp2h += _box(b"colr", struct.pack(">BBB", 2, 0, 0) + image.icc_profile)
     else:
         jp2h += _box(b"colr", struct.pack(">BBBI", 1, 0, 0, _CS_ENUM.get(cs, 17)))
+    if getattr(image, "channel_defs", None):
+        cdef = struct.pack(">H", len(image.channel_defs))
+        for (cn, typ, asoc) in image.channel_defs:
+            cdef += struct.pack(">HHH", cn, typ, asoc)
+        jp2h += _box(b"cdef", cdef)
     if image.capture_resolution:
         vr, hr = image.capture_resolution
         resc = _res_payload(vr, hr)
@@ -68,6 +73,8 @@ def wrap_jp2(codestream: bytes, image: Image) -> bytes:
     out += _box(b"jp2h", jp2h)
     if image.xml:
         out += _box(b"xml ", image.xml)
+    for (uid, payload) in getattr(image, "uuid_boxes", None) or []:
+        out += _box(b"uuid", uid + payload)
     out += _box(b"jp2c", codestream)
     return bytes(out)
 

@@ -409,6 +409,50 @@ def write_plt(lengths: list[int], zplt: int = 0) -> bytes:
     return segment(PLT, bytes(p))
 
 
+def _comma7(lengths) -> bytes:
+    """Comma-7-bit packet-length coding shared by PLT and PLM (A.7.2/A.7.3)."""
+    out = bytearray()
+    for ln in lengths:
+        ln = int(ln)
+        chunks = []
+        while True:
+            chunks.append(ln & 0x7F)
+            ln >>= 7
+            if ln == 0:
+                break
+        for i in range(len(chunks) - 1, 0, -1):
+            out.append(0x80 | chunks[i])
+        out.append(chunks[0])
+    return bytes(out)
+
+
+def write_plm(parts: list[list[int]], zplm: int = 0) -> bytes:
+    """PLM (A.7.2): packet lengths per tile-part in the main header.
+
+    parts: per tile-part (in codestream order) list of packet lengths.
+    Splits across multiple PLM segments when a segment would overflow."""
+    segs = bytearray()
+    payload = bytearray([zplm])
+    for plens in parts:
+        blob = _comma7(plens)
+        # Nplm is one byte: split oversized tile-part length runs
+        chunks = [blob[i : i + 255] for i in range(0, max(len(blob), 1), 255)]
+        for ch in chunks:
+            if len(payload) + 1 + len(ch) > 65000:
+                segs += segment(PLM, bytes(payload))
+                zplm += 1
+                payload = bytearray([zplm])
+            payload += bytes([len(ch)]) + ch
+    segs += segment(PLM, bytes(payload))
+    return bytes(segs)
+
+
+def read_plm(c: Cursor, end: int) -> list[tuple[int, bytes]]:
+    """Parse one PLM segment: returns (Zplm, raw Nplm/Iplm payload)."""
+    z = c.u8()
+    return [(z, bytes(c.data[c.pos : end]))]
+
+
 def read_plt(c: Cursor) -> list[int]:
     c.u8()  # Zplt
     out = []

@@ -70,6 +70,7 @@ def _apply_cinema(params: CompressParams, image) -> None:
     params.use_eph = True
     params.tile_size = None  # single tile
     params.write_tlm = True
+    params.tp_divider = "C"  # one tile-part per component (DCI)
     if is4k:
         # 4K DCI: two POC segments (res 0..NL-1 at 2K extraction, then the
         # top resolution) and 2 guard bits (Profile.cpp initialise_4K_poc).
@@ -115,6 +116,7 @@ def _apply_imf(params: CompressParams, image) -> None:
     params.cblk_width = params.cblk_height = 32
     params.progression = ProgressionOrder.CPRL
     params.tile_size = None
+    params.tp_divider = "C"  # one tile-part per component (IMF)
     limits = {PROFILE_IMF_2K: 2048, PROFILE_IMF_2K_R: 2048,
               PROFILE_IMF_4K: 4096, PROFILE_IMF_4K_R: 4096,
               PROFILE_IMF_8K: 8192, PROFILE_IMF_8K_R: 8192}

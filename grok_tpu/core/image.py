@@ -47,6 +47,8 @@ class Image:
     icc_profile: bytes | None = None
     xml: bytes | None = None
     capture_resolution: tuple[float, float] | None = None
+    channel_defs: list | None = None  # (channel, type, association)
+    uuid_boxes: list | None = None  # [(16-byte uuid, payload)]
     display_resolution: tuple[float, float] | None = None
 
     @property

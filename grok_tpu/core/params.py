@@ -121,6 +121,10 @@ class CompressParams:
     cblk_style: int = 0  # CBLK_* flags
     # HTJ2K: encode 3-pass HT sets (cleanup @ plane 1 + SigProp/MagRef)
     ht_refine: bool = False
+    # split each tile into tile-parts at component ('C'), resolution ('R')
+    # or layer ('L') boundaries (reference newTilePartProgressionDivider)
+    tp_divider: str | None = None
+    write_plm: bool = False  # packet-length index in the main header
     precinct_sizes: list[tuple[int, int]] | None = None  # per-res (PPx, PPy) widths
 
     # --- layers / rate control ---

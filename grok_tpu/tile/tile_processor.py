@@ -89,6 +89,32 @@ class TileProcessor:
             prec += 1
         return prec
 
+    def packet_part_counts(self, divider: str) -> list[int]:
+        """Packet counts per tile-part for divider 'C'/'R'/'L' (the
+        reference's newTilePartProgressionDivider boundaries)."""
+        flat = getattr(self, "_flat_t2", None)
+        if flat is not None:
+            order = flat.order
+        else:
+            order = list(
+                packet_order(self.siz, self.tcp, self.geoms, self.tile_rect)
+            )
+        key = {"C": lambda p: p.comp, "R": lambda p: p.res,
+               "L": lambda p: p.layer}[divider]
+        counts: list[int] = []
+        cur = None
+        cnt = 0
+        for pk in order:
+            k = key(pk)
+            if cur is not None and k != cur:
+                counts.append(cnt)
+                cnt = 0
+            cur = k
+            cnt += 1
+        if cnt:
+            counts.append(cnt)
+        return counts
+
     def _nominal_cblk(self) -> tuple[int, int]:
         h = max(1 << t.cblk_h_exp for t in self.tcp.tccps)
         w = max(1 << t.cblk_w_exp for t in self.tcp.tccps)

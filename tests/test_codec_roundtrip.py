@@ -217,3 +217,45 @@ def test_imf_profile():
     stream = gk.compress(im, gk.CompressParams(profile=PROFILE_IMF_2K_R))
     out = gk.decompress(stream).to_array()
     assert np.array_equal(out, arr), "IMF reversible profile must be lossless"
+
+
+# ------------------------------------------------------- multi tile-parts
+def test_tile_part_divider_roundtrip(rng):
+    """Tile-part splitting at component/layer boundaries (+PLM) decodes
+    bit-exact; the dividers mirror newTilePartProgressionDivider."""
+    from tests.conftest import natural_image
+
+    arr = natural_image(96, 120, 3)
+    im = gk.Image.from_array(arr)
+    for div, extra in (("C", {}), ("R", {}),
+                       ("L", dict(num_layers=3, layer_rates=[16, 8, 2]))):
+        p = gk.CompressParams(num_resolutions=3, tp_divider=div,
+                              write_tlm=True, write_plm=True,
+                              progression=gk.ProgressionOrder.CPRL
+                              if div != "L" else gk.ProgressionOrder.LRCP,
+                              **extra)
+        stream = gk.compress(gk.Image.from_array(arr), p)
+        out = gk.decompress(stream)
+        if not extra:
+            assert np.array_equal(out.to_array(), arr), div
+        # the stream must contain multiple SOT markers for tile 0
+        import grok_tpu
+
+        info = grok_tpu.parse_codestream(stream)
+        assert len(info.tile_parts[0]) > 1, div
+
+
+def test_jp2_uuid_cdef_write(rng):
+    from tests.conftest import natural_image
+    from grok_tpu.codestream.jp2 import unwrap_jp2, wrap_jp2
+
+    arr = natural_image(32, 32, 3)
+    im = gk.Image.from_array(arr)
+    stream = gk.compress(im, gk.CompressParams(num_resolutions=2))
+    im.uuid_boxes = [(b"0123456789abcdef", b"payload!")]
+    im.channel_defs = [(0, 0, 1), (1, 0, 2), (2, 0, 3)]
+    jp2 = wrap_jp2(stream, im)
+    info = unwrap_jp2(jp2)
+    assert info.uuid == [(b"0123456789abcdef", b"payload!")]
+    assert info.channel_defs == [(0, 0, 1), (1, 0, 2), (2, 0, 3)]
+    assert info.codestream == stream
