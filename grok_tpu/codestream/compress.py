@@ -54,7 +54,19 @@ def build_tcp(image: Image, params: CompressParams) -> Tcp:
     equal = len(cs) >= 3 and all(
         (c.dx, c.dy) == (cs[0].dx, cs[0].dy) for c in cs[:3]
     )
-    tcp.mct = 1 if params.resolved_mct(image.num_comps, equal) else 0
+    if params.mct_matrix is not None:
+        tcp.mct = 2  # Part-2 array-based MCT
+        tcp.mct_dec_matrix = np.linalg.inv(
+            np.asarray(params.mct_matrix, dtype=np.float64)
+        )
+        tcp.mct_offsets = [
+            float(1 << (image.components[c].prec - 1))
+            if not image.components[c].signed else 0.0
+            for c in range(image.num_comps)
+        ]
+        tcp._mct_enc_matrix = np.asarray(params.mct_matrix, dtype=np.float64)
+    else:
+        tcp.mct = 1 if params.resolved_mct(image.num_comps, equal) else 0
     tcp.pocs = list(params.progression_changes)
     qs = params.quant_style
     if qs is None:
@@ -92,6 +104,9 @@ def compress(image: Image, params: CompressParams | None = None,
     params = params or CompressParams()
     params.validate()
     image.finalize()
+    if params.mct_matrix is not None:
+        # Part-2 array MCT: irreversible float path, Rsiz extension bits
+        params.irreversible = True
     if params.profile:
         from .profile import apply_profile
 
@@ -107,6 +122,8 @@ def compress(image: Image, params: CompressParams | None = None,
 
     if params.ht:
         siz.rsiz |= 0x4000  # JPH capability flag in Rsiz
+    if params.mct_matrix is not None:
+        siz.rsiz |= 0x8100  # PART2 | EXTENSION_MCT (grok.h:151,158)
 
     out = bytearray()
     out += mk._u16(mk.SOC)
@@ -134,6 +151,13 @@ def compress(image: Image, params: CompressParams | None = None,
         t = tcp.tccps[c]
         if t.step_exps != base.step_exps or t.step_mants != base.step_mants:
             out += mk.write_qcc(tcp, c, siz.num_comps)
+    if params.mct_matrix is not None:
+        out += mk.write_mct_markers(
+            np.linalg.inv(np.asarray(params.mct_matrix, dtype=np.float64)),
+            [1 << (image.components[c].prec - 1)
+             if not image.components[c].signed else 0
+             for c in range(siz.num_comps)],
+        )
     if tcp.pocs:
         out += mk.write_poc(tcp, siz.num_comps)
     if params.roi_comp >= 0 and params.roi_shift > 0:

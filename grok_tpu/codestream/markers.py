@@ -447,6 +447,71 @@ def write_plm(parts: list[list[int]], zplm: int = 0) -> bytes:
     return bytes(segs)
 
 
+# ------------------------------------------------- custom MCT (Part 2)
+# Layout parity: CodeStreamCompress.cpp write_mct_record / write_mcc_record /
+# write_mco (T.801 A.3.7-A.3.9). One decorrelation float array (the DECODING
+# matrix), one float offset array (DC level shifts), one collection, one
+# ordering record.
+
+
+def write_mct_markers(dec_matrix, offsets) -> bytes:
+    """dec_matrix: [N,N] float decoding (inverse) matrix; offsets: [N]."""
+    import struct as _st
+
+    out = bytearray()
+    n = len(offsets)
+
+    def mct_record(index, array_type, values):
+        data = b"".join(_st.pack(">f", float(v)) for v in values)
+        imct = (index & 0xFF) | (array_type << 8) | (2 << 10)  # float elems
+        payload = _u16(0) + _u16(imct) + _u16(0) + data
+        return segment(MCT, payload)
+
+    out += mct_record(1, 1, [v for row in dec_matrix for v in row])  # decorrelation
+    out += mct_record(2, 2, offsets)  # offsets
+    # MCC
+    p = bytearray()
+    p += _u16(0)          # Zmcc
+    p += _u8(3)           # Imcc
+    p += _u16(0)          # Ymcc
+    p += _u16(1)          # Qmcc: one collection
+    p += _u8(0x1)         # Xmcci: array-based decorrelation
+    p += _u16(n)          # Nmcci (8-bit offsets)
+    for i in range(n):
+        p += _u8(i)
+    p += _u16(n)          # Mmcci
+    for i in range(n):
+        p += _u8(i)
+    tmcc = (0 << 16) | 1 | (2 << 8)  # irreversible; deco idx 1, offset idx 2
+    p += bytes([(tmcc >> 16) & 0xFF, (tmcc >> 8) & 0xFF, tmcc & 0xFF])
+    out += segment(MCC, bytes(p))
+    # MCO
+    out += segment(MCO, _u8(1) + _u8(3))
+    return bytes(out)
+
+
+def read_mct(c: Cursor, end: int, store: dict) -> None:
+    """Parse one MCT marker into store[index] = (array_type, values)."""
+    import struct as _st
+
+    c.u16()  # Zmct
+    imct = c.u16()
+    c.u16()  # Ymct
+    index = imct & 0xFF
+    array_type = (imct >> 8) & 0x3
+    elem_type = (imct >> 10) & 0x3
+    raw = bytes(c.data[c.pos : end])
+    c.pos = end
+    sizes = {0: 2, 1: 4, 2: 4, 3: 8}
+    fmts = {0: ">h", 1: ">i", 2: ">f", 3: ">d"}
+    es = sizes[elem_type]
+    vals = [
+        _st.unpack(fmts[elem_type], raw[i : i + es])[0]
+        for i in range(0, len(raw) - es + 1, es)
+    ]
+    store[index] = (array_type, vals)
+
+
 def read_plm(c: Cursor, end: int) -> list[tuple[int, bytes]]:
     """Parse one PLM segment: returns (Zplm, raw Nplm/Iplm payload)."""
     z = c.u8()
@@ -467,6 +532,21 @@ def read_plt(c: Cursor) -> list[int]:
 
 
 # ---------------------------------------------------------- main header I/O
+def _apply_mct_arrays(hi) -> None:
+    """Install parsed Part-2 MCT arrays into the default tcp."""
+    import numpy as _np
+
+    arrays = getattr(hi, "mct_arrays", {})
+    n = hi.siz.num_comps
+    for idx, (atype, vals) in arrays.items():
+        if atype == 1 and len(vals) == n * n:
+            hi.default_tcp.mct_dec_matrix = _np.asarray(
+                vals, dtype=_np.float64
+            ).reshape(n, n)
+        elif atype == 2 and len(vals) == n:
+            hi.default_tcp.mct_offsets = [float(v) for v in vals]
+
+
 def parse_main_header(data: memoryview | bytes) -> tuple[HeaderInfo, int]:
     """Parse SOC..first-SOT. Returns (HeaderInfo, offset-of-first-SOT)."""
     c = Cursor(data)
@@ -523,5 +603,11 @@ def parse_main_header(data: memoryview | bytes) -> tuple[HeaderInfo, int]:
         elif m == PPM:
             zppm = sub.u8()
             hi.ppm_segments.append((zppm, sub.take(sub.remaining())))
-        # PLM/CRG/PRF/CPF/MCT/MCC/MCO: skip (tolerated)
+        elif m == MCT:
+            if not hasattr(hi, "mct_arrays"):
+                hi.mct_arrays = {}
+            read_mct(sub, sub.end, hi.mct_arrays)
+            _apply_mct_arrays(hi)
+        # PLM/CRG/PRF/CPF/MCC/MCO: skip (tolerated; the default single
+        # collection applies arrays 1 (decorrelation) and 2 (offsets))
         c.pos = c.pos + ln - 2

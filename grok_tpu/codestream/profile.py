@@ -9,6 +9,9 @@ from __future__ import annotations
 from ..core import logging as log
 from ..core.errors import ParameterError
 from ..core.params import (
+    PROFILE_BC_MULTI,
+    PROFILE_BC_MULTI_R,
+    PROFILE_BC_SINGLE,
     CINEMA_24_COMP,
     CINEMA_24_CS,
     CINEMA_48_COMP,
@@ -34,6 +37,7 @@ IMF_MBITS = [0, 200, 400, 800, 1600, 3200, 6400, 12800, 25600, 51200]
 _CINEMA = (PROFILE_CINEMA_2K, PROFILE_CINEMA_4K)
 _IMF = (PROFILE_IMF_2K, PROFILE_IMF_4K, PROFILE_IMF_8K,
         PROFILE_IMF_2K_R, PROFILE_IMF_4K_R, PROFILE_IMF_8K_R)
+_BROADCAST = (PROFILE_BC_SINGLE, PROFILE_BC_MULTI, PROFILE_BC_MULTI_R)
 
 
 def apply_profile(params: CompressParams, image) -> None:
@@ -42,6 +46,8 @@ def apply_profile(params: CompressParams, image) -> None:
         _apply_cinema(params, image)
     elif params.profile in _IMF:
         _apply_imf(params, image)
+    elif (params.profile & 0x0F00) in _BROADCAST:
+        _apply_broadcast(params, image)
 
 
 def _apply_cinema(params: CompressParams, image) -> None:
@@ -138,6 +144,28 @@ def _apply_imf(params: CompressParams, image) -> None:
         total_bits = sum(c.w * c.h * c.prec for c in image.components)
         params.num_layers = 1
         params.layer_rates = [max(total_bits / cap_bits, 1.0)]
+
+
+def _apply_broadcast(params: CompressParams, image) -> None:
+    """Broadcast contribution profiles (15444-1 AMD3; Profile.cpp
+    set_broadcast_parameters): CPRL, one tile-part per component, no ROI,
+    irreversible unless MULTI_R, IMF-style precincts."""
+    prof = params.profile & 0x0F00
+    mainlevel = params.profile & 0x000F
+    if mainlevel > 11:
+        raise ParameterError("Broadcast mainlevel must be <= 11")
+    params.progression = ProgressionOrder.CPRL
+    params.tp_divider = "C"
+    params.roi_comp = -1
+    params.roi_shift = 0
+    if prof != PROFILE_BC_MULTI_R:
+        params.irreversible = True
+    if prof == PROFILE_BC_SINGLE:
+        params.tile_size = None
+    if params.num_resolutions == 1:
+        params.precinct_sizes = [(7, 7)]
+    else:
+        params.precinct_sizes = [(7, 7)] + [(8, 8)] * (params.num_resolutions - 1)
 
 
 def validate_cinema_stream(stream: bytes, params: CompressParams) -> bool:

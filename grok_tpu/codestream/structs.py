@@ -108,6 +108,8 @@ class Tcp:
     mct: int = 0  # 0: none, 1: standard RCT/ICT, 2: custom matrix
     tccps: list[TccpStyle] = field(default_factory=list)
     pocs: list[ProgressionChange] = field(default_factory=list)
+    mct_dec_matrix: object | None = None  # Part-2 decoding matrix [N,N]
+    mct_offsets: object | None = None  # Part-2 per-component offsets
     # custom MCT (Part 2) data, if any
     mct_matrix: list[float] | None = None
 
@@ -115,6 +117,8 @@ class Tcp:
         c = replace(self)
         c.tccps = [t.copy() for t in self.tccps]
         c.pocs = list(self.pocs)
+        c.mct_dec_matrix = self.mct_dec_matrix
+        c.mct_offsets = self.mct_offsets
         return c
 
 

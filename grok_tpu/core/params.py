@@ -125,6 +125,9 @@ class CompressParams:
     # or layer ('L') boundaries (reference newTilePartProgressionDivider)
     tp_divider: str | None = None
     write_plm: bool = False  # packet-length index in the main header
+    # Part-2 array-based MCT: [N,N] ENCODING matrix (decoded side applies
+    # its inverse, signalled via MCT/MCC/MCO markers); forces irreversible
+    mct_matrix: object | None = None
     precinct_sizes: list[tuple[int, int]] | None = None  # per-res (PPx, PPy) widths
 
     # --- layers / rate control ---

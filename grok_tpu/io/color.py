@@ -93,6 +93,8 @@ def force_rgb(image: Image) -> Image:
         return sycc_to_rgb(image)
     if cs == ColorSpace.CMYK:
         return cmyk_to_rgb(image)
+    if cs == ColorSpace.CIELAB:
+        return cielab_to_rgb(image)
     if any(c.dx != 1 or c.dy != 1 for c in image.components):
         return upsample_components(image)
     if image.num_comps == 1:
@@ -104,4 +106,106 @@ def force_rgb(image: Image) -> Image:
             )
         out.finalize()
         return out
+    return image
+
+
+# ------------------------------------------------------------------ CIELab
+def cielab_to_rgb(image, lab_params=None):
+    """Decode-side CIELab -> sRGB conversion (T.801 M.2; behavior parity
+    with the reference's color_cielab_to_rgb, computed colorimetrically
+    instead of through lcms).
+
+    lab_params: optional (RL, OL, RA, OA, RB, OB, illuminant) from an
+    extended colr box; defaults use the standard Lab encoding ranges."""
+    import numpy as np
+
+    comps = image.components
+    if len(comps) < 3:
+        return image
+    pL, pa, pb = (comps[i].prec for i in range(3))
+    if lab_params is None:
+        r_L, o_L = 100.0, 0.0
+        r_a, o_a = 170.0, float(1 << (pa - 1))
+        r_b, o_b = 200.0, 0.75 * float(1 << (pb - 1))
+    else:
+        r_L, o_L, r_a, o_a, r_b, o_b = (float(v) for v in lab_params[:6])
+
+    def scale(code, prec, r, o):
+        mn = -(r * o) / ((1 << prec) - 1)
+        mx = mn + r
+        return mn + code.astype(np.float64) * (mx - mn) / ((1 << prec) - 1)
+
+    L = scale(comps[0].data, pL, r_L, o_L)
+    a = scale(comps[1].data, pa, r_a, o_a)
+    b = scale(comps[2].data, pb, r_b, o_b)
+
+    # Lab -> XYZ (D50 white, CIE standard)
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+
+    def finv(t):
+        d = 6.0 / 29.0
+        return np.where(t > d, t**3, 3 * d * d * (t - 4.0 / 29.0))
+
+    Xn, Yn, Zn = 0.9642, 1.0, 0.8249  # D50
+    X = Xn * finv(fx)
+    Y = Yn * finv(fy)
+    Z = Zn * finv(fz)
+
+    # Bradford D50 -> D65, then linear sRGB
+    m = np.array(
+        [[3.1338561, -1.6168667, -0.4906146],
+         [-0.9787684, 1.9161415, 0.0334540],
+         [0.0719453, -0.2289914, 1.4052427]]
+    )
+    rl = m[0, 0] * X + m[0, 1] * Y + m[0, 2] * Z
+    gl = m[1, 0] * X + m[1, 1] * Y + m[1, 2] * Z
+    bl = m[2, 0] * X + m[2, 1] * Y + m[2, 2] * Z
+
+    def gamma(u):
+        u = np.clip(u, 0.0, 1.0)
+        return np.where(u <= 0.0031308, 12.92 * u, 1.055 * u ** (1 / 2.4) - 0.055)
+
+    prec = pL
+    mx = (1 << prec) - 1
+    out_planes = [
+        np.clip(np.round(gamma(v) * mx), 0, mx).astype(np.int32)
+        for v in (rl, gl, bl)
+    ]
+    from ..core.image import Component, Image as _Image
+    from ..core.params import ColorSpace
+
+    out = _Image(image.x0, image.y0, image.x1, image.y1,
+                 color_space=ColorSpace.SRGB)
+    for pdat in out_planes:
+        out.components.append(
+            Component(dx=comps[0].dx, dy=comps[0].dy, prec=prec,
+                      signed=False, data=pdat)
+        )
+    out.finalize()
+    return out
+
+
+def apply_icc_transform(image, icc_profile: bytes):
+    """Apply an embedded ICC profile -> sRGB via lcms (PIL.ImageCms)."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image as PILImage, ImageCms
+
+    comps = image.components
+    if len(comps) < 3 or any(c.prec > 8 for c in comps[:3]):
+        return image  # 8-bit RGB path only (parity with the CLI behavior)
+    arr = np.stack([c.data for c in comps[:3]], axis=-1).astype(np.uint8)
+    pil = PILImage.fromarray(arr, "RGB")
+    try:
+        src = ImageCms.ImageCmsProfile(_io.BytesIO(icc_profile))
+        dst = ImageCms.createProfile("sRGB")
+        pil = ImageCms.profileToProfile(pil, src, dst)
+    except Exception:
+        return image
+    res = np.asarray(pil).astype(np.int32)
+    for i in range(3):
+        comps[i].data = res[:, :, i]
     return image

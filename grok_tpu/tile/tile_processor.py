@@ -202,6 +202,17 @@ class TileProcessor:
             else:
                 y, cb, cr = mct_ops.rct_forward(np, *shifted[:3])
                 shifted[0], shifted[1], shifted[2] = y, cb, cr
+        elif tcp.mct == 2:
+            # Part-2 array-based MCT: the user's encoding matrix, float path
+            m = np.asarray(
+                getattr(tcp, "_mct_enc_matrix", None)
+                if getattr(tcp, "_mct_enc_matrix", None) is not None
+                else np.linalg.inv(np.asarray(tcp.mct_dec_matrix)),
+                dtype=np.float32,
+            )
+            shifted = mct_ops.custom_mct_forward(
+                np, [a.astype(np.float32) for a in shifted], m
+            )
 
         # ---- per-component DWT + quantization to int coefficients
         coeff_arrays = []
@@ -1051,7 +1062,12 @@ class TileProcessor:
             out.append(rec)
 
         # ---- inverse MCT + DC shift
-        if tcp.mct == 1 and ncomp >= 3:
+        if tcp.mct == 2 and tcp.mct_dec_matrix is not None:
+            dec_m = np.asarray(tcp.mct_dec_matrix, dtype=np.float32)
+            out = mct_ops.custom_mct_inverse(
+                np, [a.astype(np.float32) for a in out], dec_m
+            )
+        elif tcp.mct == 1 and ncomp >= 3:
             from ..ops.native_ops import get_lib as _get_native
 
             _nlib = _get_native()
@@ -1086,6 +1102,8 @@ class TileProcessor:
             signed2 = siz.comps[c].signed
             if irrev:
                 off = 0.0 if signed2 else float(1 << (prec2 - 1))
+                if tcp.mct == 2 and tcp.mct_offsets is not None:
+                    off = float(tcp.mct_offsets[c])
                 lo = -(1 << (prec2 - 1)) if signed2 else 0
                 hi = (1 << (prec2 - 1)) - 1 if signed2 else (1 << prec2) - 1
                 fused = native_ops.finish_irrev(

@@ -98,3 +98,74 @@ def test_we_read_grok_jp2(tmp_path):
     info = unwrap_jp2(data)
     out = gk.decompress(info.codestream).to_array()[:, :, 0]
     assert np.array_equal(out, arr)
+
+
+def test_cielab_conversion_neutral_and_primaries():
+    """CIELab -> sRGB: neutral axis stays neutral, L extremes map to
+    black/white (behavior parity with the reference's lcms-based path)."""
+    import numpy as np
+
+    from grok_tpu.core.image import Component, Image
+    from grok_tpu.core.params import ColorSpace
+    from grok_tpu.io.color import cielab_to_rgb, force_rgb
+
+    cases = {
+        (128, 128, 96): None,  # L=50.2, a*=b*=0 -> neutral
+        (0, 128, 96): (0, 0, 0),
+        (255, 128, 96): (255, 255, 255),
+    }
+    for (lc, ac, bc), want in cases.items():
+        im = Image(0, 0, 2, 2, color_space=ColorSpace.CIELAB)
+        for v in (lc, ac, bc):
+            im.components.append(Component(
+                dx=1, dy=1, prec=8, signed=False,
+                data=np.full((2, 2), v, dtype=np.int32)))
+        im.finalize()
+        out = force_rgb(im)
+        px = tuple(int(c.data[0, 0]) for c in out.components)
+        if want is None:
+            assert max(px) - min(px) <= 1, px  # neutral
+        else:
+            assert all(abs(p - w) <= 2 for p, w in zip(px, want)), (px, want)
+
+
+def test_custom_mct_markers_roundtrip(rng):
+    """Part-2 array MCT (MCT/MCC/MCO markers): near-orthonormal matrix
+    signals + decodes through our codec. (The reference cannot decode
+    mct=2 at all — CodeStreamDecompress.cpp:2584 rejects it, including
+    streams produced by its own grk_set_MCT.)"""
+    import numpy as np
+
+    import grok_tpu as gk
+    from tests.conftest import natural_image
+
+    arr = natural_image(96, 128, 3)
+    im = gk.Image.from_array(arr)
+    theta = 0.4
+    c, s = np.cos(theta), np.sin(theta)
+    M = np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
+    stream = gk.compress(im, gk.CompressParams(num_resolutions=3, mct_matrix=M))
+    out = gk.decompress(stream).to_array()
+    mse = ((out.astype(float) - arr) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+    assert psnr > 40.0, psnr
+    # Rsiz must signal Part-2 + MCT extension
+    info = gk.parse_codestream(stream)
+    assert info.header.siz.rsiz & 0x8100 == 0x8100
+
+
+def test_broadcast_profiles(rng):
+    import numpy as np
+
+    import grok_tpu as gk
+    from grok_tpu.core import params as P
+    from tests.conftest import natural_image
+
+    arr = natural_image(120, 160, 3)
+    s1 = gk.compress(gk.Image.from_array(arr),
+                     gk.CompressParams(num_resolutions=4,
+                                       profile=P.PROFILE_BC_MULTI_R | 3))
+    out = gk.decompress(s1).to_array()
+    assert np.array_equal(out, arr)  # MULTI_R stays reversible
+    info = gk.parse_codestream(s1)
+    assert len(info.tile_parts[0]) == 3  # one tile-part per component
