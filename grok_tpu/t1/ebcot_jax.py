@@ -559,9 +559,10 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
                 jnp.where(became, sbit ^ xr, sgn_v),
             )
             mag_v = _get_at(jax, jnp, st["mag"], y, x)
+            # scaled-by-2 mid-bin reconstruction (1.5 * 2^plane)
             st["mag"] = _set_at(
                 jax, jnp, st["mag"], y, x,
-                jnp.where(became, mag_v | (1 << plane), mag_v),
+                jnp.where(became, 3 << plane, mag_v),
             )
             st["sig"] = _set_at(
                 jax, jnp, st["sig"], y, x,
@@ -599,7 +600,10 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
             mag_v = _get_at(jax, jnp, st["mag"], y, x)
             st["mag"] = _set_at(
                 jax, jnp, st["mag"], y, x,
-                jnp.where(code & (bit == 1), mag_v | (1 << plane), mag_v),
+                jnp.where(code,
+                          mag_v + jnp.where(bit == 1, 1 << plane,
+                                            -(1 << plane)),
+                          mag_v),
             )
             st["refined"] = _set_at(
                 jax, jnp, st["refined"], y, x, jnp.where(code, 1, ref)
@@ -721,7 +725,7 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
             st, _, _, _ = jax.lax.fori_loop(
                 0, pmax, plane_body, (st, numbps, npasses, jnp.int32(pmax))
             )
-            coeffs = st["mag"] * (1 - 2 * st["sgn"])
+            coeffs = (st["mag"] >> 1) * (1 - 2 * st["sgn"])
             return coeffs[1 : H + 1, 1 : W + 1, :]
 
         return decode

@@ -350,8 +350,9 @@ def decode_cblks(
             mq.reset_ctx(st.reset & cup_lanes)
         st.visited[:] = False
 
-    coeffs = st.mag[:, 1 : h + 1, 1 : w + 1].copy()
+    coeffs = st.mag[:, 1 : h + 1, 1 : w + 1] >> 1  # drop the 1/2 bit
     signs = st.sgn[:, 1 : h + 1, 1 : w + 1]
+    coeffs = coeffs.copy()
     coeffs[signs == 1] *= -1
     planes_decoded = np.minimum((npasses + 2) // 3, numbps)
     return coeffs, planes_decoded
@@ -402,8 +403,9 @@ def _spp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, 
                         st.sgn[:, py, px] = np.where(
                             became, (sbit ^ xr).astype(np.int8), st.sgn[:, py, px]
                         )
+                        # scaled-by-2 mid-bin reconstruction (1.5 * 2^plane)
                         st.mag[:, py, px] = np.where(
-                            became, st.mag[:, py, px] | (1 << plane), st.mag[:, py, px]
+                            became, np.int64(3) << plane, st.mag[:, py, px]
                         )
                     if dist is not None:
                         dist += np.where(became, _dd_sig(st.mag[:, py, px], plane), 0.0)
@@ -446,8 +448,10 @@ def _mrp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, 
                 else:
                     bit = dec.decode(ctx, code)
                     st.mag[:, py, px] = np.where(
-                        code & (bit == 1),
-                        st.mag[:, py, px] | (1 << plane),
+                        code,
+                        st.mag[:, py, px]
+                        + np.where(bit == 1, np.int64(1) << plane,
+                                   -(np.int64(1) << plane)),
                         st.mag[:, py, px],
                     )
                 if dist is not None:
@@ -542,7 +546,7 @@ def _cup(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, 
                             became, (sbit ^ xr).astype(np.int8), st.sgn[:, py, px]
                         )
                         st.mag[:, py, px] = np.where(
-                            became, st.mag[:, py, px] | (1 << plane), st.mag[:, py, px]
+                            became, np.int64(3) << plane, st.mag[:, py, px]
                         )
                     if dist is not None:
                         dist += np.where(became, _dd_sig(st.mag[:, py, px], plane), 0.0)

@@ -694,7 +694,9 @@ static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
                         neg = (uint32_t)mq.decode(FL.sc_ctx[si]) ^
                               FL.sc_xor[si];
                     }
-                    B.mag[i] |= 1u << plane;
+                    // scaled-by-2 magnitudes: reconstruct at 1.5 * 2^plane
+                    // (the reference's oneplushalf mid-bin convention)
+                    B.mag[i] = 3u << plane;
                     B.mark_sig(i, neg, y0 + k, x);
                 }
             }
@@ -743,7 +745,12 @@ static void dec_mrp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
                                   : ((fm & F_NBR) ? CTX_MR0 + 1 : CTX_MR0);
                     bit = mq.decode(ctx);
                 }
-                if (bit) B.mag[i] |= 1u << plane;
+                // refinement re-centers to the half-bin (+-2^(plane-1),
+                // i.e. +-2^plane in scaled units)
+                if (bit)
+                    B.mag[i] += 1u << plane;
+                else
+                    B.mag[i] -= 1u << plane;
                 B.flags[i] |= F_REFINED;
             }
         };
@@ -808,7 +815,7 @@ static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
                     uint32_t si = sc_index(f & B.vmask[k]);
                     uint32_t neg =
                         (uint32_t)mq.decode(FL.sc_ctx[si]) ^ FL.sc_xor[si];
-                    B.mag[i] |= 1u << plane;
+                    B.mag[i] = 3u << plane;  // mid-bin (scaled-by-2)
                     B.mark_sig(i, neg, y0 + k, x);
                 }
             }
@@ -1067,7 +1074,7 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
             for (int y = 0; y < h; y++)
                 for (int x = 0; x < w; x++) {
                     int i = (y + 1) * stride + (x + 1);
-                    int32_t v = (int32_t)mag[i];
+                    int32_t v = (int32_t)(mag[i] >> 1);  // drop the 1/2 bit
                     if (flags[i] & F_SELF_SGN) v = -v;
                     dst[y * W + x] = v;
                 }
