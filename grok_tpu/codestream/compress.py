@@ -94,37 +94,9 @@ def build_tcp(image: Image, params: CompressParams) -> Tcp:
     return tcp
 
 
-def compress(image: Image, params: CompressParams | None = None,
-             tile_coeff_fn=None) -> bytes:
-    """Encode an Image to a raw .j2k codestream.
-
-    ``tile_coeff_fn(tile_index)`` may supply pre-transformed packed
-    coefficient arrays (the distributed mesh path); returning None falls
-    back to the local per-tile transform."""
-    params = params or CompressParams()
-    params.validate()
-    image.finalize()
-    if params.mct_matrix is not None:
-        # Part-2 array MCT: irreversible float path, Rsiz extension bits
-        params.irreversible = True
-    if params.profile:
-        from .profile import apply_profile
-
-        apply_profile(params, image)
-    siz = build_siz(image, params)
-    tcp = build_tcp(image, params)
-
-    # validate resolution count against smallest tile-component
-    for ti in range(siz.num_tiles):
-        tb = siz.tile_bounds(ti)
-        if tb.empty():
-            raise ParameterError(f"tile {ti} empty")
-
-    if params.ht:
-        siz.rsiz |= 0x4000  # JPH capability flag in Rsiz
-    if params.mct_matrix is not None:
-        siz.rsiz |= 0x8100  # PART2 | EXTENSION_MCT (grok.h:151,158)
-
+def write_main_header(siz, tcp, params, image) -> tuple[bytearray, int | None]:
+    """Main header SOC..TLM-placeholder (shared by the one-shot and strip
+    encoders). Returns (bytes, tlm_placeholder_offset_or_None)."""
     out = bytearray()
     out += mk._u16(mk.SOC)
     out += mk.write_siz(siz)
@@ -173,63 +145,56 @@ def compress(image: Image, params: CompressParams | None = None,
         st = 1 if num_tiles <= 255 else 2
         entry = st + 4
         out += mk.segment(mk.TLM, bytes(2 + entry * num_tiles))  # placeholder
+    return out, tlm_offset
+
+
+
+def compress(image: Image, params: CompressParams | None = None,
+             tile_coeff_fn=None) -> bytes:
+    """Encode an Image to a raw .j2k codestream.
+
+    ``tile_coeff_fn(tile_index)`` may supply pre-transformed packed
+    coefficient arrays (the distributed mesh path); returning None falls
+    back to the local per-tile transform."""
+    params = params or CompressParams()
+    params.validate()
+    image.finalize()
+    if params.mct_matrix is not None:
+        # Part-2 array MCT: irreversible float path, Rsiz extension bits
+        params.irreversible = True
+    if params.profile:
+        from .profile import apply_profile
+
+        apply_profile(params, image)
+    siz = build_siz(image, params)
+    tcp = build_tcp(image, params)
+
+    # validate resolution count against smallest tile-component
+    for ti in range(siz.num_tiles):
+        tb = siz.tile_bounds(ti)
+        if tb.empty():
+            raise ParameterError(f"tile {ti} empty")
+
+    if params.ht:
+        siz.rsiz |= 0x4000  # JPH capability flag in Rsiz
+    if params.mct_matrix is not None:
+        siz.rsiz |= 0x8100  # PART2 | EXTENSION_MCT (grok.h:151,158)
+
+    out, tlm_offset = write_main_header(siz, tcp, params, image)
+    num_tiles = siz.num_tiles
 
     tile_part_lengths: list[tuple[int, int]] = []
     tiles_blob = bytearray()
     plm_parts: list[list[int]] = []  # per tile-part packet lengths (PLM)
     for ti in range(num_tiles):
-        tp = TileProcessor(siz, tcp, ti, enc_params=params)
-        hdrs: list[bytes] | None = [] if params.write_ppt else None
         coeffs = tile_coeff_fn(ti) if tile_coeff_fn is not None else None
-        if coeffs is not None:
-            body, pkt_lens = tp.compress_from_coeffs(coeffs, packed_headers=hdrs)
-        else:
-            comp_arrays = _extract_tile(image, siz, ti)
-            body, pkt_lens = tp.compress(comp_arrays, packed_headers=hdrs)
-        ppt_bytes = b""
-        if hdrs is not None:
-            blob = b"".join(hdrs)
-            z = 0
-            pos2 = 0
-            while pos2 < len(blob) or z == 0:
-                chunk = blob[pos2 : pos2 + 65000]
-                ppt_bytes += mk.segment(mk.PPT, bytes([z]) + chunk)
-                pos2 += len(chunk)
-                z += 1
-        plt_bytes = b""
-        if params.write_plt:
-            from ..cache.length_cache import PacketLengthCache
-
-            plc = PacketLengthCache()
-            for ln in pkt_lens:
-                plc.push(ln)
-            plt_bytes = b"".join(plc.to_plt_segments())
-
-        # split the tile into tile-parts at divider boundaries
-        # (parity: CodeStreamCompress.cpp getNumTileParts, divider 'C'/'R'/'L')
-        if params.tp_divider:
-            counts = tp.packet_part_counts(params.tp_divider)
-        else:
-            counts = [len(pkt_lens)]
-        parts: list[tuple[int, int, list[int]]] = []
-        idx = 0
-        off = 0
-        for cnt in counts:
-            ln = int(sum(pkt_lens[idx : idx + cnt]))
-            parts.append((off, ln, pkt_lens[idx : idx + cnt]))
-            off += ln
-            idx += cnt
-        assert off == len(body), "tile-part split must cover the body"
-        ntp = len(parts)
-        for tpi, (boff, blen, plens) in enumerate(parts):
-            extra = (ppt_bytes + plt_bytes) if tpi == 0 else b""
-            psot = 12 + len(extra) + 2 + blen
-            tiles_blob += mk.write_sot(ti, psot, tpi, ntp)
-            tiles_blob += extra
-            tiles_blob += mk._u16(mk.SOD)
-            tiles_blob += body[boff : boff + blen]
-            tile_part_lengths.append((ti, psot))
-            plm_parts.append(plens)
+        comp_arrays = None if coeffs is not None else _extract_tile(image, siz, ti)
+        blob, part_lens, plens_list = encode_tile_to_blob(
+            siz, tcp, params, ti, comp_arrays, coeffs
+        )
+        tiles_blob += blob
+        tile_part_lengths.extend(part_lens)
+        plm_parts.extend(plens_list)
 
     if params.write_tlm and tlm_offset is not None:
         tlm = mk.write_tlm(
@@ -253,3 +218,63 @@ def _extract_tile(image: Image, siz: Siz, tile_index: int) -> list[np.ndarray]:
         y1 = ceil_div(tb.y1, c.dy) - c.y0
         arrays.append(c.data[y0:y1, x0:x1])
     return arrays
+
+def encode_tile_to_blob(siz, tcp, params, ti, comp_arrays=None, coeffs=None):
+    """Encode one tile into its SOT..body blob (shared by the one-shot,
+    distributed and strip-streaming encoders).
+
+    Returns (blob, [(tile, psot), ...], [per-part packet lengths, ...])."""
+    tp = TileProcessor(siz, tcp, ti, enc_params=params)
+    hdrs: list[bytes] | None = [] if params.write_ppt else None
+    if coeffs is not None:
+        body, pkt_lens = tp.compress_from_coeffs(coeffs, packed_headers=hdrs)
+    else:
+        body, pkt_lens = tp.compress(comp_arrays, packed_headers=hdrs)
+    ppt_bytes = b""
+    if hdrs is not None:
+        blob2 = b"".join(hdrs)
+        z = 0
+        pos2 = 0
+        while pos2 < len(blob2) or z == 0:
+            chunk = blob2[pos2 : pos2 + 65000]
+            ppt_bytes += mk.segment(mk.PPT, bytes([z]) + chunk)
+            pos2 += len(chunk)
+            z += 1
+    plt_bytes = b""
+    if params.write_plt:
+        from ..cache.length_cache import PacketLengthCache
+
+        plc = PacketLengthCache()
+        for ln in pkt_lens:
+            plc.push(ln)
+        plt_bytes = b"".join(plc.to_plt_segments())
+
+    # split the tile into tile-parts at divider boundaries
+    # (parity: CodeStreamCompress.cpp getNumTileParts, divider 'C'/'R'/'L')
+    if params.tp_divider:
+        counts = tp.packet_part_counts(params.tp_divider)
+    else:
+        counts = [len(pkt_lens)]
+    parts: list[tuple[int, int, list[int]]] = []
+    idx = 0
+    off = 0
+    for cnt in counts:
+        ln = int(sum(pkt_lens[idx : idx + cnt]))
+        parts.append((off, ln, pkt_lens[idx : idx + cnt]))
+        off += ln
+        idx += cnt
+    assert off == len(body), "tile-part split must cover the body"
+    ntp = len(parts)
+    out = bytearray()
+    part_lens = []
+    plens_list = []
+    for tpi, (boff, blen, plens) in enumerate(parts):
+        extra = (ppt_bytes + plt_bytes) if tpi == 0 else b""
+        psot = 12 + len(extra) + 2 + blen
+        out += mk.write_sot(ti, psot, tpi, ntp)
+        out += extra
+        out += mk._u16(mk.SOD)
+        out += body[boff : boff + blen]
+        part_lens.append((ti, psot))
+        plens_list.append(plens)
+    return bytes(out), part_lens, plens_list

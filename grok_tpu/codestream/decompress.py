@@ -42,8 +42,14 @@ class ParsedStream:
 class Decoder:
     """Random-access decoder (parity: grk_decompress_* codec object)."""
 
-    def __init__(self, data: bytes | memoryview, params: DecompressParams | None = None):
-        self.data = memoryview(data)
+    def __init__(self, data, params: DecompressParams | None = None):
+        """``data``: bytes/memoryview, a file path (mmap-backed, zero copy),
+        a file object, or any object with a ``.view`` attribute (see
+        core/stream.py for the stream abstraction)."""
+        from ..core.stream import open_source
+
+        self._source = open_source(data)
+        self.data = self._source.view
         self.params = params or DecompressParams()
         self.header, self.first_sot = mk.parse_main_header(self.data)
         self.index: StreamIndex | None = None
@@ -263,10 +269,9 @@ class Decoder:
 
 
 # -------------------------------------------------------- functional API
-def decompress(
-    data: bytes | memoryview, params: DecompressParams | None = None
-) -> Image:
-    """Decode a raw .j2k codestream into an Image."""
+def decompress(data, params: DecompressParams | None = None) -> Image:
+    """Decode a raw .j2k codestream (bytes, file path, file object or
+    stream source) into an Image."""
     return Decoder(data, params).decompress()
 
 

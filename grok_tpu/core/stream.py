@@ -1,0 +1,165 @@
+"""Stream abstractions for codec input/output.
+
+Capability parity with the reference's util/BufferedStream.h +
+GrkMappedFile.cpp (file / memory / mmap / callback sources): the decoder
+can consume any random-access source without loading it into Python bytes
+first (mmap gives zero-copy page-backed views; TLM random tile access then
+touches only the pages of the tiles actually decoded). The reference's
+io_uring path is Linux-async-specific; buffered writes + mmap reads are
+the portable equivalents here.
+"""
+
+from __future__ import annotations
+
+import io
+import mmap
+import os
+
+
+class MemorySource:
+    """bytes/bytearray/memoryview-backed source (zero-copy view)."""
+
+    def __init__(self, data):
+        self.view = memoryview(data)
+
+    def __len__(self):
+        return len(self.view)
+
+    def close(self):
+        pass
+
+
+class MmapSource:
+    """mmap-backed read-only file source (GrkMappedFile analogue)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        self.view = memoryview(self._mm)
+
+    def __len__(self):
+        return len(self.view)
+
+    def close(self):
+        self.view.release()
+        self._mm.close()
+        self._f.close()
+
+
+class FileSource:
+    """Buffered whole-file read (for non-mmappable sources, e.g. pipes)."""
+
+    def __init__(self, fileobj):
+        self.view = memoryview(fileobj.read())
+
+    def __len__(self):
+        return len(self.view)
+
+    def close(self):
+        pass
+
+
+class CallbackSource:
+    """Pull-based source: ``read_fn(offset, size) -> bytes``.
+
+    The stream is materialized lazily in chunks; decoding touches only the
+    ranges the marker parser and tile index request."""
+
+    def __init__(self, read_fn, size: int, chunk: int = 1 << 20):
+        self._read = read_fn
+        self._size = size
+        self._chunk = chunk
+        self._buf = bytearray(size)
+        self._have = bytearray((size + chunk - 1) // chunk)
+        self.view = _LazyView(self)
+
+    def _ensure(self, start: int, end: int):
+        c = self._chunk
+        for ci in range(start // c, (max(end - 1, start)) // c + 1):
+            if not self._have[ci]:
+                off = ci * c
+                n = min(c, self._size - off)
+                data = self._read(off, n)
+                self._buf[off : off + len(data)] = data
+                self._have[ci] = 1
+
+    def __len__(self):
+        return self._size
+
+    def close(self):
+        pass
+
+
+class _LazyView:
+    """Minimal memoryview-compatible facade over CallbackSource."""
+
+    def __init__(self, src: CallbackSource):
+        self._src = src
+
+    def __len__(self):
+        return self._src._size
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            start, stop, step = key.indices(self._src._size)
+            self._src._ensure(start, stop)
+            return memoryview(self._src._buf)[key]
+        self._src._ensure(key, key + 1)
+        return self._src._buf[key]
+
+    def tobytes(self):
+        self._src._ensure(0, self._src._size)
+        return bytes(self._src._buf)
+
+
+def open_source(src):
+    """Normalize any supported input into a source with a .view."""
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        return MemorySource(src)
+    if isinstance(src, str) or isinstance(src, os.PathLike):
+        try:
+            return MmapSource(os.fspath(src))
+        except (OSError, ValueError):
+            with open(src, "rb") as f:
+                return FileSource(f)
+    if hasattr(src, "read"):
+        return FileSource(src)
+    if hasattr(src, "view"):
+        return src
+    raise TypeError(f"unsupported stream source: {type(src)!r}")
+
+
+class OutputStream:
+    """Seekable buffered output (file path, file object, or memory)."""
+
+    def __init__(self, dst=None):
+        if dst is None:
+            self._f = io.BytesIO()
+            self._own = True
+        elif isinstance(dst, (str, os.PathLike)):
+            self._f = open(dst, "wb+")
+            self._own = True
+        else:
+            self._f = dst
+            self._own = False
+        self.seekable = self._f.seekable()
+
+    def write(self, data) -> int:
+        return self._f.write(data)
+
+    def tell(self) -> int:
+        return self._f.tell()
+
+    def patch(self, offset: int, data: bytes):
+        assert self.seekable
+        pos = self._f.tell()
+        self._f.seek(offset)
+        self._f.write(data)
+        self._f.seek(pos)
+
+    def getvalue(self) -> bytes:
+        return self._f.getvalue()
+
+    def close(self):
+        if self._own and not isinstance(self._f, io.BytesIO):
+            self._f.close()

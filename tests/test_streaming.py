@@ -1,0 +1,68 @@
+"""Stream abstraction + strip-streaming encode (reference parity:
+util/BufferedStream.h, GrkMappedFile.cpp, IImageFormat.h strip encode)."""
+
+import io
+
+import numpy as np
+import pytest
+
+import grok_tpu as gk
+from grok_tpu.codestream.stripe import StripCompressor
+from grok_tpu.core.stream import CallbackSource
+from tests.conftest import natural_image
+
+
+def test_decode_sources_equal(tmp_path):
+    arr = natural_image(96, 128, 3)
+    stream = gk.compress(gk.Image.from_array(arr),
+                         gk.CompressParams(num_resolutions=3, write_tlm=True))
+    p = tmp_path / "s.j2k"
+    p.write_bytes(stream)
+    a = gk.decompress(stream).to_array()          # memory
+    b = gk.decompress(str(p)).to_array()          # mmap path
+    with open(p, "rb") as f:
+        c = gk.decompress(f).to_array()           # file object
+
+    reads = []
+
+    def read_fn(off, n):
+        reads.append((off, n))
+        return stream[off : off + n]
+
+    d = gk.decompress(CallbackSource(read_fn, len(stream), chunk=4096)).to_array()
+    assert np.array_equal(a, b) and np.array_equal(a, c) and np.array_equal(a, d)
+    assert reads  # the callback source was actually pulled
+
+
+def test_strip_encode_byte_identical(rng):
+    """Row-fed strip encoding produces the exact one-shot codestream while
+    holding only one tile row in memory."""
+    arr = natural_image(200, 230, 3)
+    params = dict(num_resolutions=3, tile_size=(64, 64), write_tlm=True)
+    ref = gk.compress(gk.Image.from_array(arr), gk.CompressParams(**params))
+    buf = io.BytesIO()
+    sc = StripCompressor(buf, 230, 200, 3, 8, gk.CompressParams(**params))
+    max_buf_rows = 0
+    y = 0
+    while y < 200:
+        n = min(int(rng.integers(1, 41)), 200 - y)
+        sc.push(arr[y : y + n])
+        max_buf_rows = max(max_buf_rows, sc._buf.shape[0])
+        y += n
+    sc.close()
+    assert buf.getvalue() == ref
+    assert max_buf_rows <= 2 * 64  # bounded by ~one tile row + one strip
+
+
+def test_strip_encode_to_file(tmp_path, rng):
+    arr = natural_image(130, 150)
+    path = tmp_path / "strip.j2k"
+    sc = StripCompressor(str(path), 150, 130, 1, 8,
+                         gk.CompressParams(num_resolutions=3,
+                                           tile_size=(64, 64),
+                                           write_tlm=True))
+    for y in range(0, 130, 13):
+        sc.push(arr[y : y + 13])
+    sc.close()
+    out = gk.decompress(str(path)).to_array()
+    assert np.array_equal(out.squeeze(), arr)
