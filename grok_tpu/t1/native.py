@@ -129,6 +129,16 @@ def get_lib() -> ctypes.CDLL | None:
                                    ctypes.c_int32, ctypes.c_int32,
                                    ctypes.c_int32, ctypes.c_int32]
         lib.finish_rev.restype = ctypes.c_int
+        lib.rct_finish.argtypes = [i32p, i32p, i32p, i32p, i32p, i32p,
+                                   ctypes.c_int64, ctypes.c_int32,
+                                   ctypes.c_int32, ctypes.c_int32,
+                                   ctypes.c_int32]
+        lib.rct_finish.restype = ctypes.c_int
+        lib.ict_finish.argtypes = [f32p, f32p, f32p, i32p, i32p, i32p,
+                                   ctypes.c_int64, ctypes.c_float,
+                                   ctypes.c_int32, ctypes.c_int32,
+                                   ctypes.c_int32]
+        lib.ict_finish.restype = ctypes.c_int
         i64 = ctypes.c_int64
         i32 = ctypes.c_int32
         lib.hull_slopes.argtypes = [i64p, f64p, i32p, i64, i32, f64p, i32]

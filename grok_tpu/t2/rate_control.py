@@ -141,18 +141,41 @@ def allocate_layers(
                     b = mid
             k = passes_for_threshold(slopes, a)
         elif exact_rate_fn is not None:
-            # geometric bisection (slopes span many decades) on the exact
-            # simulated stream length
+            # hybrid: narrow with the cheap body-rate bisection, then
+            # correct with a handful of exact packet simulations
             a = max(lo * 0.5, 1e-12)
             b = hi * 2.0 + 1.0
-            for _ in range(40):
+            for _ in range(48):
                 mid = (a * b) ** 0.5
-                k_mid = np.maximum(passes_for_threshold(slopes, mid), prev)
-                if exact_rate_fn(prev_rows + [k_mid]) <= target:
+                if rate_for_threshold(rates, slopes, mid) <= target * 0.99:
                     b = mid
                 else:
                     a = mid
-            k = np.maximum(passes_for_threshold(slopes, b), prev)
+            lam = b
+            k_b = np.maximum(passes_for_threshold(slopes, lam), prev)
+            sims = 0
+            if exact_rate_fn(prev_rows + [k_b]) <= target:
+                # loosen while still feasible (captures header slack)
+                while sims < 10:
+                    cand = lam / 1.18
+                    k_c = np.maximum(passes_for_threshold(slopes, cand), prev)
+                    sims += 1
+                    if exact_rate_fn(prev_rows + [k_c]) <= target:
+                        lam = cand
+                        if (k_c == k_b).all():
+                            break
+                        k_b = k_c
+                    else:
+                        break
+            else:
+                # tighten until feasible
+                while sims < 16:
+                    lam *= 1.25
+                    k_b = np.maximum(passes_for_threshold(slopes, lam), prev)
+                    sims += 1
+                    if exact_rate_fn(prev_rows + [k_b]) <= target:
+                        break
+            k = k_b
         else:
             overhead = header_overhead_fn(prev) if header_overhead_fn else 0.0
             budget = max(target * 0.998 - overhead, 0.0)

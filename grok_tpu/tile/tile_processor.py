@@ -1061,7 +1061,42 @@ class TileProcessor:
                 out_rects.append(rect)
             out.append(rec)
 
-        # ---- inverse MCT + DC shift
+        # ---- inverse MCT + DC shift (+ final conversion, fused natively
+        # when the first three components share precision/signedness)
+        from ..ops.native_ops import get_lib as _gl2
+
+        _fuse_lib = _gl2()
+        if (
+            _fuse_lib is not None
+            and tcp.mct == 1
+            and ncomp == 3
+            and out[0].shape == out[1].shape == out[2].shape
+            and all(o.flags.c_contiguous for o in out[:3])
+            and len({(siz.comps[c].prec, siz.comps[c].signed)
+                     for c in range(3)}) == 1
+            and (out[0].dtype == np.float32 if irrev
+                 else out[0].dtype == np.int32)
+        ):
+            prec0 = siz.comps[0].prec
+            signed0 = siz.comps[0].signed
+            lo = -(1 << (prec0 - 1)) if signed0 else 0
+            hi = (1 << (prec0 - 1)) - 1 if signed0 else (1 << prec0) - 1
+            nel = out[0].size
+            res3 = [np.empty(out[0].shape, dtype=np.int32) for _ in range(3)]
+            if irrev:
+                addf = np.float32(0.5 + (0.0 if signed0 else float(1 << (prec0 - 1))))
+                _fuse_lib.ict_finish(out[0], out[1], out[2],
+                                     res3[0], res3[1], res3[2], nel,
+                                     addf, lo, hi, 0)
+            else:
+                add = 0 if signed0 else 1 << (prec0 - 1)
+                _fuse_lib.rct_finish(out[0], out[1], out[2],
+                                     res3[0], res3[1], res3[2], nel,
+                                     add, lo, hi, 0)
+            if window is not None:
+                return res3, out_rects
+            return res3
+
         if tcp.mct == 2 and tcp.mct_dec_matrix is not None:
             dec_m = np.asarray(tcp.mct_dec_matrix, dtype=np.float32)
             out = mct_ops.custom_mct_inverse(

@@ -787,4 +787,51 @@ int gather_rows(const int32_t* src, int32_t srcW, const int32_t* rows,
     return 0;
 }
 
+// Fused inverse RCT + DC shift + clip: one pass instead of two.
+int rct_finish(const int32_t* y, const int32_t* cb, const int32_t* cr,
+               int32_t* r, int32_t* g, int32_t* b, int64_t n, int32_t add,
+               int32_t lo, int32_t hi, int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        int32_t yy = y[i], cbv = cb[i], crv = cr[i];
+        int32_t gg = yy - ((cbv + crv) >> 2);
+        int32_t rv = crv + gg + add, gv = gg + add, bv = cbv + gg + add;
+        r[i] = rv < lo ? lo : (rv > hi ? hi : rv);
+        g[i] = gv < lo ? lo : (gv > hi ? hi : gv);
+        b[i] = bv < lo ? lo : (bv > hi ? hi : bv);
+    }
+    return 0;
+}
+
+// Fused inverse ICT + float finish (floor(x + add), clip) -> int32.
+int ict_finish(const float* y, const float* cb, const float* cr, int32_t* r,
+               int32_t* g, int32_t* b, int64_t n, float add, int32_t lo,
+               int32_t hi, int32_t num_threads) {
+    const float m02 = 1.402f, m11 = -0.344136f, m12 = -0.714136f,
+                m21 = 1.772f;
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        float yy = y[i], cbv = cb[i], crv = cr[i];
+        float rv = std::floor(yy + m02 * crv + add);
+        float gv = std::floor(yy + m11 * cbv + m12 * crv + add);
+        float bv = std::floor(yy + m21 * cbv + add);
+        if (!(rv > (float)lo)) rv = (float)lo;
+        if (rv > (float)hi) rv = (float)hi;
+        if (!(gv > (float)lo)) gv = (float)lo;
+        if (gv > (float)hi) gv = (float)hi;
+        if (!(bv > (float)lo)) bv = (float)lo;
+        if (bv > (float)hi) bv = (float)hi;
+        r[i] = (int32_t)rv;
+        g[i] = (int32_t)gv;
+        b[i] = (int32_t)bv;
+    }
+    return 0;
+}
+
 }  // extern "C"
