@@ -31,7 +31,7 @@ from .mq_np import (
     MQEncoder,
 )
 
-SUPPORTED_STYLES = 0x2A  # RESET | VSC | SEGSYM; BYPASS/TERMALL/PTERM need native per-pass termination
+SUPPORTED_STYLES = 0x3F  # all Part-1 codeblock style bits (native parity)
 
 # ------------------------------------------------------------- context LUTs
 # Zero-coding contexts (T.800 Table D-1), indexed [orient][h*15 + v*5 + d]
@@ -194,6 +194,20 @@ def _local_pass_index(plane, kind, numbps):
     return np.where(rel <= 0, 0, (rel - 1) * 3 + 1 + kind)
 
 
+def _pass_is_raw(styles_bypass, lpi, kind):
+    """Bypass lanes code SPP/MRP raw from the 11th pass on (T.800 D.4)."""
+    return styles_bypass & (lpi >= 10) & (kind != 2)
+
+
+def _term_after(styles_termall, styles_bypass, lpi, kind):
+    """Per-lane 'this pass ends a codeword segment' predicate."""
+    t = np.where(lpi == 0, 2, (lpi - 1) % 3)
+    bypass_bound = styles_bypass & (
+        (lpi == 9) | ((lpi > 9) & ((t == 1) | (t == 2)))
+    )
+    return styles_termall | bypass_bound
+
+
 # Distortion-decrease helpers (squared error in coefficient units of 2^{2p};
 # caller scales by step^2 * bandnorm^2). Mirrors native/t1_coder.cpp dd_sig/dd_ref.
 def _dd_sig(v, plane):
@@ -223,12 +237,6 @@ def encode_cblks(
     coeffs: [N, H, W] int32/int64 quantized coefficients (signed).
     heights/widths: [N] actual extents; orients: [N] band orientation codes.
     """
-    if styles is not None and int(np.max(np.asarray(styles) & 0x15, initial=0)):
-        # Mirror the decode guard: BYPASS/TERMALL/PTERM need per-pass MQ
-        # termination bookkeeping that only the native backend implements.
-        # Failing loudly beats emitting a single unterminated stream that T2
-        # would mis-describe with per-pass segment lengths.
-        raise NotImplementedError("bypass/termall/pterm only in the native backend")
     coeffs = coeffs.astype(np.int64)
     n, h, w = coeffs.shape
     mag = np.abs(coeffs)
@@ -248,40 +256,80 @@ def encode_cblks(
     pass_rates = np.zeros((n, max(max_passes, 1)), dtype=np.int64)
     pass_dist = np.zeros((n, max(max_passes, 1)), dtype=np.float64)
 
-    def record_pass(plane, kind, lane_mask, dd):
+    sty = np.zeros(n, dtype=np.int64) if styles is None else np.asarray(styles)
+    termall_m = (sty & 0x04) != 0
+    bypass_m = (sty & 0x01) != 0
+    last_term = np.zeros(n, dtype=bool)
+
+    def end_pass(plane, kind, lane_mask, dd):
+        """Record rate/distortion, terminate segments, start raw mode —
+        the lane-parallel mirror of the native coder's end_pass."""
         if not lane_mask.any():
             return
-        idx = _local_pass_index(plane, kind, numbps)
-        # safe truncation length (Taubman): bytes + ceil((27 - CT)/8)
-        est = mq.pos + (27 - mq.ct + 7) // 8
-        pass_rates[lane_mask, idx[lane_mask]] = est[lane_mask]
-        pass_dist[lane_mask, idx[lane_mask]] = dd[lane_mask]
+        lpi = _local_pass_index(plane, kind, numbps)
+        raw_m = _pass_is_raw(bypass_m, lpi, kind) & lane_mask
+        term_m = _term_after(termall_m, bypass_m, lpi, kind) & lane_mask
+        r = mq.pos + (27 - mq.ct + 7) // 8  # Taubman safe bound
+        if hasattr(mq, "raw_used"):
+            r = np.where(raw_m, mq.raw_safe_len(), r)
+        t_mq = term_m & ~raw_m
+        t_raw = term_m & raw_m
+        if t_mq.any():
+            r = np.where(t_mq, mq.terminate_restart(t_mq), r)
+        if t_raw.any():
+            r = np.where(t_raw, mq.raw_terminate_restart_mq(t_raw), r)
+        pass_rates[lane_mask, lpi[lane_mask]] = r[lane_mask]
+        pass_dist[lane_mask, lpi[lane_mask]] = dd[lane_mask]
+        last_term[lane_mask] = term_m[lane_mask]
+        mq.reset_ctx(st.reset & lane_mask)
+        # lanes whose NEXT pass is raw start a fresh raw segment
+        nxt_raw = _pass_is_raw(bypass_m, lpi + 1, (kind + 1) % 3) & term_m
+        if nxt_raw.any():
+            mq.raw_start(nxt_raw)
+
+    def pass_raw_mask(plane, kind, lane_mask):
+        lpi = _local_pass_index(plane, kind, numbps)
+        return _pass_is_raw(bypass_m, lpi, kind) & lane_mask
 
     for plane in range(pmax - 1, -1, -1):
         spp_lanes = numbps - 1 > plane  # lanes whose first plane was earlier
         cup_lanes = numbps - 1 >= plane
         if spp_lanes.any():
             dd = np.zeros(n, dtype=np.float64)
-            _spp(st, mq, plane, spp_lanes, None, dist=dd)
-            record_pass(plane, 0, spp_lanes, dd)
-            mq.reset_ctx(st.reset & spp_lanes)
+            _spp(st, mq, plane, spp_lanes, None, dist=dd,
+                 raw=pass_raw_mask(plane, 0, spp_lanes))
+            end_pass(plane, 0, spp_lanes, dd)
             dd = np.zeros(n, dtype=np.float64)
-            _mrp(st, mq, plane, spp_lanes, None, dist=dd)
-            record_pass(plane, 1, spp_lanes, dd)
-            mq.reset_ctx(st.reset & spp_lanes)
+            _mrp(st, mq, plane, spp_lanes, None, dist=dd,
+                 raw=pass_raw_mask(plane, 1, spp_lanes))
+            end_pass(plane, 1, spp_lanes, dd)
         dd = np.zeros(n, dtype=np.float64)
         _cup(st, mq, plane, cup_lanes, None, dist=dd)
-        record_pass(plane, 2, cup_lanes, dd)
-        mq.reset_ctx(st.reset & cup_lanes)
+        end_pass(plane, 2, cup_lanes, dd)
         st.visited[:] = False
 
-    mq.flush()
-    lengths = mq.lengths()
+    # final termination per lane: already-terminated lanes keep their last
+    # recorded rate; raw-tail lanes byte-align; the rest FLUSH
+    final_lpi = np.maximum(npasses - 1, 0)
+    in_raw_tail = _pass_is_raw(bypass_m, final_lpi, np.where(
+        final_lpi == 0, 2, (final_lpi - 1) % 3)) & ~last_term
+    lengths = np.zeros(n, dtype=np.int64)
+    if last_term.any():
+        lengths = np.where(
+            last_term, pass_rates[st.lanes, final_lpi], lengths
+        )
+    if in_raw_tail.any():
+        lengths = np.where(
+            in_raw_tail, mq.raw_terminate_restart_mq(in_raw_tail), lengths
+        )
+    rest = ~last_term & ~in_raw_tail
+    if rest.any():
+        mq.flush(rest)
+        lengths = np.where(rest, mq.lengths(), lengths)
     lengths = np.where(npasses > 0, lengths, 0)
-    # final pass rate = actual flushed length
+    # clamp conservative per-pass rates to the final length
     if max_passes:
-        last = np.maximum(npasses - 1, 0)
-        pass_rates[st.lanes, last] = lengths
+        pass_rates[st.lanes, final_lpi] = lengths
         np.minimum(pass_rates, lengths[:, None], out=pass_rates)
     return T1EncodeResult(
         data=mq.buf[:, 1:],
@@ -311,10 +359,6 @@ def decode_cblks(
     """Decode a batch of codeblock codeword segments.
 
     Returns (coeffs [N, H, W] int64 signed, planes_decoded [N])."""
-    if styles is not None and int(np.max(np.asarray(styles) & 0x15, initial=0)):
-        raise NotImplementedError(
-            "bypass/termall/pterm only in the native backend"
-        )
     n = data.shape[0]
     h, w = block_h, block_w
     numbps = numbps.astype(np.int64)
@@ -328,7 +372,44 @@ def decode_cblks(
         orients.astype(np.int64),
         styles,
     )
-    mq = MQDecoder(data, lengths)
+    sty = np.zeros(n, dtype=np.int64) if styles is None else np.asarray(styles)
+    termall_m = (sty & 0x04) != 0
+    bypass_m = (sty & 0x01) != 0
+    segmented = (termall_m | bypass_m) & (seg_lengths is not None)
+    if seg_lengths is not None:
+        segl = np.asarray(seg_lengths, dtype=np.int64)
+    else:
+        segl = np.zeros((n, 1), dtype=np.int64)
+    first_len = np.where(segmented, segl[:, 0], np.asarray(lengths, dtype=np.int64))
+    mq = MQDecoder(data, first_len)
+    seg_i = np.zeros(n, dtype=np.int64)
+    seg_off = np.zeros(n, dtype=np.int64)
+
+    def next_seg(finished_lpi, lane_mask):
+        """Advance segmented lanes whose pass ended a segment (native
+        next_seg): re-prime MQ or start a raw segment at the new offset."""
+        adv = lane_mask & segmented & _term_after(
+            termall_m, bypass_m, finished_lpi,
+            np.where(finished_lpi == 0, 2, (finished_lpi - 1) % 3),
+        ) & (finished_lpi + 1 < npasses)
+        if not adv.any():
+            return
+        cur = segl[st.lanes, np.minimum(seg_i, segl.shape[1] - 1)]
+        seg_off[adv] += cur[adv]
+        seg_i[adv] += 1
+        nxt = np.where(
+            seg_i < segl.shape[1],
+            segl[st.lanes, np.minimum(seg_i, segl.shape[1] - 1)], 0
+        )
+        nlpi = finished_lpi + 1
+        nraw = _pass_is_raw(bypass_m, nlpi,
+                            np.where(nlpi == 0, 2, (nlpi - 1) % 3))
+        mq.raw_init(adv & nraw, seg_off, nxt)
+        mq.init_registers(adv & ~nraw, seg_off, nxt)
+
+    def raw_of(plane, kind, lanes_m):
+        lpi = _local_pass_index(np.int64(plane), kind, numbps)
+        return _pass_is_raw(bypass_m, lpi, kind) & lanes_m
 
     for plane in range(pmax - 1, -1, -1):
         lp_spp = _local_pass_index(np.int64(plane), 0, numbps)
@@ -340,14 +421,19 @@ def decode_cblks(
         first_cup = (numbps - 1 == plane) & (0 < npasses)
         cup_lanes = cup_lanes | first_cup
         if spp_lanes.any():
-            _spp(st, None, plane, spp_lanes, mq)
+            _spp(st, None, plane, spp_lanes, mq,
+                 raw=raw_of(plane, 0, spp_lanes))
             mq.reset_ctx(st.reset & spp_lanes)
+            next_seg(lp_spp, spp_lanes)
         if mrp_lanes.any():
-            _mrp(st, None, plane, mrp_lanes, mq)
+            _mrp(st, None, plane, mrp_lanes, mq,
+                 raw=raw_of(plane, 1, mrp_lanes))
             mq.reset_ctx(st.reset & mrp_lanes)
+            next_seg(lp_mrp, mrp_lanes)
         if cup_lanes.any():
             _cup(st, None, plane, cup_lanes, mq)
             mq.reset_ctx(st.reset & cup_lanes)
+            next_seg(lp_cup, cup_lanes)
         st.visited[:] = False
 
     coeffs = st.mag[:, 1 : h + 1, 1 : w + 1] >> 1  # drop the 1/2 bit
@@ -359,7 +445,7 @@ def decode_cblks(
 
 
 # ============================================================ the 3 passes
-def _spp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, dist=None):
+def _spp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, dist=None, raw=None):
     """Significance propagation pass."""
     n, h, w = st.n, st.h, st.w
     sig = st.sig
@@ -386,20 +472,33 @@ def _spp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, 
                 code = inb & ~sig[:, py, px] & (ncnt > 0)
                 if not code.any():
                     continue
+                rawm = raw if raw is not None else np.zeros(st.n, dtype=bool)
                 if enc is not None:
                     bit = ((st.mag[:, py, px] >> plane) & 1).astype(np.uint8)
-                    enc.encode(bit, ctx, code)
+                    enc.encode(bit, ctx, code & ~rawm)
+                    enc.raw_bit(bit, code & rawm)
                 else:
-                    bit = dec.decode(ctx, code)
+                    bit = dec.decode(ctx, code & ~rawm)
+                    if rawm.any():
+                        rb = dec.raw_bit(code & rawm)
+                        bit = np.where(code & rawm, rb, bit)
                 st.visited[:, py, px] |= code
                 became = code & (bit == 1)
                 if became.any():
                     sc, xr = st.sc_ctx(py, px)
                     if enc is not None:
                         sbit = (st.sgn[:, py, px].astype(np.int64) ^ xr).astype(np.uint8)
-                        enc.encode(sbit, sc, became)
+                        enc.encode(sbit, sc, became & ~rawm)
+                        # raw sign bits are NOT xored with the predictor
+                        enc.raw_bit(st.sgn[:, py, px].astype(np.uint8),
+                                    became & rawm)
                     else:
-                        sbit = dec.decode(sc, became)
+                        sbit = dec.decode(sc, became & ~rawm)
+                        if rawm.any():
+                            rs = dec.raw_bit(became & rawm)
+                            # undo the xor for raw lanes (applied below)
+                            sbit = np.where(became & rawm,
+                                            rs ^ xr.astype(np.uint8), sbit)
                         st.sgn[:, py, px] = np.where(
                             became, (sbit ^ xr).astype(np.int8), st.sgn[:, py, px]
                         )
@@ -413,7 +512,7 @@ def _spp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, 
                     force_next = True
 
 
-def _mrp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, dist=None):
+def _mrp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, dist=None, raw=None):
     """Magnitude refinement pass."""
     n, h, w = st.n, st.h, st.w
     sig = st.sig
@@ -442,11 +541,16 @@ def _mrp(st: _State, enc: MQEncoder | None, plane: int, lanes: np.ndarray, dec, 
                     CTX_MR0 + 2,
                     np.where(ncnt > 0, CTX_MR0 + 1, CTX_MR0),
                 ).astype(np.int64)
+                rawm = raw if raw is not None else np.zeros(st.n, dtype=bool)
                 if enc is not None:
                     bit = ((st.mag[:, py, px] >> plane) & 1).astype(np.uint8)
-                    enc.encode(bit, ctx, code)
+                    enc.encode(bit, ctx, code & ~rawm)
+                    enc.raw_bit(bit, code & rawm)
                 else:
-                    bit = dec.decode(ctx, code)
+                    bit = dec.decode(ctx, code & ~rawm)
+                    if rawm.any():
+                        rb = dec.raw_bit(code & rawm)
+                        bit = np.where(code & rawm, rb, bit)
                     st.mag[:, py, px] = np.where(
                         code,
                         st.mag[:, py, px]

@@ -195,6 +195,95 @@ class MQEncoder:
         b = self.buf[self._lanes, self.pos]
         return self.pos + np.where(b != 0xFF, 1, 0) - 1  # minus virtual byte
 
+    # -- per-pass termination + raw (bypass) emission ----------------------
+    # Lane-parallel mirrors of the native coder's TERMALL/BYPASS machinery
+    # (terminate_restart / raw_* in native/t1_coder.cpp).
+
+    def terminate_restart(self, mask: np.ndarray) -> np.ndarray:
+        """FLUSH + restart the masked lanes; returns the stream lengths."""
+        lens = self.lengths()
+        if mask.any():
+            self.flush(mask)
+            lens = np.where(mask, self.lengths(), lens)
+            # buf[len] (in buffer coords, incl. the virtual byte) is the
+            # last counted byte — never 0xFF
+            self.pos = np.where(mask, lens, self.pos)
+            self.a = np.where(mask, 0x8000, self.a)
+            self.c = np.where(mask, 0, self.c)
+            b = self.buf[self._lanes, self.pos]
+            self.ct = np.where(mask, np.where(b == 0xFF, 13, 12), self.ct)
+        return lens
+
+    def _ensure_raw_state(self):
+        if not hasattr(self, "raw_tmp"):
+            self.raw_tmp = np.zeros(self.n, dtype=np.int64)
+            self.raw_used = np.zeros(self.n, dtype=np.int64)
+            self.raw_avail = np.full(self.n, 8, dtype=np.int64)
+
+    def raw_start(self, mask: np.ndarray) -> None:
+        self._ensure_raw_state()
+        b = self.buf[self._lanes, self.pos]
+        self.raw_tmp = np.where(mask, 0, self.raw_tmp)
+        self.raw_used = np.where(mask, 0, self.raw_used)
+        self.raw_avail = np.where(mask, np.where(b == 0xFF, 7, 8),
+                                  self.raw_avail)
+
+    def raw_bit(self, bits: np.ndarray, mask: np.ndarray) -> None:
+        """MSB-first raw bit with 0xFF stuffing (bypass segments)."""
+        if not mask.any():
+            return
+        self._ensure_raw_state()
+        self.raw_tmp = np.where(mask, (self.raw_tmp << 1) | bits, self.raw_tmp)
+        self.raw_used = np.where(mask, self.raw_used + 1, self.raw_used)
+        emit = mask & (self.raw_used == self.raw_avail)
+        if emit.any():
+            wpos = np.where(emit, self.pos + 1, self.pos)
+            prev = self.buf[self._lanes, wpos]
+            self.buf[self._lanes, wpos] = np.where(
+                emit, self.raw_tmp & 0xFF, prev
+            ).astype(np.uint8)
+            self.pos = wpos
+            b = self.buf[self._lanes, self.pos]
+            self.raw_avail = np.where(emit, np.where(b == 0xFF, 7, 8),
+                                      self.raw_avail)
+            self.raw_tmp = np.where(emit, 0, self.raw_tmp)
+            self.raw_used = np.where(emit, 0, self.raw_used)
+
+    def raw_safe_len(self) -> np.ndarray:
+        self._ensure_raw_state()
+        return self.pos + np.where(self.raw_used > 0, 1, 0)
+
+    def raw_terminate_restart_mq(self, mask: np.ndarray) -> np.ndarray:
+        """Byte-align raw segments, restart MQ; returns stream lengths."""
+        self._ensure_raw_state()
+        lens = self.pos.copy()
+        if not mask.any():
+            return lens
+        pend = mask & (self.raw_used > 0)
+        if pend.any():
+            tmp = (self.raw_tmp << (self.raw_avail - self.raw_used)) & 0xFF
+            wpos = np.where(pend, self.pos + 1, self.pos)
+            prev = self.buf[self._lanes, wpos]
+            self.buf[self._lanes, wpos] = np.where(pend, tmp, prev).astype(
+                np.uint8
+            )
+            self.pos = wpos
+        b = self.buf[self._lanes, self.pos]
+        fix = mask & (b == 0xFF)  # raw segments can't end 0xFF
+        if fix.any():
+            wpos = np.where(fix, self.pos + 1, self.pos)
+            prev = self.buf[self._lanes, wpos]
+            self.buf[self._lanes, wpos] = np.where(fix, 0, prev).astype(np.uint8)
+            self.pos = wpos
+        lens = np.where(mask, self.pos, lens)
+        self.a = np.where(mask, 0x8000, self.a)
+        self.c = np.where(mask, 0, self.c)
+        b = self.buf[self._lanes, self.pos]
+        self.ct = np.where(mask, np.where(b == 0xFF, 13, 12), self.ct)
+        self.raw_used = np.where(mask, 0, self.raw_used)
+        self.raw_tmp = np.where(mask, 0, self.raw_tmp)
+        return lens
+
     def data(self, lane: int, length: int | None = None) -> bytes:
         if length is None:
             length = int(self.lengths()[lane])
@@ -227,10 +316,73 @@ class MQDecoder:
         self.ctx_mps = np.where(mask[:, None], init_m, self.ctx_mps)
 
     def _byte_at(self, idx: np.ndarray) -> np.ndarray:
-        """Byte at idx, or 0xFF beyond each lane's end."""
-        clipped = np.minimum(idx, self.data.shape[1] - 1)
+        """Byte at idx (relative to the lane's segment base), or 0xFF
+        beyond each lane's end."""
+        base = getattr(self, "base", None)
+        a = idx if base is None else idx + base
+        clipped = np.minimum(np.maximum(a, 0), self.data.shape[1] - 1)
         vals = self.data[self._lanes, clipped]
         return np.where(idx < self.end, vals, np.uint8(0xFF)).astype(np.uint8)
+
+    # -- per-segment re-init + raw reading (TERMALL/BYPASS decode) --------
+    def init_registers(self, mask: np.ndarray, base: np.ndarray,
+                       seg_len: np.ndarray) -> None:
+        """Re-prime the MQ registers on a new codeword segment for the
+        masked lanes (context states persist; native init_registers)."""
+        if not hasattr(self, "base"):
+            self.base = np.zeros(self.n, dtype=np.int64)
+        if not mask.any():
+            return
+        self.base = np.where(mask, base, self.base)
+        self.end = np.where(mask, seg_len, self.end)
+        self.bp = np.where(mask, 0, self.bp)
+        b0 = self._byte_at(np.zeros(self.n, dtype=np.int64)).astype(np.int64)
+        self.c = np.where(mask, b0 << 16, self.c)
+        save_c, save_ct, save_bp = self.c.copy(), self.ct.copy(), self.bp.copy()
+        self._bytein(mask)
+        self.c = np.where(mask, (self.c << 7) & 0xFFFFFFFF, self.c)
+        self.ct = np.where(mask, self.ct - 7, self.ct)
+        self.a = np.where(mask, 0x8000, self.a)
+
+    def _ensure_raw_state(self):
+        if not hasattr(self, "rtmp"):
+            self.rtmp = np.zeros(self.n, dtype=np.int64)
+            self.rbits = np.zeros(self.n, dtype=np.int64)
+            self.rprev_ff = np.zeros(self.n, dtype=bool)
+            self.rpos = np.zeros(self.n, dtype=np.int64)
+            self.rbase = np.zeros(self.n, dtype=np.int64)
+            self.rend = np.zeros(self.n, dtype=np.int64)
+
+    def raw_init(self, mask: np.ndarray, base: np.ndarray,
+                 seg_len: np.ndarray) -> None:
+        self._ensure_raw_state()
+        self.rbase = np.where(mask, base, self.rbase)
+        self.rend = np.where(mask, seg_len, self.rend)
+        self.rpos = np.where(mask, 0, self.rpos)
+        self.rtmp = np.where(mask, 0, self.rtmp)
+        self.rbits = np.where(mask, 0, self.rbits)
+        self.rprev_ff = np.where(mask, False, self.rprev_ff)
+
+    def raw_bit(self, mask: np.ndarray) -> np.ndarray:
+        """MSB-first raw bit with unstuffing; 0xFF fed past segment end."""
+        self._ensure_raw_state()
+        out = np.zeros(self.n, dtype=np.uint8)
+        if not mask.any():
+            return out
+        need = mask & (self.rbits == 0)
+        if need.any():
+            a = np.minimum(np.maximum(self.rbase + self.rpos, 0),
+                           self.data.shape[1] - 1)
+            vals = self.data[self._lanes, a]
+            b = np.where(self.rpos < self.rend, vals, np.uint8(0xFF)).astype(np.int64)
+            self.rpos = np.where(need, self.rpos + 1, self.rpos)
+            nbits = np.where(self.rprev_ff, 7, 8)
+            self.rbits = np.where(need, nbits, self.rbits)
+            self.rprev_ff = np.where(need, b == 0xFF, self.rprev_ff)
+            self.rtmp = np.where(need, b, self.rtmp)
+        self.rbits = np.where(mask, self.rbits - 1, self.rbits)
+        out = np.where(mask, (self.rtmp >> self.rbits) & 1, 0).astype(np.uint8)
+        return out
 
     def _bytein(self, mask: np.ndarray) -> None:
         if not mask.any():

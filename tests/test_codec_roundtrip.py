@@ -259,3 +259,38 @@ def test_jp2_uuid_cdef_write(rng):
     assert info.uuid == [(b"0123456789abcdef", b"payload!")]
     assert info.channel_defs == [(0, 0, 1), (1, 0, 2), (2, 0, 3)]
     assert info.codestream == stream
+
+
+@pytest.mark.parametrize("style", [0x01, 0x04, 0x05, 0x15, 0x3F])
+def test_numpy_backend_bypass_termall_styles(style, monkeypatch):
+    """Numpy reference coder handles BYPASS/TERMALL/PTERM end-to-end
+    (native-backend parity; T.800 Table A-19 style bits, reference
+    t1/t1_part1/T1Part1.cpp pass termination)."""
+    monkeypatch.setenv("GROK_TPU_T1", "numpy")
+    rng = np.random.default_rng(style)
+    arr = rng.integers(0, 256, size=(67, 91)).astype(np.uint8)
+    _lossless_roundtrip(arr, cblk_style=style, num_resolutions=3)
+
+
+@pytest.mark.parametrize("style", [0x05, 0x15, 0x3F])
+def test_numpy_native_stream_parity(style):
+    """Numpy and native T1 emit byte-identical streams for raw/termall
+    styles and decode each other's output."""
+    from grok_tpu.t1 import ebcot_np
+    from grok_tpu.t1 import native as t1n
+
+    if not t1n.available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(style)
+    n, h, w = 4, 24, 28
+    coeffs = rng.integers(-200, 200, size=(n, h, w)).astype(np.int64)
+    coeffs[rng.random((n, h, w)) < 0.6] = 0
+    hs, ws = np.full(n, h), np.full(n, w)
+    ors = rng.integers(0, 4, size=n)
+    sty = np.full(n, style)
+    a = ebcot_np.encode_cblks(coeffs, hs, ws, ors, styles=sty)
+    b = t1n.encode_cblks(coeffs, hs, ws, ors, styles=sty.astype(np.int32))
+    assert np.array_equal(a.lengths, b.lengths)
+    for i in range(n):
+        L = int(a.lengths[i])
+        assert np.array_equal(a.data[i, :L], b.data[i, :L])
