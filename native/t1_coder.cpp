@@ -361,36 +361,70 @@ struct MQDecoder {
     }
 };
 
-// --------------------------------------------------------- context tables
-
-// ------------------------------------------------------------ context LUTs
-// Flags-word formulation: one uint32 per sample in a padded (h+2)x(w+2)
-// plane carries the entire coding state, so every pass decision is a single
-// load + mask instead of gathers over separate sig/visited/refined/nbr
-// planes (the reference keeps an equivalent packed-flags scheme in its T1;
-// this layout and the LUT indexing are our own).
+// ------------------------------------------------------ stripe-word state
+// One uint64 per (stripe, column) covers a 4-row column and carries the
+// entire coding neighborhood in-word, so each pass loads ONE word per
+// column instead of four per-sample flag words (the reference's T1 keeps
+// an equivalent stripe-oriented packed-flags scheme in t1/t1_part1/; this
+// 64-bit layout and the LUT indexing are our own design):
 //
-//   bits 0-7  : significance of the 8 neighbors (W E N S NW NE SW SE)
-//   bits 8-11 : sign of the significant W/E/N/S neighbors (1 = negative)
-//   bit 12    : SIG      — this sample is significant
-//   bit 13    : VISITED  — coded in an earlier pass of the current plane
-//   bit 14    : REFINED  — has been magnitude-refined before
-//   bit 15    : SELF_SGN — this sample's own sign (encoder prefills)
-constexpr uint32_t F_W = 1u << 0, F_E = 1u << 1, F_N = 1u << 2, F_S = 1u << 3;
-constexpr uint32_t F_NW = 1u << 4, F_NE = 1u << 5, F_SW = 1u << 6,
-                   F_SE = 1u << 7;
-constexpr uint32_t F_SGN_W = 1u << 8, F_SGN_E = 1u << 9, F_SGN_N = 1u << 10,
-                   F_SGN_S = 1u << 11;
-constexpr uint32_t F_SIG = 1u << 12, F_VISITED = 1u << 13,
-                   F_REFINED = 1u << 14, F_SELF_SGN = 1u << 15;
-constexpr uint32_t F_NBR = 0xFFu;
-// contributions of the row below, ignored at a VSC stripe bottom
-constexpr uint32_t F_VSC_CUT = F_S | F_SW | F_SE | F_SGN_S;
+//   bits 0-17  : significance of columns {left,self,right} x rows {-1..4}
+//                bit index = col*6 + (row+1)
+//   bits 18-21 : VISITED, own rows 0-3 (coded earlier in current plane)
+//   bits 22-25 : REFINED, own rows 0-3
+//   bits 26-31 : sign of self column rows -1..4   (1 = negative)
+//   bits 32-35 : sign of left column rows 0-3
+//   bits 36-39 : sign of right column rows 0-3
+//   bits 40-43 : own-coefficient sign rows 0-3 (encoder prefill)
 
-struct FlagLuts {
-    uint8_t zc[4][256];               // [orient][neighbor-significance bits]
-    uint8_t sc_ctx[256], sc_xor[256]; // [(sig W E N S) | (sgn W E N S) << 4]
-    FlagLuts() {
+#if defined(__BMI2__)
+#include <immintrin.h>
+#endif
+
+constexpr uint64_t W_SIG18 = 0x3FFFFULL;
+constexpr uint64_t W_VIS4 = 0xFULL << 18;
+// significance contributed by row 4 (the stripe below), dropped under VSC
+constexpr uint64_t W_VSC_SIGCUT = (1ULL << 5) | (1ULL << 11) | (1ULL << 17);
+// bit positions feeding the sign-context key for row k (ascending order):
+// sigL(1+k) sigU(6+k) sigD(8+k) sigR(13+k) sgnU(26+k) sgnD(28+k)
+// sgnL(32+k) sgnR(36+k)
+constexpr uint64_t SC_PEXT = (1ULL << 1) | (1ULL << 6) | (1ULL << 8) |
+                             (1ULL << 13) | (1ULL << 26) | (1ULL << 28) |
+                             (1ULL << 32) | (1ULL << 36);
+constexpr uint64_t ZC_PEXT = 0x71C7ULL;  // rows k-1..k+1 of all 3 columns
+
+// 9-bit neighborhood-significance key for row k: bits 0-2 left column
+// rows k-1..k+1, bits 3-5 self column (bit 4 = self, ignored by the LUT),
+// bits 6-8 right column
+static inline uint32_t zkey(uint64_t w, int k) {
+#if defined(__BMI2__)
+    return (uint32_t)_pext_u64(w, ZC_PEXT << k);
+#else
+    return (uint32_t)(((w >> k) & 7) | (((w >> (6 + k)) & 7) << 3) |
+                      (((w >> (12 + k)) & 7) << 6));
+#endif
+}
+
+// 8-bit sign-context key for row k:
+// sigL | sigU<<1 | sigD<<2 | sigR<<3 | sgnU<<4 | sgnD<<5 | sgnL<<6 | sgnR<<7
+static inline uint32_t skey(uint64_t w, int k) {
+#if defined(__BMI2__)
+    return (uint32_t)_pext_u64(w, SC_PEXT << k);
+#else
+    return (uint32_t)(((w >> (1 + k)) & 1) | (((w >> (6 + k)) & 1) << 1) |
+                      (((w >> (8 + k)) & 1) << 2) |
+                      (((w >> (13 + k)) & 1) << 3) |
+                      (((w >> (26 + k)) & 1) << 4) |
+                      (((w >> (28 + k)) & 1) << 5) |
+                      (((w >> (32 + k)) & 1) << 6) |
+                      (((w >> (36 + k)) & 1) << 7));
+#endif
+}
+
+struct StripeLuts {
+    uint8_t zc9[4][512];              // [orient][9-bit neighborhood key]
+    uint8_t sc_ctx[256], sc_xor[256]; // [8-bit sign key, skey() layout]
+    StripeLuts() {
         auto normal = [](int h, int v, int d) -> int {
             if (h == 2) return 8;
             if (h == 1) {
@@ -408,15 +442,15 @@ struct FlagLuts {
             if (d == 1) return a >= 2 ? 5 : (a == 1 ? 4 : 3);
             return a >= 2 ? 2 : (a == 1 ? 1 : 0);
         };
-        for (int bits = 0; bits < 256; bits++) {
-            int hc = !!(bits & F_W) + !!(bits & F_E);
-            int vc = !!(bits & F_N) + !!(bits & F_S);
-            int dc = !!(bits & F_NW) + !!(bits & F_NE) + !!(bits & F_SW) +
-                     !!(bits & F_SE);
-            zc[0][bits] = (uint8_t)normal(hc, vc, dc);
-            zc[2][bits] = (uint8_t)normal(hc, vc, dc);
-            zc[1][bits] = (uint8_t)normal(vc, hc, dc);
-            zc[3][bits] = (uint8_t)hh(hc, vc, dc);
+        for (int key = 0; key < 512; key++) {
+            int l = key & 7, c = (key >> 3) & 7, r = (key >> 6) & 7;
+            int hc = ((l >> 1) & 1) + ((r >> 1) & 1);
+            int vc = (c & 1) + ((c >> 2) & 1);
+            int dc = (l & 1) + ((l >> 2) & 1) + (r & 1) + ((r >> 2) & 1);
+            zc9[0][key] = (uint8_t)normal(hc, vc, dc);
+            zc9[2][key] = (uint8_t)normal(hc, vc, dc);
+            zc9[1][key] = (uint8_t)normal(vc, hc, dc);
+            zc9[3][key] = (uint8_t)hh(hc, vc, dc);
         }
         // sign coding (T.800 Table D-3), rows hbar=-1..1, cols vbar=-1..1
         const int tbl[3][3][2] = {
@@ -425,12 +459,12 @@ struct FlagLuts {
             {{11, 0}, {12, 0}, {13, 0}},
         };
         for (int idx = 0; idx < 256; idx++) {
-            auto contrib = [&](int sigbit, int sgnbit) -> int {
-                if (!(idx & sigbit)) return 0;
-                return (idx & sgnbit) ? -1 : 1;
-            };
-            int hb = contrib(1, 16) + contrib(2, 32);   // W, E
-            int vb = contrib(4, 64) + contrib(8, 128);  // N, S
+            int sigL = idx & 1, sigU = (idx >> 1) & 1, sigD = (idx >> 2) & 1;
+            int sigR = (idx >> 3) & 1, sgnU = (idx >> 4) & 1;
+            int sgnD = (idx >> 5) & 1, sgnL = (idx >> 6) & 1;
+            int sgnR = (idx >> 7) & 1;
+            int hb = (sigL ? (sgnL ? -1 : 1) : 0) + (sigR ? (sgnR ? -1 : 1) : 0);
+            int vb = (sigU ? (sgnU ? -1 : 1) : 0) + (sigD ? (sgnD ? -1 : 1) : 0);
             hb = hb < -1 ? -1 : (hb > 1 ? 1 : hb);
             vb = vb < -1 ? -1 : (vb > 1 ? 1 : vb);
             sc_ctx[idx] = (uint8_t)tbl[hb + 1][vb + 1][0];
@@ -438,12 +472,7 @@ struct FlagLuts {
         }
     }
 };
-static const FlagLuts FL;
-
-// sign-coding LUT index from a (VSC-masked) flags word
-static inline uint32_t sc_index(uint32_t f) {
-    return (f & 0x0Fu) | ((f >> 4) & 0xF0u);
-}
+static const StripeLuts SL;
 
 // distortion decrease helpers (squared-error change in coefficient units of
 // 2^{2p}; caller scales by step^2 * bandnorm^2 outside)
@@ -460,135 +489,154 @@ static inline double dd_ref(int64_t v, int p) {
 }
 
 // ------------------------------------------------------------ block state
-struct BlockCtx {
-    int h, w, orient, stride;  // stride = W + 2 (padded row)
+struct BlockCtx2 {
+    int h, w, orient;
+    int ws;       // word-row stride = W + 2 (padded columns)
+    int mstride;  // magnitude row stride = W
     bool vsc;
-    uint32_t* flags;  // padded flags plane
-    uint32_t* mag;    // padded |coefficient| plane
+    uint64_t* words;  // padded (num_stripes + 2) x ws
+    uint32_t* mag;    // unpadded h x mstride
     uint64_t* colact = nullptr;  // per-stripe column-activity bits (w <= 64)
     bool use_bits = false;
     uint64_t wmask = 0;
-    uint32_t vmask[4];
+    uint32_t zmask[4], smask[4];  // per-row VSC key masks
 
-    inline int idx(int y, int x) const { return (y + 1) * stride + (x + 1); }
-
-    void init_vmask() {
-        vmask[0] = vmask[1] = vmask[2] = ~0u;
-        vmask[3] = vsc ? ~F_VSC_CUT : ~0u;
+    inline uint64_t* row(int s) const {
+        return words + (int64_t)(s + 1) * ws;
     }
 
-    void init_colact(uint64_t* buf) {
-        colact = buf;
+    void init(uint64_t* colbuf) {
+        zmask[0] = zmask[1] = zmask[2] = 0x1FF;
+        smask[0] = smask[1] = smask[2] = 0xFF;
+        // VSC stripe bottom: drop row-below significance (zkey bits 2/5/8)
+        // and the below sig+sign from the sign key (skey bits 2/5)
+        zmask[3] = vsc ? 0x0DB : 0x1FF;
+        smask[3] = vsc ? 0xDB : 0xFF;
+        colact = colbuf;
         use_bits = w <= 64;
         wmask = w >= 64 ? ~0ULL : ((1ULL << w) - 1);
         if (use_bits) std::memset(colact, 0, ((h + 3) / 4) * sizeof(uint64_t));
     }
 
-    // call when block position (y, x) / padded index i becomes significant
-    inline void mark_sig(int i, uint32_t neg, int y, int x) {
-        const int s = stride;
-        flags[i] |= F_SIG | (neg ? F_SELF_SGN : 0u);
-        flags[i - 1] |= F_E | (neg ? F_SGN_E : 0u);
-        flags[i + 1] |= F_W | (neg ? F_SGN_W : 0u);
-        flags[i - s] |= F_S | (neg ? F_SGN_S : 0u);
-        flags[i + s] |= F_N | (neg ? F_SGN_N : 0u);
-        flags[i - s - 1] |= F_SE;
-        flags[i - s + 1] |= F_SW;
-        flags[i + s - 1] |= F_NE;
-        flags[i + s + 1] |= F_NW;
-        if (use_bits) {
-            uint64_t m = (x > 0 ? 7ULL << (x - 1) : 3ULL) & wmask;
-            colact[y >> 2] |= m;
-            if (y > 0) colact[(y - 1) >> 2] |= m;
-            if (y + 1 < h) colact[(y + 1) >> 2] |= m;
+    inline void colact_mark(int y, int x) {
+        if (!use_bits) return;
+        uint64_t m = (x > 0 ? 7ULL << (x - 1) : 3ULL) & wmask;
+        colact[y >> 2] |= m;
+        if (y > 0) colact[(y - 1) >> 2] |= m;
+        if (y + 1 < h) colact[(y + 1) >> 2] |= m;
+    }
+
+    // neighbor-word updates when (stripe word row Wr, padded col x1, row k)
+    // becomes significant; the caller applies the self-word bits
+    //   (1<<(7+k)) | (neg<<(27+k)) to its local copy
+    inline void mark_nbr(uint64_t* Wr, int x1, int k, uint64_t neg) {
+        Wr[x1 - 1] |= (1ULL << (13 + k)) | (neg << (36 + k));
+        Wr[x1 + 1] |= (1ULL << (1 + k)) | (neg << (32 + k));
+        if (k == 0) {  // row above lives in the stripe word above
+            uint64_t* U = Wr - ws;
+            U[x1] |= (1ULL << 11) | (neg << 31);
+            U[x1 - 1] |= 1ULL << 17;
+            U[x1 + 1] |= 1ULL << 5;
+        } else if (k == 3) {  // row below lives in the stripe word below
+            uint64_t* D = Wr + ws;
+            D[x1] |= (1ULL << 6) | (neg << 26);
+            D[x1 - 1] |= 1ULL << 12;
+            D[x1 + 1] |= 1ULL;
         }
     }
 };
 
 // --------------------------------------------------------------- encoder
-static void enc_spp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
+static void enc_spp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                     bool raw = false) {
-    const int s = B.stride;
-    const uint8_t* zc = FL.zc[B.orient];
-    for (int y0 = 0; y0 < B.h; y0 += 4) {
+    const uint8_t* zc = SL.zc9[B.orient];
+    for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
         int rows = std::min(4, B.h - y0);
+        uint64_t* Wr = B.row(s);
         auto col = [&](int x) __attribute__((always_inline)) {
-            int i0 = B.idx(y0, x);
+            int x1 = x + 1;
+            uint64_t w0 = Wr[x1], w = w0;
+            const uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
             for (int k = 0; k < rows; k++) {
-                int i = i0 + k * s;
-                uint32_t f = B.flags[i] & B.vmask[k];
-                if ((f & F_SIG) || !(f & F_NBR)) continue;
-                int bit = (int)((B.mag[i] >> plane) & 1);
+                if (w & (1ULL << (7 + k))) continue;
+                uint32_t key = zkey(w, k) & B.zmask[k];
+                if (!(key & 0x1EF)) continue;
+                uint32_t m = mg[k * B.mstride];
+                int bit = (int)((m >> plane) & 1);
                 if (raw)
                     mq.raw_bit(bit);
                 else
-                    mq.encode(bit, zc[f & F_NBR]);
-                B.flags[i] |= F_VISITED;
+                    mq.encode(bit, zc[key]);
+                w |= 1ULL << (18 + k);
                 if (bit) {
-                    uint32_t neg = f & F_SELF_SGN;
+                    uint64_t neg = (w >> (40 + k)) & 1;
                     if (raw) {
-                        mq.raw_bit(neg ? 1 : 0);
+                        mq.raw_bit((int)neg);
                     } else {
-                        uint32_t si = sc_index(f);
-                        mq.encode((int)((neg ? 1u : 0u) ^ FL.sc_xor[si]),
-                                  FL.sc_ctx[si]);
+                        uint32_t si = skey(w, k) & B.smask[k];
+                        mq.encode((int)(neg ^ SL.sc_xor[si]), SL.sc_ctx[si]);
                     }
-                    B.mark_sig(i, neg, y0 + k, x);
-                    *dist += dd_sig((int64_t)B.mag[i], plane);
+                    w |= (1ULL << (7 + k)) | (neg << (27 + k));
+                    B.mark_nbr(Wr, x1, k, neg);
+                    B.colact_mark(y0 + k, x);
+                    *dist += dd_sig((int64_t)m, plane);
                 }
             }
+            if (w != w0) Wr[x1] = w;
         };
         if (B.use_bits) {
-            int str = y0 >> 2;
             uint64_t done = 0;
             for (;;) {
-                uint64_t avail = B.colact[str] & B.wmask & ~done;
+                uint64_t avail = B.colact[s] & B.wmask & ~done;
                 if (!avail) break;
                 int x = __builtin_ctzll(avail);
                 // strictly left-to-right: a bit newly set at x-1 by a
-                // mark_sig during col(x) must not be revisited this pass
+                // mark during col(x) must not be revisited this pass
                 done |= (2ULL << x) - 1;
                 col(x);
             }
         } else {
             for (int x = 0; x < B.w; x++) {
-                int i0 = B.idx(y0, x);
-                uint32_t any = 0;
-                for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
-                if (!(any & F_NBR)) continue;
+                if (!(Wr[x + 1] & W_SIG18)) continue;
                 col(x);
             }
         }
     }
 }
 
-static void enc_mrp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
+static void enc_mrp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                     bool raw = false) {
-    const int s = B.stride;
-    for (int y0 = 0; y0 < B.h; y0 += 4) {
+    for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
         int rows = std::min(4, B.h - y0);
+        uint64_t* Wr = B.row(s);
         auto col = [&](int x) __attribute__((always_inline)) {
-            int i0 = B.idx(y0, x);
+            int x1 = x + 1;
+            uint64_t w0 = Wr[x1], w = w0;
+            const uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
             for (int k = 0; k < rows; k++) {
-                int i = i0 + k * s;
-                uint32_t f = B.flags[i];
-                if ((f & (F_SIG | F_VISITED)) != F_SIG) continue;
-                int bit = (int)((B.mag[i] >> plane) & 1);
+                if (!(w & (1ULL << (7 + k))) || (w & (1ULL << (18 + k))))
+                    continue;
+                uint32_t m = mg[k * B.mstride];
+                int bit = (int)((m >> plane) & 1);
                 if (raw) {
                     mq.raw_bit(bit);
                 } else {
-                    uint32_t fm = f & B.vmask[k];
-                    int ctx = (f & F_REFINED)
-                                  ? CTX_MR0 + 2
-                                  : ((fm & F_NBR) ? CTX_MR0 + 1 : CTX_MR0);
+                    int ctx;
+                    if (w & (1ULL << (22 + k))) {
+                        ctx = CTX_MR0 + 2;
+                    } else {
+                        uint32_t key = zkey(w, k) & B.zmask[k];
+                        ctx = (key & 0x1EF) ? CTX_MR0 + 1 : CTX_MR0;
+                    }
                     mq.encode(bit, ctx);
                 }
-                B.flags[i] |= F_REFINED;
-                *dist += dd_ref((int64_t)B.mag[i], plane);
+                w |= 1ULL << (22 + k);
+                *dist += dd_ref((int64_t)m, plane);
             }
+            if (w != w0) Wr[x1] = w;
         };
         if (B.use_bits) {
-            uint64_t avail = B.colact[y0 >> 2] & B.wmask;
+            uint64_t avail = B.colact[s] & B.wmask;
             while (avail) {
                 int x = __builtin_ctzll(avail);
                 avail &= avail - 1;
@@ -596,41 +644,37 @@ static void enc_mrp(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
             }
         } else {
             for (int x = 0; x < B.w; x++) {
-                int i0 = B.idx(y0, x);
-                uint32_t any = 0;
-                for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
-                if (!(any & F_SIG)) continue;
+                if (!(Wr[x + 1] & (0xFULL << 7))) continue;  // no sig rows
                 col(x);
             }
         }
     }
 }
 
-static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
+static void enc_cup(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                     bool segsym) {
-    const int s = B.stride;
-    const uint8_t* zc = FL.zc[B.orient];
-    for (int y0 = 0; y0 < B.h; y0 += 4) {
+    const uint8_t* zc = SL.zc9[B.orient];
+    const uint64_t rlmask =
+        (B.vsc ? (W_SIG18 & ~W_VSC_SIGCUT) : W_SIG18) | W_VIS4;
+    for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
         int rows = std::min(4, B.h - y0);
         bool full = rows == 4;
-        int str = y0 >> 2;
+        uint64_t* Wr = B.row(s);
         for (int x = 0; x < B.w; x++) {
-            int i0 = B.idx(y0, x);
+            int x1 = x + 1;
+            uint64_t w0 = Wr[x1], w = w0;
+            const uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
             int first_k = 4;
             bool rl = false;
             if (full) {
-                if (B.use_bits && !((B.colact[str] >> x) & 1)) {
+                if (B.use_bits && !((B.colact[s] >> x) & 1))
                     rl = true;  // untouched column: provably all-clear
-                } else {
-                    uint32_t any = 0;
-                    for (int k = 0; k < 4; k++)
-                        any |= B.flags[i0 + k * s] & B.vmask[k];
-                    rl = (any & (F_SIG | F_VISITED | F_NBR)) == 0;
-                }
+                else
+                    rl = (w & rlmask) == 0;
             }
             if (rl) {
                 for (int k = 0; k < 4; k++)
-                    if ((B.mag[i0 + k * s] >> plane) & 1) {
+                    if ((mg[k * B.mstride] >> plane) & 1) {
                         first_k = k;
                         break;
                     }
@@ -640,26 +684,25 @@ static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
                 mq.encode(first_k & 1, CTX_UNI);
             }
             for (int k = (rl ? first_k : 0); k < rows; k++) {
-                int i = i0 + k * s;
-                uint32_t f = B.flags[i];
-                if (f & (F_SIG | F_VISITED)) continue;
+                if (w & ((1ULL << (7 + k)) | (1ULL << (18 + k)))) continue;
                 int bit;
                 if (rl && k == first_k) {
                     bit = 1;  // significance implied by the run interrupt
                 } else {
-                    bit = (int)((B.mag[i] >> plane) & 1);
-                    mq.encode(bit,
-                              zc[(f & B.vmask[k]) & F_NBR]);
+                    bit = (int)((mg[k * B.mstride] >> plane) & 1);
+                    mq.encode(bit, zc[zkey(w, k) & B.zmask[k]]);
                 }
                 if (bit) {
-                    uint32_t neg = f & F_SELF_SGN;
-                    uint32_t si = sc_index(f & B.vmask[k]);
-                    mq.encode((int)((neg ? 1u : 0u) ^ FL.sc_xor[si]),
-                              FL.sc_ctx[si]);
-                    B.mark_sig(i, neg, y0 + k, x);
-                    *dist += dd_sig((int64_t)B.mag[i], plane);
+                    uint64_t neg = (w >> (40 + k)) & 1;
+                    uint32_t si = skey(w, k) & B.smask[k];
+                    mq.encode((int)(neg ^ SL.sc_xor[si]), SL.sc_ctx[si]);
+                    w |= (1ULL << (7 + k)) | (neg << (27 + k));
+                    B.mark_nbr(Wr, x1, k, neg);
+                    B.colact_mark(y0 + k, x);
+                    *dist += dd_sig((int64_t)mg[k * B.mstride], plane);
                 }
             }
+            if (w != w0) Wr[x1] = w;
         }
     }
     if (segsym) {  // segmentation symbol 1010 in the UNIFORM context
@@ -671,91 +714,94 @@ static void enc_cup(BlockCtx& B, MQEncoder& mq, int plane, double* dist,
 }
 
 // --------------------------------------------------------------- decoder
-static void dec_spp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
-    const int s = B.stride;
-    const uint8_t* zc = FL.zc[B.orient];
-    for (int y0 = 0; y0 < B.h; y0 += 4) {
+static void dec_spp(BlockCtx2& B, MQDecoder& mq, int plane, bool raw = false) {
+    const uint8_t* zc = SL.zc9[B.orient];
+    for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
         int rows = std::min(4, B.h - y0);
+        uint64_t* Wr = B.row(s);
         auto col = [&](int x) __attribute__((always_inline)) {
-            int i0 = B.idx(y0, x);
+            int x1 = x + 1;
+            uint64_t w0 = Wr[x1], w = w0;
+            uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
             for (int k = 0; k < rows; k++) {
-                int i = i0 + k * s;
-                uint32_t f = B.flags[i] & B.vmask[k];
-                if ((f & F_SIG) || !(f & F_NBR)) continue;
-                int bit = raw ? mq.raw_bit()
-                              : mq.decode(zc[f & F_NBR]);
-                B.flags[i] |= F_VISITED;
+                if (w & (1ULL << (7 + k))) continue;
+                uint32_t key = zkey(w, k) & B.zmask[k];
+                if (!(key & 0x1EF)) continue;
+                int bit = raw ? mq.raw_bit() : mq.decode(zc[key]);
+                w |= 1ULL << (18 + k);
                 if (bit) {
-                    uint32_t neg;
+                    uint64_t neg;
                     if (raw) {
-                        neg = (uint32_t)mq.raw_bit();
+                        neg = (uint64_t)mq.raw_bit();
                     } else {
-                        uint32_t si = sc_index(f);
-                        neg = (uint32_t)mq.decode(FL.sc_ctx[si]) ^
-                              FL.sc_xor[si];
+                        uint32_t si = skey(w, k) & B.smask[k];
+                        neg = (uint64_t)(mq.decode(SL.sc_ctx[si]) ^
+                                         SL.sc_xor[si]);
                     }
                     // scaled-by-2 magnitudes: reconstruct at 1.5 * 2^plane
                     // (the reference's oneplushalf mid-bin convention)
-                    B.mag[i] = 3u << plane;
-                    B.mark_sig(i, neg, y0 + k, x);
+                    mg[k * B.mstride] = 3u << plane;
+                    w |= (1ULL << (7 + k)) | (neg << (27 + k));
+                    B.mark_nbr(Wr, x1, k, neg);
+                    B.colact_mark(y0 + k, x);
                 }
             }
+            if (w != w0) Wr[x1] = w;
         };
         if (B.use_bits) {
-            int str = y0 >> 2;
             uint64_t done = 0;
             for (;;) {
-                uint64_t avail = B.colact[str] & B.wmask & ~done;
+                uint64_t avail = B.colact[s] & B.wmask & ~done;
                 if (!avail) break;
                 int x = __builtin_ctzll(avail);
-                // strictly left-to-right: a bit newly set at x-1 by a
-                // mark_sig during col(x) must not be revisited this pass
                 done |= (2ULL << x) - 1;
                 col(x);
             }
         } else {
             for (int x = 0; x < B.w; x++) {
-                int i0 = B.idx(y0, x);
-                uint32_t any = 0;
-                for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
-                if (!(any & F_NBR)) continue;
+                if (!(Wr[x + 1] & W_SIG18)) continue;
                 col(x);
             }
         }
     }
 }
 
-static void dec_mrp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
-    const int s = B.stride;
-    for (int y0 = 0; y0 < B.h; y0 += 4) {
+static void dec_mrp(BlockCtx2& B, MQDecoder& mq, int plane, bool raw = false) {
+    for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
         int rows = std::min(4, B.h - y0);
+        uint64_t* Wr = B.row(s);
         auto col = [&](int x) __attribute__((always_inline)) {
-            int i0 = B.idx(y0, x);
+            int x1 = x + 1;
+            uint64_t w0 = Wr[x1], w = w0;
+            uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
             for (int k = 0; k < rows; k++) {
-                int i = i0 + k * s;
-                uint32_t f = B.flags[i];
-                if ((f & (F_SIG | F_VISITED)) != F_SIG) continue;
+                if (!(w & (1ULL << (7 + k))) || (w & (1ULL << (18 + k))))
+                    continue;
                 int bit;
                 if (raw) {
                     bit = mq.raw_bit();
                 } else {
-                    uint32_t fm = f & B.vmask[k];
-                    int ctx = (f & F_REFINED)
-                                  ? CTX_MR0 + 2
-                                  : ((fm & F_NBR) ? CTX_MR0 + 1 : CTX_MR0);
+                    int ctx;
+                    if (w & (1ULL << (22 + k))) {
+                        ctx = CTX_MR0 + 2;
+                    } else {
+                        uint32_t key = zkey(w, k) & B.zmask[k];
+                        ctx = (key & 0x1EF) ? CTX_MR0 + 1 : CTX_MR0;
+                    }
                     bit = mq.decode(ctx);
                 }
                 // refinement re-centers to the half-bin (+-2^(plane-1),
                 // i.e. +-2^plane in scaled units)
                 if (bit)
-                    B.mag[i] += 1u << plane;
+                    mg[k * B.mstride] += 1u << plane;
                 else
-                    B.mag[i] -= 1u << plane;
-                B.flags[i] |= F_REFINED;
+                    mg[k * B.mstride] -= 1u << plane;
+                w |= 1ULL << (22 + k);
             }
+            if (w != w0) Wr[x1] = w;
         };
         if (B.use_bits) {
-            uint64_t avail = B.colact[y0 >> 2] & B.wmask;
+            uint64_t avail = B.colact[s] & B.wmask;
             while (avail) {
                 int x = __builtin_ctzll(avail);
                 avail &= avail - 1;
@@ -763,36 +809,32 @@ static void dec_mrp(BlockCtx& B, MQDecoder& mq, int plane, bool raw = false) {
             }
         } else {
             for (int x = 0; x < B.w; x++) {
-                int i0 = B.idx(y0, x);
-                uint32_t any = 0;
-                for (int k = 0; k < rows; k++) any |= B.flags[i0 + k * s];
-                if (!(any & F_SIG)) continue;
+                if (!(Wr[x + 1] & (0xFULL << 7))) continue;
                 col(x);
             }
         }
     }
 }
 
-static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
-    const int s = B.stride;
-    const uint8_t* zc = FL.zc[B.orient];
-    for (int y0 = 0; y0 < B.h; y0 += 4) {
+static void dec_cup(BlockCtx2& B, MQDecoder& mq, int plane, bool segsym) {
+    const uint8_t* zc = SL.zc9[B.orient];
+    const uint64_t rlmask =
+        (B.vsc ? (W_SIG18 & ~W_VSC_SIGCUT) : W_SIG18) | W_VIS4;
+    for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
         int rows = std::min(4, B.h - y0);
         bool full = rows == 4;
-        int str = y0 >> 2;
+        uint64_t* Wr = B.row(s);
         for (int x = 0; x < B.w; x++) {
-            int i0 = B.idx(y0, x);
+            int x1 = x + 1;
+            uint64_t w0 = Wr[x1], w = w0;
+            uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
             int first_k = 0;
             bool rl = false;
             if (full) {
-                if (B.use_bits && !((B.colact[str] >> x) & 1)) {
+                if (B.use_bits && !((B.colact[s] >> x) & 1))
                     rl = true;
-                } else {
-                    uint32_t any = 0;
-                    for (int k = 0; k < 4; k++)
-                        any |= B.flags[i0 + k * s] & B.vmask[k];
-                    rl = (any & (F_SIG | F_VISITED | F_NBR)) == 0;
-                }
+                else
+                    rl = (w & rlmask) == 0;
             }
             if (rl) {
                 if (!mq.decode(CTX_RL)) continue;
@@ -801,24 +843,24 @@ static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
                 first_k = (b1 << 1) | b0;
             }
             for (int k = (rl ? first_k : 0); k < rows; k++) {
-                int i = i0 + k * s;
-                uint32_t f = B.flags[i];
-                if (f & (F_SIG | F_VISITED)) continue;
+                if (w & ((1ULL << (7 + k)) | (1ULL << (18 + k)))) continue;
                 int bit;
                 if (rl && k == first_k) {
                     bit = 1;
                 } else {
-                    bit = mq.decode(
-                        zc[(f & B.vmask[k]) & F_NBR]);
+                    bit = mq.decode(zc[zkey(w, k) & B.zmask[k]]);
                 }
                 if (bit) {
-                    uint32_t si = sc_index(f & B.vmask[k]);
-                    uint32_t neg =
-                        (uint32_t)mq.decode(FL.sc_ctx[si]) ^ FL.sc_xor[si];
-                    B.mag[i] = 3u << plane;  // mid-bin (scaled-by-2)
-                    B.mark_sig(i, neg, y0 + k, x);
+                    uint32_t si = skey(w, k) & B.smask[k];
+                    uint64_t neg = (uint64_t)(mq.decode(SL.sc_ctx[si]) ^
+                                              SL.sc_xor[si]);
+                    mg[k * B.mstride] = 3u << plane;  // mid-bin (scaled-by-2)
+                    w |= (1ULL << (7 + k)) | (neg << (27 + k));
+                    B.mark_nbr(Wr, x1, k, neg);
+                    B.colact_mark(y0 + k, x);
                 }
             }
+            if (w != w0) Wr[x1] = w;
         }
     }
     if (segsym) {  // consume (and ignore) the 1010 segmentation symbol
@@ -833,7 +875,6 @@ static void dec_cup(BlockCtx& B, MQDecoder& mq, int plane, bool segsym) {
 
 extern "C" {
 
-
 int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
                     const int32_t* widths, const int32_t* orients,
                     const int32_t* styles, int64_t n,
@@ -842,38 +883,41 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
                     int32_t* out_npasses, int64_t* out_pass_rates,
                     double* out_pass_dist, int32_t max_passes,
                     int32_t num_threads) {
-    const int stride = W + 2;
-    const int64_t plane_sz = (int64_t)(H + 2) * stride;
+    const int ws = W + 2;
+    const int smax = (H + 3) / 4;
+    const int64_t words_sz = (int64_t)(smax + 2) * ws;
 
 #ifdef _OPENMP
     if (num_threads > 0) omp_set_num_threads(num_threads);
 #pragma omp parallel
 #endif
     {
-        // per-thread workspace: packed flags + magnitude planes
-        uint32_t* flags = new uint32_t[plane_sz];
-        uint32_t* mag = new uint32_t[plane_sz];
-        uint64_t* colact = new uint64_t[(H + 3) / 4 + 1];
+        // per-thread workspace: stripe words + magnitude plane
+        uint64_t* words = new uint64_t[words_sz];
+        uint32_t* mag = new uint32_t[(int64_t)H * W];
+        uint64_t* colact = new uint64_t[smax + 1];
 
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
 #endif
         for (int64_t b = 0; b < n; b++) {
             int h = heights[b], w = widths[b];
-            std::memset(flags, 0, plane_sz * sizeof(uint32_t));
-            std::memset(mag, 0, plane_sz * sizeof(uint32_t));
+            int S = (h + 3) / 4;
+            std::memset(words, 0, (int64_t)(S + 2) * ws * sizeof(uint64_t));
 
             const int32_t* src = coeffs + b * (int64_t)H * W;
             uint32_t maxmag = 0;
-            for (int y = 0; y < h; y++)
+            for (int y = 0; y < h; y++) {
+                uint64_t* Wr = words + (int64_t)((y >> 2) + 1) * ws;
+                int kb = 40 + (y & 3);
                 for (int x = 0; x < w; x++) {
                     int32_t v = src[y * W + x];
                     uint32_t av = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
-                    int i = (y + 1) * stride + (x + 1);
-                    mag[i] = av;
-                    if (v < 0) flags[i] = F_SELF_SGN;
+                    mag[y * W + x] = av;
+                    if (v < 0) Wr[x + 1] |= 1ULL << kb;
                     if (av > maxmag) maxmag = av;
                 }
+            }
             int numbps = 0;
             while (maxmag >> numbps) numbps++;
             int npasses = numbps > 0 ? 3 * numbps - 2 : 0;
@@ -889,10 +933,9 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
             }
 
             int style = styles ? styles[b] : 0;
-            BlockCtx B{h, w, orients[b], stride,
-                       (style & STY_VSC) != 0, flags, mag};
-            B.init_vmask();
-            B.init_colact(colact);
+            BlockCtx2 B{h, w, orients[b], ws, W,
+                        (style & STY_VSC) != 0, words, mag};
+            B.init(colact);
             MQEncoder mq;
             mq.init(out_data + b * max_bytes, max_bytes);
             bool reset = (style & STY_RESET) != 0;
@@ -945,8 +988,9 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
                 d = 0;
                 enc_cup(B, mq, plane, &d, segsym);
                 end_pass(d);
-                for (int64_t ii = 0; ii < plane_sz; ii++)
-                    flags[ii] &= ~F_VISITED;
+                uint64_t* p = words + ws;
+                for (int64_t ii = 0; ii < (int64_t)S * ws; ii++)
+                    p[ii] &= ~W_VIS4;
             }
             int64_t len;
             if (last_term) {
@@ -966,7 +1010,7 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
                     out_pass_rates[b * max_passes + i] = len;
             }
         }
-        delete[] flags;
+        delete[] words;
         delete[] mag;
         delete[] colact;
     }
@@ -981,25 +1025,25 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
                     int64_t n, int32_t H, int32_t W,
                     int64_t max_bytes, int32_t* out_coeffs,
                     int32_t num_threads) {
-    const int stride = W + 2;
-    const int64_t plane_sz = (int64_t)(H + 2) * stride;
+    const int ws = W + 2;
+    const int smax = (H + 3) / 4;
+    const int64_t words_sz = (int64_t)(smax + 2) * ws;
 
 #ifdef _OPENMP
     if (num_threads > 0) omp_set_num_threads(num_threads);
 #pragma omp parallel
 #endif
     {
-        uint32_t* flags = new uint32_t[plane_sz];
-        uint32_t* mag = new uint32_t[plane_sz];
-        uint64_t* colact = new uint64_t[(H + 3) / 4 + 1];
+        uint64_t* words = new uint64_t[words_sz];
+        uint32_t* mag = new uint32_t[(int64_t)H * W];
+        uint64_t* colact = new uint64_t[smax + 1];
 
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
 #endif
         for (int64_t b = 0; b < n; b++) {
             int h = heights[b], w = widths[b];
-            std::memset(flags, 0, plane_sz * sizeof(uint32_t));
-            std::memset(mag, 0, plane_sz * sizeof(uint32_t));
+            int S = (h + 3) / 4;
             int32_t* dst = out_coeffs + b * (int64_t)H * W;
             std::memset(dst, 0, (int64_t)H * W * sizeof(int32_t));
 
@@ -1007,11 +1051,13 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
             int np = npasses[b];
             if (nb <= 0 || np <= 0) continue;
 
+            std::memset(words, 0, (int64_t)(S + 2) * ws * sizeof(uint64_t));
+            std::memset(mag, 0, (int64_t)h * W * sizeof(uint32_t));
+
             int style = styles ? styles[b] : 0;
-            BlockCtx B{h, w, orients[b], stride,
-                       (style & STY_VSC) != 0, flags, mag};
-            B.init_vmask();
-            B.init_colact(colact);
+            BlockCtx2 B{h, w, orients[b], ws, W,
+                        (style & STY_VSC) != 0, words, mag};
+            B.init(colact);
             bool reset = (style & STY_RESET) != 0;
             bool segsym = (style & STY_SEGSYM) != 0;
             bool termall = (style & STY_TERMALL) != 0;
@@ -1068,18 +1114,21 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
                 pass_i++;
                 if (reset) mq.reset_ctx();
                 if (pass_i < np) next_seg(pass_i - 1);
-                for (int64_t ii = 0; ii < plane_sz; ii++)
-                    flags[ii] &= ~F_VISITED;
+                uint64_t* p = words + ws;
+                for (int64_t ii = 0; ii < (int64_t)S * ws; ii++)
+                    p[ii] &= ~W_VIS4;
             }
-            for (int y = 0; y < h; y++)
+            for (int y = 0; y < h; y++) {
+                const uint64_t* Wr = words + (int64_t)((y >> 2) + 1) * ws;
+                int kb = 27 + (y & 3);
                 for (int x = 0; x < w; x++) {
-                    int i = (y + 1) * stride + (x + 1);
-                    int32_t v = (int32_t)(mag[i] >> 1);  // drop the 1/2 bit
-                    if (flags[i] & F_SELF_SGN) v = -v;
+                    int32_t v = (int32_t)(mag[y * W + x] >> 1);  // drop 1/2 bit
+                    if ((Wr[x + 1] >> kb) & 1) v = -v;
                     dst[y * W + x] = v;
                 }
+            }
         }
-        delete[] flags;
+        delete[] words;
         delete[] mag;
         delete[] colact;
     }
