@@ -146,6 +146,9 @@ def get_lib() -> ctypes.CDLL | None:
         lib.gather_segments.argtypes = [u8p, i32p, i64p, i64p, i64,
                                         u8p, i64, i64p]
         lib.gather_segments.restype = ctypes.c_int
+        lib.merge_contrib_segments.argtypes = [i32p, i64p, i64p, i64,
+                                               i32p, i64p, i64, i64p, i32]
+        lib.merge_contrib_segments.restype = ctypes.c_int
         lib.scatter_rows.argtypes = [i32p, i32, i32, i32p, i64, i32p, i32p,
                                      i32p, i32p, i32p, i32, i32]
         lib.scatter_rows.restype = ctypes.c_int

@@ -111,6 +111,38 @@ def band_rect(tc: Rect, nl: int, r: int, orient: int) -> Rect:
     )
 
 
+def geom_cache_key(comp: int, tc_rect: Rect, tccp: TccpStyle) -> tuple:
+    """Hashable key covering every input that shapes the geometry tree OR
+    the band-quant fields later applied to it (so cached trees always
+    receive identical, idempotent apply_band_quant mutations)."""
+    return (
+        comp, tc_rect.x0, tc_rect.y0, tc_rect.x1, tc_rect.y1,
+        tccp.num_resolutions, tccp.cblk_w_exp, tccp.cblk_h_exp,
+        None if tccp.precinct_exps is None else tuple(tccp.precinct_exps),
+        tccp.quant_style, tccp.guard_bits,
+        tuple(tccp.step_exps), tuple(tccp.step_mants), tccp.irreversible,
+    )
+
+
+_GEOM_CACHE: dict[tuple, "TileCompGeom"] = {}
+_GEOM_CACHE_CAP = 64
+
+
+def cached_tile_comp_geometry(comp: int, tc_rect: Rect,
+                              tccp: TccpStyle) -> tuple["TileCompGeom", tuple]:
+    """Memoized geometry tree (decoding a stream of same-shaped frames
+    rebuilds ~6k codeblock objects per call otherwise). Returns
+    (geometry, cache_key)."""
+    key = geom_cache_key(comp, tc_rect, tccp)
+    g = _GEOM_CACHE.get(key)
+    if g is None:
+        g = build_tile_comp_geometry(comp, tc_rect, tccp)
+        if len(_GEOM_CACHE) >= _GEOM_CACHE_CAP:
+            _GEOM_CACHE.pop(next(iter(_GEOM_CACHE)))
+        _GEOM_CACHE[key] = g
+    return g, key
+
+
 def build_tile_comp_geometry(comp: int, tc_rect: Rect, tccp: TccpStyle) -> TileCompGeom:
     """Construct the full geometry tree for one tile-component."""
     nl = tccp.num_resolutions - 1

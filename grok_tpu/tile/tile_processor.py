@@ -25,7 +25,7 @@ from ..ops import mct as mct_ops
 from ..t1 import select_backend
 from ..t2.packets import CblkDec, CblkEnc, PrecinctCtx, decode_packet, encode_packet
 from ..t2.progression import packet_order
-from .geometry import BAND_LL, TileCompGeom, build_tile_comp_geometry
+from .geometry import BAND_LL, TileCompGeom, cached_tile_comp_geometry
 
 
 def _band_origin_in_packed(geom: TileCompGeom, res_idx: int, orient: int):
@@ -71,6 +71,7 @@ class TileProcessor:
         self.tile_index = tile_index
         self.tile_rect = siz.tile_bounds(tile_index)
         self.geoms: list[TileCompGeom] = []
+        self._geom_keys: list[tuple] = []
         for c in range(siz.num_comps):
             comp = siz.comps[c]
             tc = Rect(
@@ -79,7 +80,38 @@ class TileProcessor:
                 ceil_div(self.tile_rect.x1, comp.dx),
                 ceil_div(self.tile_rect.y1, comp.dy),
             )
-            self.geoms.append(build_tile_comp_geometry(c, tc, tcp.tccps[c]))
+            g, gkey = cached_tile_comp_geometry(c, tc, tcp.tccps[c])
+            self.geoms.append(g)
+            self._geom_keys.append(gkey)
+
+    _FLAT_T2_CACHE: dict[tuple, object] = {}
+
+    def _get_flat_t2(self, native_t2):
+        """Process-wide FlatTileT2 cache (same key space as the geometry
+        cache plus codeblock style; rebuilding the flat arrays per decode
+        call costs ~50 ms on a 4K tile)."""
+        flat = getattr(self, "_flat_t2", None)
+        if flat is None:
+            tcp = self.tcp
+            key = (
+                tuple(self._geom_keys),
+                tuple(t.cblk_style & 0x7F for t in tcp.tccps),
+                # the packet sequence (flat.order) depends on these
+                tcp.num_layers, tcp.progression,
+                tuple((p.res_start, p.comp_start, p.layer_end, p.res_end,
+                       p.comp_end, p.order) for p in tcp.pocs),
+            )
+            cache = TileProcessor._FLAT_T2_CACHE
+            flat = cache.get(key)
+            if flat is None:
+                flat = native_t2.FlatTileT2(
+                    self.siz, self.tcp, self.geoms, self.tile_rect
+                )
+                if len(cache) >= 32:
+                    cache.pop(next(iter(cache)))
+                cache[key] = flat
+            self._flat_t2 = flat
+        return flat
 
     # ------------------------------------------------------------------ util
     def _comp_prec(self, c: int) -> int:
@@ -280,10 +312,7 @@ class TileProcessor:
         refs = None
         if t2lib is not None:
             # flat path: entry order == ref order; native per-component gather
-            flat = getattr(self, "_flat_t2", None)
-            if flat is None:
-                flat = native_t2.FlatTileT2(siz, tcp, self.geoms, self.tile_rect)
-                self._flat_t2 = flat
+            flat = self._get_flat_t2(native_t2)
             n = len(flat.e_comp)
             if n == 0:
                 return b"", []
@@ -391,10 +420,7 @@ class TileProcessor:
         lib = native_t2.get_lib() if os.environ.get(
             "GROK_TPU_NATIVE_OPS", "1") != "0" else None
         if lib is not None:
-            flat = getattr(self, "_flat_t2", None)
-            if flat is None:
-                flat = native_t2.FlatTileT2(siz, tcp, self.geoms, self.tile_rect)
-                self._flat_t2 = flat
+            flat = self._get_flat_t2(native_t2)
             use_sop = bool(tcp.csty & 0x02)
             use_eph = bool(tcp.csty & 0x04)
             body, pkt_lens, headers = native_t2.encode_packets(
@@ -607,10 +633,7 @@ class TileProcessor:
 
         siz, tcp = self.siz, self.tcp
         ncomp = siz.num_comps
-        flat = getattr(self, "_flat_t2", None)
-        if flat is None:
-            flat = native_t2.FlatTileT2(siz, tcp, self.geoms, self.tile_rect)
-            self._flat_t2 = flat
+        flat = self._get_flat_t2(native_t2)
         entry_numbps, (c_entry, c_np, c_nb, c_off), body_arr = (
             native_t2.decode_packets(
                 lib, flat, bytes(body), max_layers, use_sop, use_eph,
@@ -659,36 +682,18 @@ class TileProcessor:
 
         seg_arr = None
         if (styles & 0x45).any():
-            from ..t2.packets import _segment_splits
-
-            seg_lists = []
-            for ri in range(n):
-                if not (styles[ri] & 0x45):
-                    seg_lists.append([])
-                    continue
-                e = int(sel[ri])
-                idxs = np.nonzero(c_entry == e)[0]
-                targets = _segment_splits(int(styles[ri]), 0, int(nps[ri]))
-                merged = []
-                acc_b = acc_p = 0
-                ti2 = 0
-                for k in idxs:
-                    acc_b += int(c_nb[k])
-                    acc_p += int(c_np[k])
-                    while ti2 < len(targets) and acc_p >= targets[ti2]:
-                        acc_p -= targets[ti2]
-                        merged.append(acc_b)
-                        acc_b = 0
-                        ti2 += 1
-                if acc_b:
-                    merged.append(acc_b)
-                seg_lists.append(merged)
-            max_segs = max((len(sl) for sl in seg_lists), default=0)
-            if max_segs:
-                seg_arr = np.zeros((n, max(max_segs, 1)), dtype=np.int64)
-                for i2, sl in enumerate(seg_lists):
-                    if sl:
-                        seg_arr[i2, : len(sl)] = sl
+            # native single-pass contribution->segment merge (stream order)
+            msegs = int(min(nps.max(initial=0), 159)) + 1
+            seg_arr = np.zeros((n, max(msegs, 1)), dtype=np.int64)
+            lib.merge_contrib_segments(
+                np.ascontiguousarray(row_of[c_entry]),
+                np.ascontiguousarray(c_np.astype(np.int64)),
+                np.ascontiguousarray(c_nb),
+                len(c_entry),
+                np.ascontiguousarray(styles.astype(np.int32)),
+                np.ascontiguousarray(nps.astype(np.int64)),
+                n, seg_arr, seg_arr.shape[1],
+            )
 
         if tcp.tccps[0].cblk_style & 0x40:
             from ..t1 import ht as t1

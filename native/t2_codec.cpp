@@ -596,3 +596,66 @@ int t2_decode_packets(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Merge packet contributions into codeword-segment byte lengths per
+// codeblock row (the decode-side counterpart of segment_splits; parity:
+// reference T2Decompress segment assembly). Contributions must be in
+// stream order. Rows whose style has no termination bits are skipped
+// (seg_out stays zero). seg_out is [nrows x max_segs], zero-initialised.
+int merge_contrib_segments(const int32_t* c_row, const int64_t* c_np,
+                           const int64_t* c_nb, int64_t ncontrib,
+                           const int32_t* styles, const int64_t* nps,
+                           int64_t nrows, int64_t* seg_out,
+                           int32_t max_segs) {
+    if (nrows <= 0) return 0;
+    const int TMAX = 160;  // >= max passes (109) + slack
+    int* targets = new int[(size_t)nrows * TMAX];
+    int* ntarg = new int[nrows];
+    int* ti = new int[nrows];
+    int* nseg = new int[nrows];
+    int64_t* acc_p = new int64_t[nrows];
+    int64_t* acc_b = new int64_t[nrows];
+    for (int64_t r = 0; r < nrows; r++) {
+        ti[r] = nseg[r] = 0;
+        acc_p[r] = acc_b[r] = 0;
+        if (!(styles[r] & 0x45) || nps[r] <= 0) {
+            ntarg[r] = -1;  // not segmented
+            continue;
+        }
+        int np = (int)std::min<int64_t>(nps[r], TMAX - 1);
+        ntarg[r] = segment_splits(styles[r], 0, np, targets + r * TMAX);
+    }
+    for (int64_t i = 0; i < ncontrib; i++) {
+        int32_t r = c_row[i];
+        if (r < 0 || r >= nrows || ntarg[r] < 0) continue;
+        acc_b[r] += c_nb[i];
+        acc_p[r] += c_np[i];
+        const int* tg = targets + (int64_t)r * TMAX;
+        while (ti[r] < ntarg[r] && acc_p[r] >= tg[ti[r]]) {
+            acc_p[r] -= tg[ti[r]];
+            ti[r]++;
+            if (nseg[r] < max_segs) seg_out[(int64_t)r * max_segs + nseg[r]] = acc_b[r];
+            nseg[r]++;
+            acc_b[r] = 0;
+        }
+    }
+    int mx = 0;
+    for (int64_t r = 0; r < nrows; r++) {
+        if (ntarg[r] < 0) continue;
+        if (acc_b[r] && nseg[r] < max_segs)
+            seg_out[(int64_t)r * max_segs + nseg[r]] = acc_b[r];
+        if (acc_b[r]) nseg[r]++;
+        if (nseg[r] > mx) mx = nseg[r];
+    }
+    delete[] targets;
+    delete[] ntarg;
+    delete[] ti;
+    delete[] nseg;
+    delete[] acc_p;
+    delete[] acc_b;
+    return mx;  // max segments actually used (<= max_segs or truncated)
+}
+
+}  // extern "C"
