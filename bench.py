@@ -54,7 +54,7 @@ def bench_ours(arr, mp):
     }
     for name, params in configs.items():
         t_enc = t_dec = float("inf")
-        for _ in range(2):  # best-of-2: the host shows heavy timing noise
+        for _ in range(3):  # best-of-3: the host shows heavy timing noise
             t0 = time.perf_counter()
             stream = gk.compress(im, params)
             t_enc = min(t_enc, time.perf_counter() - t0)

@@ -264,15 +264,33 @@ class Decoder:
             dx0 = max(0, x0)
             h = min(a.shape[0] - sy0, c.h - dy0)
             w = min(a.shape[1] - sx0, c.w - dx0)
-            if h > 0 and w > 0:
-                c.data[dy0 : dy0 + h, dx0 : dx0 + w] = a[sy0 : sy0 + h, sx0 : sx0 + w]
+            if h <= 0 or w <= 0:
+                continue
+            if (
+                getattr(self, "_move_tiles", False)
+                and (sy0, sx0, dy0, dx0) == (0, 0, 0, 0)
+                and a.shape == (c.h, c.w)
+                and a.dtype == c.data.dtype
+                and a.flags.c_contiguous
+            ):
+                # single tile covers the component: adopt the decoded plane
+                # instead of copying ~100 MB on a 4K frame (safe only in
+                # the one-shot decompress() path; see Decoder._move_tiles)
+                c.data = a
+                continue
+            c.data[dy0 : dy0 + h, dx0 : dx0 + w] = a[sy0 : sy0 + h, sx0 : sx0 + w]
 
 
 # -------------------------------------------------------- functional API
 def decompress(data, params: DecompressParams | None = None) -> Image:
     """Decode a raw .j2k codestream (bytes, file path, file object or
     stream source) into an Image."""
-    return Decoder(data, params).decompress()
+    dec = Decoder(data, params)
+    # one-shot decode: the tile cache dies with this call, so decoded tile
+    # planes can be moved (not copied) into the Image when they cover a
+    # whole component
+    dec._move_tiles = True
+    return dec.decompress()
 
 
 def parse_codestream(data: bytes | memoryview) -> ParsedStream:

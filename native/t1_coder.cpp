@@ -325,7 +325,7 @@ struct MQDecoder {
         return (int)((rtmp >> --rbits) & 1);
     }
 
-    inline int decode(int ctx) {
+    __attribute__((always_inline)) inline int decode(int ctx) {
         uint8_t s = state[ctx];
         const MqMergedState& e = MQM.st[s];
         uint32_t qe = e.qe;
