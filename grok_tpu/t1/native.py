@@ -152,6 +152,10 @@ def get_lib() -> ctypes.CDLL | None:
         lib.scatter_rows.argtypes = [i32p, i32, i32, i32p, i64, i32p, i32p,
                                      i32p, i32p, i32p, i32, i32]
         lib.scatter_rows.restype = ctypes.c_int
+        lib.scatter_rows_dequant.argtypes = [i32p, i32, i32, i32p, i64, i32p,
+                                             i32p, i32p, i32p, f32p, f32p,
+                                             i32, i32]
+        lib.scatter_rows_dequant.restype = ctypes.c_int
         lib.gather_rows.argtypes = [i32p, i32, i32p, i64, i32p, i32p,
                                     i32p, i32p, i32p, i32, i32, i32]
         lib.gather_rows.restype = ctypes.c_int

@@ -627,7 +627,7 @@ class TileProcessor:
 
     def _decompress_t1_flat(self, lib, body, max_layers, reduce,
                             packed_headers, use_sop, use_eph, cbh, cbw,
-                            staging, comp_windows=None):
+                            staging, comp_windows=None, fused_deq=False):
         """Array-driven T2 parse + T1 decode + scatter (no per-cblk objects)."""
         from ..t2 import native_t2
 
@@ -712,19 +712,37 @@ class TileProcessor:
         coeffs = np.ascontiguousarray(coeffs, dtype=np.int32)
         rows_all = np.arange(n, dtype=np.int32)
         comp_sel = flat.e_comp[sel]
+        if fused_deq:
+            band_steps = np.array(
+                [self.geoms[c].resolutions[r].bands[bi].step
+                 for (c, r, bi) in flat.band_keys], dtype=np.float32,
+            )
+            row_steps = band_steps[flat.e_band[sel]]
         for c in range(ncomp):
             mask = comp_sel == c
             if not mask.any():
                 continue
-            lib.scatter_rows(
-                coeffs, cbh, cbw,
-                np.ascontiguousarray(rows_all[mask]), int(mask.sum()),
-                np.ascontiguousarray(flat.e_py[sel][mask]),
-                np.ascontiguousarray(flat.e_px[sel][mask]),
-                np.ascontiguousarray(flat.e_h[sel][mask]),
-                np.ascontiguousarray(flat.e_w[sel][mask]),
-                staging[c], staging[c].shape[1], 0,
-            )
+            if fused_deq:
+                lib.scatter_rows_dequant(
+                    coeffs, cbh, cbw,
+                    np.ascontiguousarray(rows_all[mask]), int(mask.sum()),
+                    np.ascontiguousarray(flat.e_py[sel][mask]),
+                    np.ascontiguousarray(flat.e_px[sel][mask]),
+                    np.ascontiguousarray(flat.e_h[sel][mask]),
+                    np.ascontiguousarray(flat.e_w[sel][mask]),
+                    np.ascontiguousarray(row_steps[mask]),
+                    staging[c], staging[c].shape[1], 0,
+                )
+            else:
+                lib.scatter_rows(
+                    coeffs, cbh, cbw,
+                    np.ascontiguousarray(rows_all[mask]), int(mask.sum()),
+                    np.ascontiguousarray(flat.e_py[sel][mask]),
+                    np.ascontiguousarray(flat.e_px[sel][mask]),
+                    np.ascontiguousarray(flat.e_h[sel][mask]),
+                    np.ascontiguousarray(flat.e_w[sel][mask]),
+                    staging[c], staging[c].shape[1], 0,
+                )
 
     def _window_entry_mask(self, flat, reduce, comp_windows):
         """Entry mask: codeblock rect intersects its band's needed region."""
@@ -952,9 +970,27 @@ class TileProcessor:
             coeff_arrays.append(
                 np.zeros((rr.height, rr.width), dtype=np.float32 if irrev else np.int32)
             )
+        # fused scatter+dequant: decoded blocks land directly in the float
+        # plane at their band step (no int32 staging pass); falls back when
+        # ROI/window/object paths need the staged integers
+        from ..ops import jax_pipeline
+
+        import os as _os
+
+        fused_deq = (
+            irrev
+            and lib is not None
+            and window is None
+            and not jax_pipeline.device_enabled()
+            # opt-in: on this host the memcpy scatter + vectorized dequant
+            # pass is as fast as the fused scalar loop; other memory systems
+            # may prefer the single-pass variant
+            and _os.environ.get("GROK_TPU_FUSED_DEQ", "0") == "1"
+            and all(t.roi_shift == 0 for t in tcp.tccps)
+        )
         staging = (
             coeff_arrays
-            if not irrev
+            if not irrev or fused_deq
             else [np.zeros(a.shape, dtype=np.int32) for a in coeff_arrays]
         )
 
@@ -970,6 +1006,7 @@ class TileProcessor:
             self._decompress_t1_flat(
                 lib, body, max_layers, reduce, packed_headers, use_sop,
                 use_eph, cbh, cbw, staging, comp_windows,
+                fused_deq=fused_deq,
             )
         else:
             self._decompress_t1_objects(
@@ -978,8 +1015,6 @@ class TileProcessor:
             )
 
         # ---- device-resident inverse chain (GROK_TPU_DEVICE=jax)
-        from ..ops import jax_pipeline
-
         if jax_pipeline.device_enabled():
             key = ("_dev_inv", reduce)
             inv = getattr(self, "_dev_inv_cache", {}).get(reduce)
@@ -1018,7 +1053,7 @@ class TileProcessor:
                     staging[c2] = np.where(a2 < 0, -mag, mag).astype(
                         a2.dtype if not irrev else np.int32
                     )
-            if irrev:
+            if irrev and not fused_deq:
                 g2 = self.geoms[c2]
                 a2 = staging[c2]
                 out2 = coeff_arrays[c2]

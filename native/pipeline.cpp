@@ -834,4 +834,38 @@ int ict_finish(const float* y, const float* cb, const float* cr, int32_t* r,
     return 0;
 }
 
+
+
+// Fused decode scatter + dequantization: write each decoded codeblock row
+// directly into the float coefficient plane at its band step (saves a full
+// int32 staging plane pass; parity: reference PostDecompressFilters.h
+// ScaleFilter applied per block in TileComponent::postProcess).
+int scatter_rows_dequant(const int32_t* batch, int32_t BH, int32_t BW,
+                         const int32_t* rows, int64_t nrows,
+                         const int32_t* y0s, const int32_t* x0s,
+                         const int32_t* hs, const int32_t* ws,
+                         const float* steps, float* dst, int32_t dstW,
+                         int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+    for (int64_t i = 0; i < nrows; i++) {
+        int32_t r = rows[i];
+        float step = steps[i];
+        const int32_t* src = batch + (int64_t)r * BH * BW;
+        for (int y = 0; y < hs[i]; y++) {
+            const int32_t* sp = src + (int64_t)y * BW;
+            float* dp = dst + (int64_t)(y0s[i] + y) * dstW + x0s[i];
+            for (int x = 0; x < ws[i]; x++) {
+                int32_t q = sp[x];
+                float mag = (float)(q < 0 ? -q : q);
+                float rec = mag > 0.0f ? (mag + 0.5f) * step : 0.0f;
+                dp[x] = q < 0 ? -rec : rec;
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"
