@@ -45,7 +45,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-C", "--comment", default=None)
     p.add_argument("-N", "--guard_bits", type=int, default=2)
     p.add_argument("-H", "--num_threads", type=int, default=0)
-    p.add_argument("--mct", type=int, default=None, help="0 off / 1 on (default auto)")
+    p.add_argument("-Y", "--mct", type=int, default=None,
+                   help="0 off / 1 RCT-ICT / 2 custom matrix (default auto)")
+    p.add_argument("-m", "--custom_mct", metavar="FILE",
+                   help="whitespace-separated NxN MCT matrix file (with -Y 2)")
+    p.add_argument("-P", "--poc", help="progression order changes: "
+                   "res0,comp0,lay1,res1,comp1,PROG[/...]")
+    p.add_argument("-R", "--roi", help="ROI maxshift: c=<comp>,U=<shift>")
+    p.add_argument("-Z", "--rsiz", type=lambda v: int(v, 0), default=None,
+                   help="profile (rsiz) value, e.g. 0x0400 for IMF 2K")
+    p.add_argument("-w", "--cinema2k", type=int, choices=[24, 48],
+                   help="DCI Cinema 2K profile at the given fps")
+    p.add_argument("-x", "--cinema4k", type=int, choices=[24, 48],
+                   help="DCI Cinema 4K profile at the given fps")
+    p.add_argument("--TP", dest="tp_divider", choices=["R", "L", "C"],
+                   help="split tile-parts at R/L/C boundaries")
+    p.add_argument("-F", "--raw", help="raw input geometry: "
+                   "w,h,ncomp,prec,{s,u} (for .raw inputs)")
+    p.add_argument("-K", "--in_format", help="input format override")
+    p.add_argument("-O", "--out_format", default="J2K",
+                   help="batch output format (J2K|J2C|JP2)")
+    p.add_argument("-A", "--rate_control", type=int, choices=[0, 1], default=0,
+                   help="0: all-pass bisection  1: convex-hull feasible only")
+    p.add_argument("-Q", "--capture_res", help="capture resolution X,Y (JP2 res box)")
+    p.add_argument("-D", "--display_res", help="display resolution X,Y (JP2 res box)")
+    p.add_argument("-e", "--repetitions", type=int, default=1,
+                   help="encode repeatedly (performance measurement)")
+    p.add_argument("-W", "--logfile", help="append verbose output to this file")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -84,6 +110,44 @@ def params_from_args(args) -> CompressParams:
             exps.append((pw, ph))
         p.precinct_sizes = exps * 33 if len(exps) == 1 else exps
         p.precinct_sizes = p.precinct_sizes[:33]
+    p.rc_algorithm = args.rate_control
+    if args.tp_divider:
+        p.tp_divider = args.tp_divider
+    if args.rsiz is not None:
+        p.profile = args.rsiz
+    if args.cinema2k:
+        from . import compress as _self  # noqa: F401
+        from ..core import params as prm
+
+        p.profile = prm.PROFILE_CINEMA_2K
+        p.framerate = args.cinema2k
+        p.irreversible = True
+    if args.cinema4k:
+        from ..core import params as prm
+
+        p.profile = prm.PROFILE_CINEMA_4K
+        p.framerate = args.cinema4k
+        p.irreversible = True
+    if args.roi:
+        kv = dict(f.split("=") for f in args.roi.split(","))
+        p.roi_comp = int(kv.get("c", 0))
+        p.roi_shift = int(kv.get("U", 0))
+    if args.poc:
+        from ..core.params import ProgressionChange
+
+        for seg in args.poc.split("/"):
+            f = seg.split(",")
+            p.progression_changes.append(ProgressionChange(
+                int(f[0]), int(f[1]), int(f[2]), int(f[3]), int(f[4]),
+                ProgressionOrder[f[5].upper()],
+            ))
+    if args.custom_mct:
+        import numpy as _np
+
+        mat = _np.loadtxt(args.custom_mct, dtype=_np.float64)
+        n2 = int(round(mat.size ** 0.5))
+        p.mct_matrix = mat.reshape(n2, n2)
+        p.mct = 2
     if args.compression_ratios:
         rates = [float(v) for v in args.compression_ratios.split(",")]
         p.layer_rates = rates
@@ -95,10 +159,24 @@ def params_from_args(args) -> CompressParams:
     return p
 
 
-def run_one(in_file: str, out_file: str, params: CompressParams, verbose: bool) -> None:
-    img = load_image(in_file)
+def run_one(in_file: str, out_file: str, params: CompressParams, verbose: bool,
+            args=None) -> None:
+    raw_kw = {}
+    if args is not None and getattr(args, "raw", None):
+        f = args.raw.split(",")  # w,h,ncomp,prec,{s,u}
+        raw_kw = dict(w=int(f[0]), h=int(f[1]), nc=int(f[2]),
+                      prec=int(f[3]), signed=f[4].lower().startswith("s"))
+    img = load_image(in_file, **raw_kw)
+    if args is not None and getattr(args, "capture_res", None):
+        img.capture_resolution = tuple(
+            float(v) for v in args.capture_res.split(","))
+    if args is not None and getattr(args, "display_res", None):
+        img.display_resolution = tuple(
+            float(v) for v in args.display_res.split(","))
+    reps = getattr(args, "repetitions", 1) if args is not None else 1
     t0 = time.perf_counter()
-    stream = compress(img, params)
+    for _ in range(max(1, reps)):
+        stream = compress(img, params)
     if out_file.lower().endswith(".jp2"):
         stream = wrap_jp2(stream, img)
     with open(out_file, "wb") as f:
@@ -111,19 +189,28 @@ def run_one(in_file: str, out_file: str, params: CompressParams, verbose: bool) 
 
 def _cli_guard(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    params = params_from_args(args)
+    try:
+        params = params_from_args(args)
+    except (ValueError, KeyError, IndexError) as e:
+        print(f"error: invalid parameter value: {e}", file=sys.stderr)
+        return 1
+    if args.in_file and os.path.splitext(args.in_file)[1].lower() in (
+            ".raw", ".rawl") and not args.raw:
+        print("error: raw input requires -F w,h,ncomp,prec,{s,u}",
+              file=sys.stderr)
+        return 1
     if args.batch_src:
         outdir = args.out_dir or args.batch_src
         exts = ("*.png", "*.pgm", "*.ppm", "*.tif", "*.tiff", "*.bmp", "*.pgx")
         files = sorted(sum((glob.glob(os.path.join(args.batch_src, e)) for e in exts), []))
         for f in files:
             out = os.path.join(outdir, os.path.splitext(os.path.basename(f))[0] + ".j2k")
-            run_one(f, out, params, args.verbose)
+            run_one(f, out, params, args.verbose, args)
         return 0
     if not args.in_file or not args.out_file:
         print("error: -i and -o required (or -y batch mode)", file=sys.stderr)
         return 2
-    run_one(args.in_file, args.out_file, params, args.verbose)
+    run_one(args.in_file, args.out_file, params, args.verbose, args)
     return 0
 
 

@@ -36,6 +36,7 @@ class Jp2Info:
     palette: tuple | None = None  # (table [N, C], bit depths, cmap entries)
     channel_defs: list[tuple[int, int, int]] | None = None
     capture_resolution: tuple[float, float] | None = None
+    display_resolution: tuple[float, float] | None = None
 
 
 def wrap_jp2(codestream: bytes, image: Image) -> bytes:
@@ -66,10 +67,13 @@ def wrap_jp2(codestream: bytes, image: Image) -> bytes:
         for (cn, typ, asoc) in image.channel_defs:
             cdef += struct.pack(">HHH", cn, typ, asoc)
         jp2h += _box(b"cdef", cdef)
-    if image.capture_resolution:
-        vr, hr = image.capture_resolution
-        resc = _res_payload(vr, hr)
-        jp2h += _box(b"res ", _box(b"resc", resc))
+    if image.capture_resolution or getattr(image, "display_resolution", None):
+        res = b""
+        if image.capture_resolution:
+            res += _box(b"resc", _res_payload(*image.capture_resolution))
+        if getattr(image, "display_resolution", None):
+            res += _box(b"resd", _res_payload(*image.display_resolution))
+        jp2h += _box(b"res ", res)
     out += _box(b"jp2h", jp2h)
     if image.xml:
         out += _box(b"xml ", image.xml)
@@ -160,6 +164,23 @@ def _parse_jp2h(data: memoryview, info: Jp2Info) -> None:
                 info.color_space = _ENUM_CS.get(cs, ColorSpace.UNKNOWN)
             elif meth == 2:
                 info.icc_profile = bytes(payload[3:])
+        elif btype == b"res ":
+            rp = 0
+            while rp + 8 <= len(payload):
+                (rln,) = struct.unpack(">I", payload[rp : rp + 4])
+                rtyp = bytes(payload[rp + 4 : rp + 8])
+                if rln < 8 or rp + rln > len(payload):
+                    break
+                body = payload[rp + 8 : rp + rln]
+                if len(body) >= 10:
+                    vn, vd, hn, hd, ve, he = struct.unpack(">HHHHbb", body[:10])
+                    val = (vn / max(vd, 1) * 10.0 ** ve,
+                           hn / max(hd, 1) * 10.0 ** he)
+                    if rtyp == b"resc":
+                        info.capture_resolution = val
+                    elif rtyp == b"resd":
+                        info.display_resolution = val
+                rp += rln
         elif btype == b"pclr":
             ne, npc = struct.unpack(">HB", payload[:3])
             depths = [(payload[3 + i] & 0x7F) + 1 for i in range(npc)]

@@ -34,7 +34,7 @@ class StripCompressor:
 
     def __init__(self, dst, width: int, height: int, num_comps: int = 1,
                  prec: int = 8, params: CompressParams | None = None,
-                 signed: bool = False):
+                 signed: bool = False, async_io: bool = False):
         self.params = params or CompressParams()
         self.params.validate()
         if self.params.tile_size is None:
@@ -51,7 +51,14 @@ class StripCompressor:
         self.tcp = build_tcp(img, self.params)
         self.width, self.height, self.ncomp = width, height, num_comps
 
-        self.out = OutputStream(dst)
+        # async_io: queued background writes (io_uring-analogue) so tile
+        # row N+1 entropy-codes while row N hits the disk
+        if async_io:
+            from ..core.stream import AsyncWriter
+
+            self.out = AsyncWriter(dst)
+        else:
+            self.out = OutputStream(dst)
         header, tlm_offset = write_main_header(
             self.siz, self.tcp, self.params, img
         )
@@ -90,6 +97,10 @@ class StripCompressor:
             )
             self.out.patch(self._tlm_offset, tlm)
         end = self.out.tell()
+        # flush/close the sink (AsyncWriter: join the writer thread and
+        # surface any deferred I/O error; file: flush to disk)
+        self.out.close()
+        self._closed = True
         return end
 
     # ------------------------------------------------------------- internal

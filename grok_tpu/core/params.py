@@ -161,6 +161,11 @@ class CompressParams:
 
     # --- misc ---
     num_threads: int = 0  # 0 = auto; host-side pool for T2/IO
+    # PCRD threshold search: 0 = bisection with exact T2 simulation over all
+    # code passes (reference pcrdBisectSimple); 1 = feasible truncation
+    # points on the convex hull only (pcrdBisectFeasible) — cheaper, within
+    # ~0.1 dB
+    rc_algorithm: int = 0
 
     def resolved_mct(self, num_comps: int, equal_sampling: bool = True) -> bool:
         if not equal_sampling:

@@ -163,3 +163,68 @@ class OutputStream:
     def close(self):
         if self._own and not isinstance(self._f, io.BytesIO):
             self._f.close()
+
+
+class AsyncWriter:
+    """Queued background writes (the portable analogue of the reference's
+    io_uring strip writer, image_format/FileUringIO.cpp:42-76): the caller
+    never blocks on disk — chunks are handed to a writer thread with a
+    bounded queue, and close() joins and reports the total length.
+
+    Used by the strip codecs so entropy coding of tile row N+1 overlaps
+    the disk write of tile row N."""
+
+    def __init__(self, dst, queue_depth: int = 8):
+        import queue as _q
+        import threading
+
+        self._out = OutputStream(dst)
+        self.seekable = self._out.seekable
+        self._q: "_q.Queue" = _q.Queue(maxsize=queue_depth)
+        self._err = None
+        self._written = 0
+
+        def worker():
+            while True:
+                item = self._q.get()
+                if item is None:
+                    return
+                kind, payload = item
+                try:
+                    if kind == "w":
+                        self._out.write(payload)
+                    else:  # ("p", (offset, data))
+                        self._out.patch(*payload)
+                except Exception as e:  # surfaced on close()
+                    self._err = e
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def write(self, data) -> int:
+        data = bytes(data)
+        self._q.put(("w", data))
+        self._written += len(data)
+        return len(data)
+
+    def tell(self) -> int:
+        # logical position: all queued bytes count as written
+        return self._written
+
+    def patch(self, offset: int, data: bytes):
+        self._q.put(("p", (offset, bytes(data))))
+
+    def close(self) -> int:
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+        self._out.close()
+        return self._written
+
+    def getvalue(self) -> bytes:
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+        return self._out.getvalue()

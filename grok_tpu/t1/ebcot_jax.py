@@ -27,7 +27,7 @@ import numpy as np
 from .ebcot_np import T1EncodeResult, _ZC_LUT, _SC_CTX, _SC_XOR, _local_pass_index
 from .mq_np import NMPS, NLPS, QE, SWITCH, CTX_MR0, CTX_RL, CTX_UNI
 
-SUPPORTED_STYLES = 0x2A  # RESET | VSC | SEGSYM (parity with ebcot_np)
+SUPPORTED_STYLES = 0x3F  # all Part-1 codeblock style bits
 
 
 def _j():
@@ -162,6 +162,131 @@ def _enc_flush(jax, jnp, st):
     return st
 
 
+def _enc_flush_masked(jax, jnp, st, mask):
+    """FLUSH for the masked lanes only (TERMALL/BYPASS termination)."""
+    tempc = st["c"] + st["a"]
+    c = st["c"] | 0xFFFF
+    c = jnp.where(c >= tempc, c - 0x8000, c)
+    st = dict(st)
+    st["c"] = jnp.where(mask, c, st["c"])
+    for _ in range(2):
+        newc = (st["c"] & (0xFFFFFFF >> st["ct"])) << st["ct"]
+        st["c"] = jnp.where(mask, newc, st["c"])
+        st = _enc_byteout(jax, jnp, st, mask)
+    return st
+
+
+def _enc_raw_push(jax, jnp, st, byte, mask):
+    """Append one raw byte for masked lanes (pos+1, buf[pos]=byte)."""
+    n = st["a"].shape[0]
+    lanes = jnp.arange(n)
+    wpos = jnp.where(mask, st["pos"] + 1, st["pos"])
+    prev = st["buf"][wpos, lanes]
+    st = dict(st)
+    st["buf"] = st["buf"].at[wpos, lanes].set(
+        jnp.where(mask, byte.astype(jnp.uint8), prev), mode="drop"
+    )
+    st["pos"] = wpos
+    return st
+
+
+def _enc_raw_start(jax, jnp, st, mask):
+    """Begin a raw (bypass) segment after the byte at pos (mq_np.raw_start)."""
+    n = st["a"].shape[0]
+    lanes = jnp.arange(n)
+    lastb = st["buf"][st["pos"], lanes].astype(jnp.int32)
+    st = dict(st)
+    st["raw_tmp"] = jnp.where(mask, 0, st["raw_tmp"])
+    st["raw_used"] = jnp.where(mask, 0, st["raw_used"])
+    st["raw_avail"] = jnp.where(mask, jnp.where(lastb == 0xFF, 7, 8),
+                                st["raw_avail"])
+    return st
+
+
+def _enc_raw_bit(jax, jnp, st, bit, mask):
+    """MSB-first raw bit with 0xFF stuffing (mq_np.MQEncoder.raw_bit)."""
+    n = st["a"].shape[0]
+    lanes = jnp.arange(n)
+    tmp = jnp.where(mask, (st["raw_tmp"] << 1) | bit, st["raw_tmp"])
+    used = st["raw_used"] + jnp.where(mask, 1, 0)
+    flush = mask & (used == st["raw_avail"])
+    st = dict(st)
+    st["raw_tmp"] = tmp
+    st["raw_used"] = used
+    st = _enc_raw_push(jax, jnp, st, tmp & 0xFF, flush)
+    lastb = st["buf"][st["pos"], lanes].astype(jnp.int32)
+    st["raw_avail"] = jnp.where(flush, jnp.where(lastb == 0xFF, 7, 8),
+                                st["raw_avail"])
+    st["raw_tmp"] = jnp.where(flush, 0, st["raw_tmp"])
+    st["raw_used"] = jnp.where(flush, 0, st["raw_used"])
+    return st
+
+
+def _enc_terminate_restart(jax, jnp, st, mask):
+    """Masked MQ segment termination + register restart; returns
+    (st, cumulative length per lane) — mq_np.terminate_restart."""
+    n = st["a"].shape[0]
+    lanes = jnp.arange(n)
+    st = _enc_flush_masked(jax, jnp, st, mask)
+    lastb = st["buf"][st["pos"], lanes].astype(jnp.int32)
+    length = st["pos"] + jnp.where(lastb != 0xFF, 1, 0) - 1
+    st = dict(st)
+    st["pos"] = jnp.where(mask, length, st["pos"])
+    newlast = st["buf"][st["pos"], lanes].astype(jnp.int32)
+    st["a"] = jnp.where(mask, 0x8000, st["a"])
+    st["c"] = jnp.where(mask, 0, st["c"])
+    st["ct"] = jnp.where(mask, jnp.where(newlast == 0xFF, 13, 12), st["ct"])
+    return st, length
+
+
+def _enc_raw_terminate(jax, jnp, st, mask):
+    """Byte-align raw segments, restart MQ; returns (st, length per lane)
+    — mq_np.raw_terminate_restart_mq."""
+    n = st["a"].shape[0]
+    lanes = jnp.arange(n)
+    pend = mask & (st["raw_used"] > 0)
+    pad = jnp.where(pend, st["raw_tmp"] << (st["raw_avail"] - st["raw_used"]),
+                    0)
+    st = _enc_raw_push(jax, jnp, st, pad & 0xFF, pend)
+    lastb = st["buf"][st["pos"], lanes].astype(jnp.int32)
+    fix = mask & (lastb == 0xFF)  # raw segments cannot end 0xFF
+    st = _enc_raw_push(jax, jnp, st, jnp.zeros_like(lastb), fix)
+    length = st["pos"]
+    st = dict(st)
+    lastb2 = st["buf"][st["pos"], lanes].astype(jnp.int32)
+    st["a"] = jnp.where(mask, 0x8000, st["a"])
+    st["c"] = jnp.where(mask, 0, st["c"])
+    st["ct"] = jnp.where(mask, jnp.where(lastb2 == 0xFF, 13, 12), st["ct"])
+    st["raw_tmp"] = jnp.where(mask, 0, st["raw_tmp"])
+    st["raw_used"] = jnp.where(mask, 0, st["raw_used"])
+    return st, length
+
+
+def _pass_typ(jnp, p):
+    """Pass type of global pass index p: 0 SPP, 1 MRP, 2 CUP."""
+    return jnp.where(p == 0, 2, (p - 1) % 3)
+
+
+def _term_after_m(jnp, termall_m, bypass_m, idx, kind):
+    """T.800 D.4: which lanes terminate their segment after pass idx of
+    static type `kind` (SPP never terminates under lazy mode; MRP from
+    pass 11 on; CUP from pass 9 on)."""
+    if kind == 0:
+        byp = jnp.zeros_like(bypass_m)
+    elif kind == 1:
+        byp = bypass_m & (idx > 9)
+    else:
+        byp = bypass_m & (idx >= 9)
+    return termall_m | byp
+
+
+def _is_raw_m(jnp, bypass_m, idx, kind):
+    """Lanes for which pass (idx, kind) is a raw (bypass) pass."""
+    if kind == 2:
+        return jnp.zeros_like(bypass_m)
+    return bypass_m & (idx >= 10)
+
+
 # ---------------------------------------------------------------- MQ (dec)
 def _dec_byte_at(jax, jnp, st, idx):
     n = st["a"].shape[0]
@@ -248,6 +373,50 @@ def _dec_decode(jax, jnp, st, ctx, mask, tables):
 
     st["a"] = jnp.where(lps_path, qe, st["a"])
     st = _dec_renorm(jax, jnp, st, need_renorm_mps | lps_path)
+    return st, bit
+
+
+def _dec_init_registers(jax, jnp, st, mask):
+    """Masked INITDEC at st["bp"] (segment re-prime; ctx states persist)."""
+    b0 = _dec_byte_at(jax, jnp, st, st["bp"])
+    c0 = b0.astype(jnp.uint32) << 16
+    old_c, old_ct, old_a = st["c"], st["ct"], st["a"]
+    st = dict(st)
+    st["c"] = jnp.where(mask, c0, old_c)
+    st["ct"] = jnp.where(mask, 0, old_ct)
+    st = _dec_bytein(jax, jnp, st, mask)
+    st["c"] = jnp.where(mask, st["c"] << 7, st["c"])
+    st["ct"] = jnp.where(mask, st["ct"] - 7, st["ct"])
+    st["a"] = jnp.where(mask, 0x8000, old_a)
+    return st
+
+
+def _dec_raw_init(jax, jnp, st, mask, base, seg_len):
+    """Begin reading a raw (bypass) segment at absolute offset base."""
+    st = dict(st)
+    st["rpos"] = jnp.where(mask, base, st["rpos"])
+    st["rend"] = jnp.where(mask, base + seg_len, st["rend"])
+    st["rbits"] = jnp.where(mask, 0, st["rbits"])
+    st["rprev_ff"] = jnp.where(mask, False, st["rprev_ff"])
+    return st
+
+
+def _dec_raw_bit(jax, jnp, st, mask):
+    """MSB-first raw bit with 0xFF unstuffing (mq_np.MQDecoder.raw_bit)."""
+    n = st["a"].shape[0]
+    lanes = jnp.arange(n)
+    refill = mask & (st["rbits"] == 0)
+    clipped = jnp.minimum(st["rpos"], st["buf"].shape[0] - 1)
+    b = jnp.where(st["rpos"] < st["rend"],
+                  st["buf"][clipped, lanes].astype(jnp.int32), 0xFF)
+    st = dict(st)
+    st["rbits"] = jnp.where(refill, jnp.where(st["rprev_ff"], 7, 8),
+                            st["rbits"])
+    st["rtmp"] = jnp.where(refill, b, st["rtmp"])
+    st["rprev_ff"] = jnp.where(refill, b == 0xFF, st["rprev_ff"])
+    st["rpos"] = jnp.where(refill, st["rpos"] + 1, st["rpos"])
+    st["rbits"] = st["rbits"] - jnp.where(mask, 1, 0)
+    bit = jnp.where(mask, (st["rtmp"] >> st["rbits"]) & 1, 0).astype(jnp.int32)
     return st, bit
 
 
@@ -342,11 +511,12 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes, max_passes):
         def mq_enc(st, bit, ctx, mask):
             return _enc_encode(jax, jnp, st, bit, ctx, mask, tables)
 
-        def code_sign(st, y, x, became, plane):
+        def code_sign(st, y, x, became, plane, rawm=None):
             sc, xr = _sc_ctx(jax, jnp, st["sig"], st["sgn"], y, x, sc_ctx_t,
                              sc_xor_t, st["vsc"])
             sbit = (_get_at(jax, jnp, st["sgn"], y, x) ^ xr).astype(jnp.int32)
-            st = mq_enc(st, sbit, sc, became)
+            mqm = became if rawm is None else became & ~rawm
+            st = mq_enc(st, sbit, sc, mqm)
             st["sig"] = _set_at(
                 jax, jnp, st["sig"],
                 y, x,
@@ -365,13 +535,18 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes, max_passes):
                                 st["vsc"])
             code = lanes_m & (pos_inb == 1) & (sig_v == 0) & (ncnt > 0)
             bit = ((_get_at(jax, jnp, st["mag"], y, x) >> plane) & 1).astype(jnp.int32)
-            st = mq_enc(st, bit, ctx, code)
+            rawm = st["in_raw"] & code
+            st = _enc_raw_bit(jax, jnp, st, bit, rawm)
+            st = mq_enc(st, bit, ctx, code & ~rawm)
             vis = _get_at(jax, jnp, st["visited"], y, x)
             st["visited"] = _set_at(
                 jax, jnp, st["visited"], y, x, jnp.where(code, 1, vis)
             )
             became = code & (bit == 1)
-            st = code_sign(st, y, x, became, plane)
+            # raw sign bit goes out verbatim (no sign-context xor)
+            sgn_v = _get_at(jax, jnp, st["sgn"], y, x).astype(jnp.int32)
+            st = _enc_raw_bit(jax, jnp, st, sgn_v, became & rawm)
+            st = code_sign(st, y, x, became, plane, rawm)
             return st
 
         def mrp_body(st, y, x, plane, lanes_m):
@@ -387,7 +562,9 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes, max_passes):
             ).astype(jnp.int32)
             mag_v = _get_at(jax, jnp, st["mag"], y, x)
             bit = ((mag_v >> plane) & 1).astype(jnp.int32)
-            st = mq_enc(st, bit, ctx, code)
+            rawm = st["in_raw"] & code
+            st = _enc_raw_bit(jax, jnp, st, bit, rawm)
+            st = mq_enc(st, bit, ctx, code & ~rawm)
             st["refined"] = _set_at(
                 jax, jnp, st["refined"], y, x, jnp.where(code, 1, ref)
             )
@@ -468,20 +645,39 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes, max_passes):
             return st
 
         def end_pass(st, plane, kind, lanes_m, numbps):
-            """Record the safe truncation rate + pass distortion; reset."""
+            """Record the truncation rate + pass distortion; terminate
+            TERMALL/BYPASS segments; enter/leave raw mode; reset."""
             idx = _lpi(jnp, plane, kind, numbps)
-            est = st["pos"] + (27 - st["ct"] + 7) // 8
+            raw_now = st["in_raw"]
+            est = jnp.where(
+                raw_now,
+                st["pos"] + jnp.where(st["raw_used"] > 0, 1, 0),
+                st["pos"] + (27 - st["ct"] + 7) // 8,
+            )
+            term = _term_after_m(jnp, st["termall"], st["bypass"], idx,
+                                 kind) & lanes_m
+            st, len_mq = _enc_terminate_restart(jax, jnp, st, term & ~raw_now)
+            st, len_raw = _enc_raw_terminate(jax, jnp, st, term & raw_now)
+            r = jnp.where(term, jnp.where(raw_now, len_raw, len_mq), est)
             lanes = jnp.arange(N)
             st = dict(st)
             st["rates"] = st["rates"].at[idx, lanes].set(
-                jnp.where(lanes_m, est, st["rates"][idx, lanes]), mode="drop"
+                jnp.where(lanes_m, r, st["rates"][idx, lanes]), mode="drop"
             )
             st["dists"] = st["dists"].at[idx, lanes].set(
                 jnp.where(lanes_m, st["dist_acc"], st["dists"][idx, lanes]),
                 mode="drop",
             )
             st["dist_acc"] = jnp.zeros_like(st["dist_acc"])
+            st["last_term"] = jnp.where(lanes_m, term, st["last_term"])
             st = _reset_ctx_lanes(jnp, st, st["reset"] & lanes_m)
+            # raw mode for the NEXT pass starts right after a termination
+            nxt_raw = term & _is_raw_m(
+                jnp, st["bypass"], idx + 1,
+                {0: 1, 1: 2, 2: 0}[kind],
+            )
+            st = _enc_raw_start(jax, jnp, st, nxt_raw)
+            st["in_raw"] = jnp.where(term, nxt_raw, st["in_raw"])
             return st
 
         def plane_body(p_rev, carry):
@@ -500,7 +696,7 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes, max_passes):
             return (st, numbps, pmax)
 
         def encode(mag, sgn, or_oh, inb_dyn, full_stripe, numbps, vsc, reset,
-                   segsym, pmax):
+                   segsym, termall, bypass, pmax):
             st = {
                 "mag": mag,
                 "sgn": sgn,
@@ -512,6 +708,13 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes, max_passes):
                 "vsc": vsc,
                 "reset": reset,
                 "segsym": segsym,
+                "termall": termall,
+                "bypass": bypass,
+                "in_raw": jnp.zeros((N,), bool),
+                "last_term": jnp.zeros((N,), bool),
+                "raw_tmp": jnp.zeros((N,), jnp.int32),
+                "raw_used": jnp.zeros((N,), jnp.int32),
+                "raw_avail": jnp.full((N,), 8, jnp.int32),
                 "a": jnp.full((N,), 0x8000, jnp.int32),
                 "c": jnp.zeros((N,), jnp.int32),
                 "ct": jnp.full((N,), 12, jnp.int32),
@@ -526,10 +729,15 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes, max_passes):
             st, _, _ = jax.lax.fori_loop(
                 0, pmax, plane_body, (st, numbps, jnp.int32(pmax))
             )
-            st = _enc_flush(jax, jnp, st)
+            # lanes whose final pass terminated already carry their length
+            # in rates[npasses-1]; flush only the rest
+            st = _enc_flush_masked(jax, jnp, st, ~st["last_term"])
             lanes = jnp.arange(N)
             lastb = st["buf"][st["pos"], lanes]
-            lengths = st["pos"] + jnp.where(lastb != 0xFF, 1, 0) - 1
+            flush_len = st["pos"] + jnp.where(lastb != 0xFF, 1, 0) - 1
+            npi = jnp.maximum(3 * numbps - 3, 0)
+            term_len = st["rates"][npi, lanes]
+            lengths = jnp.where(st["last_term"], term_len, flush_len)
             return st["buf"], lengths, st["rates"], st["dists"]
 
         return encode
@@ -549,14 +757,18 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
         def mq_dec(st, ctx, mask):
             return _dec_decode(jax, jnp, st, ctx, mask, tables)
 
-        def dec_sign(st, y, x, became, plane):
+        def dec_sign(st, y, x, became, plane, rawm=None):
             sc, xr = _sc_ctx(jax, jnp, st["sig"], st["sgn"], y, x, sc_ctx_t,
                              sc_xor_t, st["vsc"])
-            st, sbit = mq_dec(st, sc, became)
+            if rawm is None:
+                rawm = jnp.zeros_like(became)
+            st, sbit = mq_dec(st, sc, became & ~rawm)
+            st, rbit = _dec_raw_bit(jax, jnp, st, became & rawm)
+            sgn_new = jnp.where(rawm, rbit, sbit ^ xr)
             sgn_v = _get_at(jax, jnp, st["sgn"], y, x)
             st["sgn"] = _set_at(
                 jax, jnp, st["sgn"], y, x,
-                jnp.where(became, sbit ^ xr, sgn_v),
+                jnp.where(became, sgn_new, sgn_v),
             )
             mag_v = _get_at(jax, jnp, st["mag"], y, x)
             # scaled-by-2 mid-bin reconstruction (1.5 * 2^plane)
@@ -576,13 +788,16 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
             ctx, ncnt = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x, zc_lut,
                                 st["vsc"])
             code = lanes_m & (pos_inb == 1) & (sig_v == 0) & (ncnt > 0)
-            st, bit = mq_dec(st, ctx, code)
+            rawm = st["in_raw"] & code
+            st, bit = mq_dec(st, ctx, code & ~rawm)
+            st, rbit = _dec_raw_bit(jax, jnp, st, rawm)
+            bit = jnp.where(rawm, rbit, bit)
             vis = _get_at(jax, jnp, st["visited"], y, x)
             st["visited"] = _set_at(
                 jax, jnp, st["visited"], y, x, jnp.where(code, 1, vis)
             )
             became = code & (bit == 1)
-            st = dec_sign(st, y, x, became, plane)
+            st = dec_sign(st, y, x, became, plane, st["in_raw"])
             return st
 
         def mrp_body(st, y, x, plane, lanes_m):
@@ -596,7 +811,10 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
             ctx = jnp.where(
                 ref == 1, CTX_MR0 + 2, jnp.where(ncnt > 0, CTX_MR0 + 1, CTX_MR0)
             ).astype(jnp.int32)
-            st, bit = mq_dec(st, ctx, code)
+            rawm = st["in_raw"] & code
+            st, bit = mq_dec(st, ctx, code & ~rawm)
+            st, rbit = _dec_raw_bit(jax, jnp, st, rawm)
+            bit = jnp.where(rawm, rbit, bit)
             mag_v = _get_at(jax, jnp, st["mag"], y, x)
             st["mag"] = _set_at(
                 jax, jnp, st["mag"], y, x,
@@ -672,6 +890,31 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
                     st, _b = mq_dec(st, uni_ctx, seg)
             return st
 
+        def next_seg(st, idx, kind, lanes_m, npasses):
+            """Advance segmented lanes whose pass (idx, kind) ended its
+            codeword segment (mirrors ebcot_np decode next_seg)."""
+            lanes = jnp.arange(N)
+            adv = (lanes_m & st["segmented"]
+                   & _term_after_m(jnp, st["termall"], st["bypass"], idx, kind)
+                   & (idx + 1 < npasses))
+            msegs = st["segl"].shape[1]
+            cur_i = jnp.minimum(st["seg_i"], msegs - 1)
+            cur = st["segl"][lanes, cur_i]
+            st = dict(st)
+            st["seg_off"] = st["seg_off"] + jnp.where(adv, cur, 0)
+            st["seg_i"] = st["seg_i"] + jnp.where(adv, 1, 0)
+            nxt_i = jnp.minimum(st["seg_i"], msegs - 1)
+            nxt = jnp.where(st["seg_i"] < msegs, st["segl"][lanes, nxt_i], 0)
+            nkind = {0: 1, 1: 2, 2: 0}[kind]
+            nraw = _is_raw_m(jnp, st["bypass"], idx + 1, nkind)
+            st = _dec_raw_init(jax, jnp, st, adv & nraw, st["seg_off"], nxt)
+            rm = adv & ~nraw
+            st["bp"] = jnp.where(rm, st["seg_off"], st["bp"])
+            st["end"] = jnp.where(rm, st["seg_off"] + nxt, st["end"])
+            st = _dec_init_registers(jax, jnp, st, rm)
+            st["in_raw"] = jnp.where(adv, nraw, st["in_raw"])
+            return st
+
         def plane_body(p_rev, carry):
             st, numbps, npasses, pmax = carry
             plane = pmax - 1 - p_rev
@@ -685,16 +928,21 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
             cup_lanes = cup_lanes | first_cup
             st = pass_loop(st, plane, spp_lanes, 0)
             st = _reset_ctx_lanes(jnp, st, st["reset"] & spp_lanes)
+            st = next_seg(st, lp_spp, 0, spp_lanes, npasses)
             st = pass_loop(st, plane, mrp_lanes, 1)
             st = _reset_ctx_lanes(jnp, st, st["reset"] & mrp_lanes)
+            st = next_seg(st, lp_mrp, 1, mrp_lanes, npasses)
             st = pass_loop(st, plane, cup_lanes, 2)
             st = _reset_ctx_lanes(jnp, st, st["reset"] & cup_lanes)
+            st = next_seg(st, lp_cup, 2, cup_lanes, npasses)
             st = dict(st)
             st["visited"] = jnp.zeros_like(st["visited"])
             return (st, numbps, npasses, pmax)
 
         def decode(buf, lengths, or_oh, inb_dyn, full_stripe, numbps, npasses,
-                   vsc, reset, segsym, pmax):
+                   vsc, reset, segsym, termall, bypass, segmented, segl,
+                   pmax):
+            end0 = jnp.where(segmented, segl[:, 0], lengths)
             st = {
                 "mag": jnp.zeros((H + 2, W + 2, N), jnp.int32),
                 "sgn": jnp.zeros((H + 2, W + 2, N), jnp.int32),
@@ -706,8 +954,20 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
                 "vsc": vsc,
                 "reset": reset,
                 "segsym": segsym,
+                "termall": termall,
+                "bypass": bypass,
+                "segmented": segmented,
+                "segl": segl,
+                "seg_off": jnp.zeros((N,), jnp.int32),
+                "seg_i": jnp.zeros((N,), jnp.int32),
+                "in_raw": jnp.zeros((N,), bool),
+                "rtmp": jnp.zeros((N,), jnp.int32),
+                "rbits": jnp.zeros((N,), jnp.int32),
+                "rprev_ff": jnp.zeros((N,), bool),
+                "rpos": jnp.zeros((N,), jnp.int32),
+                "rend": jnp.zeros((N,), jnp.int32),
                 "buf": buf,
-                "end": lengths,
+                "end": end0,
                 "bp": jnp.zeros((N,), jnp.int32),
                 "a": jnp.zeros((N,), jnp.int32),
                 "c": jnp.zeros((N,), jnp.uint32),
@@ -736,13 +996,14 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
 # =============================================================== entry API
 def _style_masks(np_styles, n):
     st = np.zeros(n, dtype=np.int64) if np_styles is None else np.asarray(np_styles)
-    return (st & 0x08) != 0, (st & 0x02) != 0, (st & 0x20) != 0
+    return ((st & 0x08) != 0, (st & 0x02) != 0, (st & 0x20) != 0,
+            (st & 0x04) != 0, (st & 0x01) != 0)
 
 
 def _check_styles(styles):
     if styles is not None and int(np.max(np.asarray(styles) & ~SUPPORTED_STYLES & 0x3F, initial=0)):
         raise NotImplementedError(
-            "bypass/termall/pterm only in the native backend"
+            "unsupported codeblock style bits for the jax backend"
         )
 
 
@@ -790,7 +1051,7 @@ def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0, styles=
     sgn_d = np.zeros((h + 2, w + 2, n), dtype=np.int32)
     sgn_d[1 : h + 1, 1 : w + 1, :] = np.transpose(sgn_np, (1, 2, 0))
     or_oh = (np.arange(4)[None, :] == np.asarray(orients)[:, None]).astype(np.int32)
-    vsc, reset, segsym = _style_masks(styles, n)
+    vsc, reset, segsym, termall, bypass = _style_masks(styles, n)
 
     import jax.numpy as jnp2
 
@@ -805,6 +1066,8 @@ def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0, styles=
         jnp2.asarray(vsc),
         jnp2.asarray(reset),
         jnp2.asarray(segsym),
+        jnp2.asarray(termall),
+        jnp2.asarray(bypass),
         pmax,
     )
     buf = np.asarray(buf)  # [max_bytes, N]
@@ -853,11 +1116,16 @@ def decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
         (4 * np.arange(nstripes)[:, None] + 4) <= np.asarray(heights)[None, :]
     ).astype(np.int32)
     or_oh = (np.arange(4)[None, :] == np.asarray(orients)[:, None]).astype(np.int32)
-    vsc, reset, segsym = _style_masks(styles, n)
+    vsc, reset, segsym, termall, bypass = _style_masks(styles, n)
+    if seg_lengths is None:
+        seg_arr = np.zeros((n, 1), dtype=np.int32)
+    else:
+        seg_arr = np.ascontiguousarray(seg_lengths, dtype=np.int32)
+    segmented = (termall | bypass) & (seg_lengths is not None)
 
     import jax.numpy as jnp2
 
-    dec = _get_cached_decoder(h, w, n, data.shape[1])
+    dec = _get_cached_decoder(h, w, n, data.shape[1], seg_arr.shape[1])
     coeffs_d = dec(
         jnp2.asarray(np.ascontiguousarray(data.T)),  # [max_bytes, N]
         jnp2.asarray(np.asarray(lengths, dtype=np.int32)),
@@ -869,6 +1137,10 @@ def decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
         jnp2.asarray(vsc),
         jnp2.asarray(reset),
         jnp2.asarray(segsym),
+        jnp2.asarray(termall),
+        jnp2.asarray(bypass),
+        jnp2.asarray(segmented),
+        jnp2.asarray(seg_arr),
         pmax,
     )
     coeffs = np.transpose(np.asarray(coeffs_d), (2, 0, 1)).astype(np.int64)
@@ -887,26 +1159,27 @@ def _get_cached_encoder(h, w, n, max_bytes, max_passes):
         make = _build_encoder(jax, jnp, h, w, n, max_bytes, max_passes)
 
         def run(mag, sgn, or_oh, inb, full_stripe, numbps, vsc, reset,
-                segsym, pmax):
+                segsym, termall, bypass, pmax):
             encode = make(inb)
             return encode(mag, sgn, or_oh, inb, full_stripe, numbps, vsc,
-                          reset, segsym, pmax)
+                          reset, segsym, termall, bypass, pmax)
 
-        _ENC_CACHE[key] = jax.jit(run, static_argnums=(9,))
+        _ENC_CACHE[key] = jax.jit(run, static_argnums=(11,))
     return _ENC_CACHE[key]
 
 
-def _get_cached_decoder(h, w, n, max_bytes):
+def _get_cached_decoder(h, w, n, max_bytes, max_segs=1):
     jax, jnp = _j()
-    key = (h, w, n, max_bytes)
+    key = (h, w, n, max_bytes, max_segs)
     if key not in _DEC_CACHE:
         make = _build_decoder(jax, jnp, h, w, n, max_bytes)
 
-        def run(buf, lengths, or_oh, inb, full_stripe, numbps, npasses, vsc,
-                reset, segsym, pmax):
+        def run(buf, lengths, or_oh, inb, full_stripe, numbps, npasses,
+                vsc, reset, segsym, termall, bypass, segmented, segl, pmax):
             decode = make(inb)
             return decode(buf, lengths, or_oh, inb, full_stripe, numbps,
-                          npasses, vsc, reset, segsym, pmax)
+                          npasses, vsc, reset, segsym, termall, bypass,
+                          segmented, segl, pmax)
 
-        _DEC_CACHE[key] = jax.jit(run, static_argnums=(10,))
+        _DEC_CACHE[key] = jax.jit(run, static_argnums=(14,))
     return _DEC_CACHE[key]

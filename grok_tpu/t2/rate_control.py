@@ -141,8 +141,11 @@ def allocate_layers(
                     b = mid
             k = passes_for_threshold(slopes, a)
         elif exact_rate_fn is not None:
-            # hybrid: narrow with the cheap body-rate bisection, then
-            # correct with a handful of exact packet simulations
+            # hybrid: narrow with the cheap body-rate bisection, then find
+            # the exact threshold with a bracketed geometric bisection on
+            # full packet simulations (reference pcrdBisectSimple parity;
+            # a fixed multiplicative ladder can jump over rate cliffs when
+            # hull slopes cluster, e.g. many small codeblocks)
             a = max(lo * 0.5, 1e-12)
             b = hi * 2.0 + 1.0
             for _ in range(48):
@@ -154,27 +157,65 @@ def allocate_layers(
             lam = b
             k_b = np.maximum(passes_for_threshold(slopes, lam), prev)
             sims = 0
-            if exact_rate_fn(prev_rows + [k_b]) <= target:
-                # loosen while still feasible (captures header slack)
-                while sims < 10:
-                    cand = lam / 1.18
+            lam_feas = lam_inf = None
+            best_val = None
+            v0 = exact_rate_fn(prev_rows + [k_b])
+            if v0 <= target:
+                lam_feas = lam
+                best_val = v0
+                # loosen to bracket: find an infeasible lower threshold
+                cand = lam
+                while sims < 4 and cand > lo * 0.5:
+                    cand /= 1.6
                     k_c = np.maximum(passes_for_threshold(slopes, cand), prev)
                     sims += 1
-                    if exact_rate_fn(prev_rows + [k_c]) <= target:
-                        lam = cand
-                        if (k_c == k_b).all():
-                            break
+                    vc = exact_rate_fn(prev_rows + [k_c])
+                    if vc <= target:
+                        lam_feas = cand
                         k_b = k_c
+                        best_val = vc
                     else:
+                        lam_inf = cand
                         break
             else:
-                # tighten until feasible
-                while sims < 16:
-                    lam *= 1.25
-                    k_b = np.maximum(passes_for_threshold(slopes, lam), prev)
+                lam_inf = lam
+                while sims < 12:
+                    lam *= 1.6
+                    k_c = np.maximum(passes_for_threshold(slopes, lam), prev)
                     sims += 1
-                    if exact_rate_fn(prev_rows + [k_b]) <= target:
+                    vc = exact_rate_fn(prev_rows + [k_c])
+                    if vc <= target:
+                        lam_feas = lam
+                        k_b = k_c
+                        best_val = vc
                         break
+                    lam_inf = lam
+                if lam_feas is None:
+                    k_b = prev.copy()  # nothing beyond earlier layers fits
+            if lam_feas is not None and lam_inf is not None:
+                # invariant: lam_inf < lam_feas (higher threshold = fewer
+                # passes = feasible side)
+                for _ in range(64):
+                    # stop when within 1% of budget (or 64 bytes), the
+                    # bracket has collapsed, or the sim budget is spent
+                    close = best_val is not None and (
+                        target - best_val <= max(64.0, 0.01 * target)
+                    )
+                    if close or lam_feas / lam_inf < 1.0000001 or sims >= 16:
+                        break
+                    mid = (lam_feas * lam_inf) ** 0.5
+                    k_c = np.maximum(passes_for_threshold(slopes, mid), prev)
+                    if (k_c == k_b).all():
+                        lam_feas = mid  # same allocation: shrink, no sim
+                        continue
+                    sims += 1
+                    vc = exact_rate_fn(prev_rows + [k_c])
+                    if vc <= target:
+                        lam_feas = mid
+                        k_b = k_c
+                        best_val = vc
+                    else:
+                        lam_inf = mid
             k = k_b
         else:
             overhead = header_overhead_fn(prev) if header_overhead_fn else 0.0

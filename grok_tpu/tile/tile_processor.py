@@ -570,7 +570,7 @@ class TileProcessor:
         # exact rate simulation (reference compressPacketsSimulate parity)
         # when the native T2 is available and the flat encode path is active
         exact_rate_fn = None
-        if refs is None:
+        if refs is None and getattr(p, "rc_algorithm", 0) != 1:
             import os
 
             from ..t2 import native_t2

@@ -106,3 +106,18 @@ def test_psnr_layer_targets(rng):
         assert psnr > want - 3.0, (L, psnr)
         assert psnr > prev
         prev = psnr
+
+
+@pytest.mark.parametrize("cblk", [64, 32, 16])
+def test_rate_target_small_codeblocks(cblk):
+    """PCRD with exact T2 simulation must hit the byte target for small
+    codeblocks too (regression: clustered hull slopes made the threshold
+    ladder jump from ~9 KB to ~300 B; reference pcrdBisectSimple)."""
+    rng = np.random.default_rng(cblk)
+    arr = rng.integers(0, 256, (200, 300, 3)).astype(np.int32)
+    im = gk.Image.from_array(arr)
+    target = arr.size * 8 // (8 * 20)  # 20:1 on 8-bit samples
+    p = gk.CompressParams(layer_rates=[20.0], num_layers=1,
+                          cblk_width=cblk, cblk_height=cblk)
+    blob = gk.compress(im, p)
+    assert 0.5 * target < len(blob) <= 1.15 * target, (len(blob), target)
