@@ -51,6 +51,17 @@ class Decoder:
         self._source = open_source(data)
         self.data = self._source.view
         self.params = params or DecompressParams()
+        self.jp2_info = None
+        from .jp2 import is_jp2, unwrap_jp2
+
+        try:
+            head = bytes(self.data[:12])
+        except (TypeError, IndexError):
+            head = b""
+        if is_jp2(head):
+            # JP2 container: locate the jp2c codestream box (zero-copy view)
+            self.jp2_info = unwrap_jp2(self.data)
+            self.data = self.jp2_info.codestream
         self.header, self.first_sot = mk.parse_main_header(self.data)
         self.index: StreamIndex | None = None
         if self.header.has_tlm:
@@ -227,6 +238,20 @@ class Decoder:
             else:
                 arrays = self.decompress_tile(ti)
                 self._paste_tile(img, ti, arrays)
+        if self.jp2_info is not None:
+            from .jp2 import apply_palette
+
+            info = self.jp2_info
+            if getattr(info, "palette", None):
+                img = apply_palette(img, info)
+            if info.color_space is not None:
+                img.color_space = info.color_space
+            if getattr(info, "icc_profile", None):
+                img.icc_profile = info.icc_profile
+            if getattr(info, "capture_resolution", None):
+                img.capture_resolution = info.capture_resolution
+            if getattr(info, "display_resolution", None):
+                img.display_resolution = info.display_resolution
         return img
 
     def _paste_window(self, img: Image, comp_arrays, rects) -> None:

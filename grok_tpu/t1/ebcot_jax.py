@@ -1012,7 +1012,15 @@ def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0, styles=
     _check_styles(styles)
     jax, jnp = _j()
     coeffs = np.ascontiguousarray(coeffs, dtype=np.int64)
-    n, h, w = coeffs.shape
+    n, h0, w = coeffs.shape
+    # pad the batch height to a whole stripe: the jitted scan visits 4 rows
+    # per stripe and lax.dynamic_slice CLAMPS out-of-range starts, so rows
+    # past the true height would silently alias row h-1
+    h = ((h0 + 3) // 4) * 4
+    if h != h0:
+        coeffs = np.concatenate(
+            [coeffs, np.zeros((n, h - h0, w), dtype=np.int64)], axis=1
+        )
     mag_np = np.abs(coeffs)
     sgn_np = (coeffs < 0).astype(np.int64)
 
@@ -1100,7 +1108,8 @@ def decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
     jax, jnp = _j()
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
-    h, w = block_h, block_w
+    h0, w = block_h, block_w
+    h = ((h0 + 3) // 4) * 4  # see encode_cblks: stripe-padded batch height
     numbps = np.asarray(numbps, dtype=np.int64)
     npasses = np.asarray(npasses, dtype=np.int64)
     pmax = int(numbps.max(initial=0))
@@ -1144,6 +1153,7 @@ def decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
         pmax,
     )
     coeffs = np.transpose(np.asarray(coeffs_d), (2, 0, 1)).astype(np.int64)
+    coeffs = coeffs[:, :h0, :]
     planes_decoded = np.minimum((npasses + 2) // 3, numbps)
     return coeffs, planes_decoded
 

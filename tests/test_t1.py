@@ -66,12 +66,15 @@ def test_jax_encoder_matches_numpy(rng):
     per-pass rates included, across the supported codeblock styles."""
     from grok_tpu.t1 import ebcot_jax
 
-    N, H, W = 5, 8, 8
-    coeffs = (rng.standard_normal((N, H, W)) * 20).astype(np.int64)
-    hs = np.array([8, 5, 8, 3, 8])
+    N, H, W = 5, 10, 8
+    # H=10: partial bottom stripe (regression: lax.dynamic_slice clamping
+    # made phantom rows alias row H-1); magnitudes force >10 passes so the
+    # BYPASS/TERMALL segment machinery engages
+    coeffs = (rng.standard_normal((N, H, W)) * 900).astype(np.int64)
+    hs = np.array([10, 5, 10, 3, 10])
     ws = np.array([8, 8, 6, 8, 8])
     ors = np.array([0, 1, 2, 3, 0])
-    styles = np.array([0, 0x08, 0x02, 0x20, 0x2A])  # -, VSC, RESET, SEGSYM, all
+    styles = np.array([0, 0x08, 0x05, 0x15, 0x3F])
     r_np = encode_cblks(coeffs, hs, ws, ors, styles=styles)
     r_jx = ebcot_jax.encode_cblks(coeffs, hs, ws, ors, styles=styles)
     for i in range(N):
