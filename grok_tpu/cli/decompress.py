@@ -3,8 +3,12 @@
 from __future__ import annotations
 
 import argparse
+import glob
+import os
 import sys
 import time
+
+import numpy as np
 
 from ..core.params import DecompressParams
 from ..codestream.decompress import decompress
@@ -17,30 +21,66 @@ def build_parser() -> argparse.ArgumentParser:
         prog="grok-tpu-decompress",
         description="TPU-native JPEG 2000 / HTJ2K decoder",
     )
-    p.add_argument("-i", "--in_file", required=True)
-    p.add_argument("-o", "--out_file", required=True)
+    p.add_argument("-i", "--in_file")
+    p.add_argument("-o", "--out_file")
+    p.add_argument("-y", "--batch_src", help="directory of .j2k/.jp2 files")
+    p.add_argument("-a", "--out_dir", help="output directory (batch mode)")
+    p.add_argument("-O", "--out_format", default="png",
+                   help="batch output format (png/tif/bmp/pnm/pgx/raw)")
     p.add_argument("-r", "--reduce", type=int, default=0,
                    help="discard this many highest resolution levels")
     p.add_argument("-l", "--layers", type=int, default=0, help="max quality layers")
     p.add_argument("-t", "--tile", type=int, default=None, help="decode a single tile")
     p.add_argument("-d", "--region", help="decode window x0,y0,x1,y1")
-    p.add_argument("--force_rgb", action="store_true",
+    p.add_argument("-p", "--precision",
+                   help="force component precision: <bits>[C|S][,...] "
+                        "(C clips, S scales; 0 = keep)")
+    p.add_argument("-f", "--force_rgb", action="store_true",
                    help="convert to RGB (sYCC/CMYK/gray)")
-    p.add_argument("--upsample", action="store_true",
+    p.add_argument("-u", "--upsample", action="store_true",
                    help="replicate subsampled components to full resolution")
+    p.add_argument("-s", "--split_pnm", action="store_true",
+                   help="write one PNM file per component")
+    p.add_argument("-X", "--xml", metavar="BASE",
+                   help="store embedded XML metadata to BASE.xml")
+    p.add_argument("-e", "--repetitions", type=int, default=1,
+                   help="decode repeatedly (performance measurement)")
+    p.add_argument("-W", "--logfile", help="append verbose output to this file")
     p.add_argument("-H", "--num_threads", type=int, default=0)
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
 
-def _cli_guard(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    with open(args.in_file, "rb") as f:
-        data = f.read()
-    jp2_info = None
-    if is_jp2(data):
-        jp2_info = unwrap_jp2(data)
-        data = jp2_info.codestream
+def _apply_precision(img, spec: str):
+    """Reference -p: force per-component bit depth, clipped or scaled."""
+    items = spec.split(",")
+    for ci, comp in enumerate(img.components):
+        it = items[min(ci, len(items) - 1)]
+        mode = "C"
+        if it and it[-1] in "CScs":
+            mode = it[-1].upper()
+            it = it[:-1]
+        bits = int(it)
+        if bits <= 0 or bits == comp.prec:
+            continue
+        a = comp.data.astype(np.int64)
+        if mode == "S":
+            if bits > comp.prec:
+                a = a << (bits - comp.prec)
+            else:
+                a = a >> (comp.prec - bits)
+        else:  # clip
+            hi = (1 << bits) - 1
+            lo = -(1 << (bits - 1)) if comp.signed else 0
+            if comp.signed:
+                hi = (1 << (bits - 1)) - 1
+            a = np.clip(a, lo, hi)
+        comp.data = a.astype(np.int32)
+        comp.prec = bits
+    return img
+
+
+def run_one(in_file: str, out_file: str, args) -> None:
     params = DecompressParams(
         reduce=args.reduce,
         max_layers=args.layers,
@@ -48,21 +88,70 @@ def _cli_guard(argv=None) -> int:
     )
     if args.region:
         params.window = tuple(int(v) for v in args.region.split(","))
+    reps = max(1, args.repetitions)
     t0 = time.perf_counter()
-    img = decompress(data, params)
-    dt = time.perf_counter() - t0
-    if jp2_info is not None:
-        img.color_space = jp2_info.color_space
-        img.icc_profile = jp2_info.icc_profile
-        img = apply_palette(img, jp2_info)
+    for _ in range(reps):
+        img = decompress(in_file, params)
+    dt = (time.perf_counter() - t0) / reps
+    if args.xml and getattr(img, "xml", None):
+        with open(args.xml + ".xml", "wb") as f:
+            f.write(img.xml if isinstance(img.xml, bytes) else b"".join(img.xml))
+    if args.precision:
+        img = _apply_precision(img, args.precision)
     if args.force_rgb or args.upsample:
         from ..io.color import force_rgb, upsample_components
 
-        img = force_rgb(img) if args.force_rgb else upsample_components(img)
-    save_image(args.out_file, img)
-    if args.verbose:
+        if args.upsample:
+            img = upsample_components(img)
+        if args.force_rgb:
+            img = force_rgb(img)
+    if args.split_pnm and len(img.components) > 1:
+        base, ext = os.path.splitext(out_file)
+        from ..core.image import Image
+
+        for ci, comp in enumerate(img.components):
+            one = Image(img.x0, img.y0, img.x1, img.y1)
+            one.components.append(comp)
+            save_image(f"{base}_{ci}{ext or '.pgm'}", one)
+    else:
+        save_image(out_file, img)
+    if args.verbose or args.logfile:
         mp = sum(c.w * c.h for c in img.components) / 1e6
-        print(f"{args.in_file}: decoded {mp:.2f} MP in {dt*1000:.1f} ms ({mp/dt:.2f} MP/s)")
+        line = (f"{in_file}: decoded {mp:.2f} MP in {dt*1000:.1f} ms "
+                f"({mp/dt:.2f} MP/s)")
+        if args.verbose:
+            print(line)
+        if args.logfile:
+            with open(args.logfile, "a") as f:
+                f.write(line + "\n")
+
+
+def _cli_guard(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.batch_src:
+        outdir = args.out_dir or args.batch_src
+        files = sorted(
+            glob.glob(os.path.join(args.batch_src, "*.j2k"))
+            + glob.glob(os.path.join(args.batch_src, "*.j2c"))
+            + glob.glob(os.path.join(args.batch_src, "*.jp2"))
+        )
+        if not files:
+            print("error: no codestreams found in batch directory",
+                  file=sys.stderr)
+            return 1
+        for f in files:
+            out = os.path.join(
+                outdir,
+                os.path.splitext(os.path.basename(f))[0]
+                + "." + args.out_format.lstrip(".").lower(),
+            )
+            run_one(f, out, args)
+        return 0
+    if not args.in_file or not args.out_file:
+        print("error: -i and -o are required (or -y for batch mode)",
+              file=sys.stderr)
+        return 1
+    run_one(args.in_file, args.out_file, args)
     return 0
 
 
@@ -74,7 +163,7 @@ def main(argv=None) -> int:
     except GrokTpuError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
-    except OSError as e:
+    except (OSError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
 

@@ -252,6 +252,9 @@ class Decoder:
                 img.capture_resolution = info.capture_resolution
             if getattr(info, "display_resolution", None):
                 img.display_resolution = info.display_resolution
+            if getattr(info, "xml", None):
+                img.xml = (info.xml[0] if len(info.xml) == 1
+                           else b"".join(info.xml))
         return img
 
     def _paste_window(self, img: Image, comp_arrays, rects) -> None:
