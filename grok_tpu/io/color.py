@@ -63,6 +63,38 @@ def sycc_to_rgb(image: Image) -> Image:
     return out
 
 
+def esycc_to_rgb(image: Image) -> Image:
+    """e-sYCC -> sRGB (IEC 61966-2-4 extended-gamut YCC; parity:
+    common/color.cpp color_esycc_to_rgb). Chroma carries sign (or a
+    2^(prec-1) offset when unsigned); output clamps to the sRGB range."""
+    if image.num_comps < 3:
+        return image
+    if any(c.dx != 1 or c.dy != 1 for c in image.components[:3]):
+        image = upsample_components(image)
+    prec = image.components[0].prec
+    y = image.components[0].data.astype(np.float64)
+    def chroma(c):
+        a = c.data.astype(np.float64)
+        return a if c.signed else a - (1 << (c.prec - 1))
+    cb = chroma(image.components[1])
+    cr = chroma(image.components[2])
+    r = y - 0.0000368 * cb + 1.40199 * cr
+    g = y - 0.344125 * cb - 0.714128 * cr
+    b = y + 1.77204 * cb - 0.0000220 * cr
+    hi = (1 << prec) - 1
+    out = Image(image.x0, image.y0, image.x1, image.y1,
+                color_space=ColorSpace.SRGB, icc_profile=image.icc_profile)
+    for chan in (r, g, b):
+        out.components.append(
+            Component(dx=1, dy=1, prec=prec,
+                      data=np.clip(np.round(chan), 0, hi).astype(np.int32))
+        )
+    for extra in image.components[3:]:
+        out.components.append(extra)
+    out.finalize()
+    return out
+
+
 def cmyk_to_rgb(image: Image) -> Image:
     if image.num_comps < 4:
         return image
@@ -91,6 +123,8 @@ def force_rgb(image: Image) -> Image:
         and any(c.dx > 1 or c.dy > 1 for c in image.components)
     ):
         return sycc_to_rgb(image)
+    if cs == ColorSpace.EYCC:
+        return esycc_to_rgb(image)
     if cs == ColorSpace.CMYK:
         return cmyk_to_rgb(image)
     if cs == ColorSpace.CIELAB:

@@ -230,9 +230,15 @@ template <typename T>
 static void deinterleave_rows(T* a, int h, int w, int stride, int P,
                               T* scratch) {
     int sn = sn_of(h, P), dn = h - sn;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if ((int64_t)sn * w > 65536)
+#endif
     for (int i = 0; i < sn; i++)
         std::memcpy(scratch + (size_t)i * w, a + (size_t)(2 * i + P) * stride,
                     (size_t)w * sizeof(T));
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if ((int64_t)dn * w > 65536)
+#endif
     for (int j = 0; j < dn; j++)
         std::memcpy(scratch + (size_t)(sn + j) * w,
                     a + (size_t)(2 * j + 1 - P) * stride,
@@ -249,12 +255,21 @@ template <typename T>
 static void interleave_rows(T* a, int h, int w, int stride, int P,
                             T* scratch) {
     int sn = sn_of(h, P), dn = h - sn;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if ((int64_t)sn * w > 65536)
+#endif
     for (int i = 0; i < sn; i++)
         std::memcpy(scratch + (size_t)(2 * i + P) * w, a + (size_t)i * stride,
                     (size_t)w * sizeof(T));
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if ((int64_t)dn * w > 65536)
+#endif
     for (int j = 0; j < dn; j++)
         std::memcpy(scratch + (size_t)(2 * j + 1 - P) * w,
                     a + (size_t)(sn + j) * stride, (size_t)w * sizeof(T));
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if ((int64_t)h * w > 65536)
+#endif
     for (int y = 0; y < h; y++)
         std::memcpy(a + (size_t)y * stride, scratch + (size_t)y * w,
                     (size_t)w * sizeof(T));
