@@ -497,6 +497,8 @@ struct BlockCtx2 {
     uint64_t* words;  // padded (num_stripes + 2) x ws
     uint32_t* mag;    // unpadded h x mstride
     uint64_t* colact = nullptr;  // per-stripe column-activity bits (w <= 64)
+    uint64_t* colfull = nullptr;  // columns whose 4 rows are all significant:
+                                  // no SPP/CUP candidates remain, skip them
     bool use_bits = false;
     uint64_t wmask = 0;
     uint32_t zmask[4], smask[4];  // per-row VSC key masks
@@ -513,9 +515,19 @@ struct BlockCtx2 {
         zmask[3] = vsc ? 0x0DB : 0x1FF;
         smask[3] = vsc ? 0xDB : 0xFF;
         colact = colbuf;
+        colfull = colbuf + (h + 3) / 4 + 1;
         use_bits = w <= 64;
         wmask = w >= 64 ? ~0ULL : ((1ULL << w) - 1);
-        if (use_bits) std::memset(colact, 0, ((h + 3) / 4) * sizeof(uint64_t));
+        if (use_bits) {
+            std::memset(colact, 0, ((h + 3) / 4) * sizeof(uint64_t));
+            std::memset(colfull, 0, ((h + 3) / 4) * sizeof(uint64_t));
+        }
+    }
+
+    // call with the LOCAL word after its self-sig bit was set
+    inline void mark_full(uint64_t w_word, int s, int x) {
+        if (use_bits && (w_word & (0xFULL << 7)) == (0xFULL << 7))
+            colfull[s] |= 1ULL << x;
     }
 
     inline void colact_mark(int y, int x) {
@@ -579,6 +591,7 @@ static void enc_spp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                     w |= (1ULL << (7 + k)) | (neg << (27 + k));
                     B.mark_nbr(Wr, x1, k, neg);
                     B.colact_mark(y0 + k, x);
+                    B.mark_full(w, s, x);
                     *dist += dd_sig((int64_t)m, plane);
                 }
             }
@@ -587,7 +600,8 @@ static void enc_spp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
         if (B.use_bits) {
             uint64_t done = 0;
             for (;;) {
-                uint64_t avail = B.colact[s] & B.wmask & ~done;
+                uint64_t avail =
+                    B.colact[s] & B.wmask & ~B.colfull[s] & ~done;
                 if (!avail) break;
                 int x = __builtin_ctzll(avail);
                 // strictly left-to-right: a bit newly set at x-1 by a
@@ -660,7 +674,7 @@ static void enc_cup(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
         int rows = std::min(4, B.h - y0);
         bool full = rows == 4;
         uint64_t* Wr = B.row(s);
-        for (int x = 0; x < B.w; x++) {
+        auto cup_one = [&](int x) __attribute__((always_inline)) {
             int x1 = x + 1;
             uint64_t w0 = Wr[x1], w = w0;
             const uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
@@ -679,7 +693,7 @@ static void enc_cup(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                         break;
                     }
                 mq.encode(first_k < 4 ? 1 : 0, CTX_RL);
-                if (first_k == 4) continue;  // whole column stays zero
+                if (first_k == 4) return;  // whole column stays zero
                 mq.encode((first_k >> 1) & 1, CTX_UNI);
                 mq.encode(first_k & 1, CTX_UNI);
             }
@@ -699,10 +713,23 @@ static void enc_cup(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                     w |= (1ULL << (7 + k)) | (neg << (27 + k));
                     B.mark_nbr(Wr, x1, k, neg);
                     B.colact_mark(y0 + k, x);
+                    B.mark_full(w, s, x);
                     *dist += dd_sig((int64_t)mg[k * B.mstride], plane);
                 }
             }
             if (w != w0) Wr[x1] = w;
+        };
+        if (B.use_bits) {
+            // all-significant columns have no CUP candidates: skip (the
+            // decoder maintains the same bitset, so the scan stays in step)
+            uint64_t cols = B.wmask & ~B.colfull[s];
+            while (cols) {
+                int x = __builtin_ctzll(cols);
+                cols &= cols - 1;
+                cup_one(x);
+            }
+        } else {
+            for (int x = 0; x < B.w; x++) cup_one(x);
         }
     }
     if (segsym) {  // segmentation symbol 1010 in the UNIFORM context
@@ -744,6 +771,7 @@ static void dec_spp(BlockCtx2& B, MQDecoder& mq, int plane, bool raw = false) {
                     w |= (1ULL << (7 + k)) | (neg << (27 + k));
                     B.mark_nbr(Wr, x1, k, neg);
                     B.colact_mark(y0 + k, x);
+                    B.mark_full(w, s, x);
                 }
             }
             if (w != w0) Wr[x1] = w;
@@ -751,7 +779,8 @@ static void dec_spp(BlockCtx2& B, MQDecoder& mq, int plane, bool raw = false) {
         if (B.use_bits) {
             uint64_t done = 0;
             for (;;) {
-                uint64_t avail = B.colact[s] & B.wmask & ~done;
+                uint64_t avail =
+                    B.colact[s] & B.wmask & ~B.colfull[s] & ~done;
                 if (!avail) break;
                 int x = __builtin_ctzll(avail);
                 done |= (2ULL << x) - 1;
@@ -824,7 +853,7 @@ static void dec_cup(BlockCtx2& B, MQDecoder& mq, int plane, bool segsym) {
         int rows = std::min(4, B.h - y0);
         bool full = rows == 4;
         uint64_t* Wr = B.row(s);
-        for (int x = 0; x < B.w; x++) {
+        auto cup_one = [&](int x) __attribute__((always_inline)) {
             int x1 = x + 1;
             uint64_t w0 = Wr[x1], w = w0;
             uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
@@ -837,7 +866,7 @@ static void dec_cup(BlockCtx2& B, MQDecoder& mq, int plane, bool segsym) {
                     rl = (w & rlmask) == 0;
             }
             if (rl) {
-                if (!mq.decode(CTX_RL)) continue;
+                if (!mq.decode(CTX_RL)) return;
                 int b1 = mq.decode(CTX_UNI);
                 int b0 = mq.decode(CTX_UNI);
                 first_k = (b1 << 1) | b0;
@@ -858,9 +887,20 @@ static void dec_cup(BlockCtx2& B, MQDecoder& mq, int plane, bool segsym) {
                     w |= (1ULL << (7 + k)) | (neg << (27 + k));
                     B.mark_nbr(Wr, x1, k, neg);
                     B.colact_mark(y0 + k, x);
+                    B.mark_full(w, s, x);
                 }
             }
             if (w != w0) Wr[x1] = w;
+        };
+        if (B.use_bits) {
+            uint64_t cols = B.wmask & ~B.colfull[s];
+            while (cols) {
+                int x = __builtin_ctzll(cols);
+                cols &= cols - 1;
+                cup_one(x);
+            }
+        } else {
+            for (int x = 0; x < B.w; x++) cup_one(x);
         }
     }
     if (segsym) {  // consume (and ignore) the 1010 segmentation symbol
@@ -895,7 +935,7 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
         // per-thread workspace: stripe words + magnitude plane
         uint64_t* words = new uint64_t[words_sz];
         uint32_t* mag = new uint32_t[(int64_t)H * W];
-        uint64_t* colact = new uint64_t[smax + 1];
+        uint64_t* colact = new uint64_t[2 * (smax + 1) + 2];
 
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
@@ -1036,7 +1076,7 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
     {
         uint64_t* words = new uint64_t[words_sz];
         uint32_t* mag = new uint32_t[(int64_t)H * W];
-        uint64_t* colact = new uint64_t[smax + 1];
+        uint64_t* colact = new uint64_t[2 * (smax + 1) + 2];
 
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
