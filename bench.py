@@ -106,14 +106,16 @@ def bench_grok(arr, mp):
                     t = min(t, float(m.group(1)) / 1000.0)
                 return t
 
-            t_enc = _run(
+            # best-of-3 for the reference too: this host's timing noise
+            # swings single samples by 1.5-2x in either direction
+            t_enc = min(_run(
                 [os.path.join(grk, "grk_compress"), "-i", src, "-o", j2k,
                  "-v", *args],
-                "compress", None)
-            t_dec = _run(
+                "compress", None) for _ in range(3))
+            t_dec = min(_run(
                 [os.path.join(grk, "grk_decompress"), "-i", j2k, "-o", dec,
                  "-v"],
-                "decompress", None)
+                "decompress", None) for _ in range(3))
             res[name] = {
                 "enc_mps": round(mp / t_enc, 3),
                 "dec_mps": round(mp / t_dec, 3),

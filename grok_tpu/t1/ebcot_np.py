@@ -211,16 +211,21 @@ def _term_after(styles_termall, styles_bypass, lpi, kind):
 # Distortion-decrease helpers (squared error in coefficient units of 2^{2p};
 # caller scales by step^2 * bandnorm^2). Mirrors native/t1_coder.cpp dd_sig/dd_ref.
 def _dd_sig(v, plane):
-    dv = v.astype(np.float64)
-    rec = 1.5 * float(2.0**plane)
-    return dv * dv - (dv - rec) ** 2
+    # v^2 - (v - 1.5*2^p)^2 = 3*2^p*v - 2.25*4^p, same fp64 op order as the
+    # native coder (constants exact in fp64)
+    c1 = float(3.0 * 2.0**plane)
+    c2 = float(2.25 * 4.0**plane)
+    return c1 * v.astype(np.float64) - c2
 
 
 def _dd_ref(v, plane):
-    dv = v.astype(np.float64)
-    rb = ((v >> (plane + 1)) << (plane + 1)).astype(np.float64) + float(2.0**plane)
-    ra = ((v >> plane) << plane).astype(np.float64) + float(2.0 ** (plane - 1))
-    return (dv - rb) ** 2 - (dv - ra) ** 2
+    # (v - rb)^2 - (v - ra)^2 with a1 = (v mod 2^{p+1}) - 2^p and
+    # a2 = (v mod 2^p) - 2^{p-1}; masks avoid the shift chains
+    m1 = (np.int64(2) << plane) - 1
+    m2 = (np.int64(1) << plane) - 1
+    a1 = (v & m1).astype(np.float64) - float(2.0**plane)
+    a2 = (v & m2).astype(np.float64) - float(2.0 ** (plane - 1))
+    return a1 * a1 - a2 * a2
 
 
 # ================================================================== encoder

@@ -475,17 +475,29 @@ struct StripeLuts {
 static const StripeLuts SL;
 
 // distortion decrease helpers (squared-error change in coefficient units of
-// 2^{2p}; caller scales by step^2 * bandnorm^2 outside)
-static inline double dd_sig(int64_t v, int p) {
-    double dv = (double)v;
-    double rec = 1.5 * std::ldexp(1.0, p);
-    return dv * dv - (dv - rec) * (dv - rec);
+// 2^{2p}; caller scales by step^2 * bandnorm^2 outside). Constants are
+// hoisted per pass — ldexp per coded event was ~100M libm calls per 4K
+// frame. Algebra matches ebcot_np exactly (same fp64 op order).
+struct DistConsts {
+    double sig_c1, sig_c2;  // dd_sig = c1*v - c2  (= v^2 - (v - 1.5*2^p)^2)
+    double full, half;      // 2^p, 0.5*2^p
+    int64_t m1, m2;         // masks: 2^(p+1)-1, 2^p-1
+    explicit DistConsts(int p)
+        : sig_c1(std::ldexp(3.0, p)),
+          sig_c2(std::ldexp(2.25, 2 * p)),
+          full(std::ldexp(1.0, p)),
+          half(std::ldexp(0.5, p)),
+          m1((int64_t(2) << p) - 1),
+          m2((int64_t(1) << p) - 1) {}
+};
+static inline double dd_sig(int64_t v, const DistConsts& dc) {
+    return dc.sig_c1 * (double)v - dc.sig_c2;
 }
-static inline double dd_ref(int64_t v, int p) {
-    double dv = (double)v;
-    double rb = (double)((v >> (p + 1)) << (p + 1)) + std::ldexp(1.0, p);
-    double ra = (double)((v >> p) << p) + std::ldexp(0.5, p);
-    return (dv - rb) * (dv - rb) - (dv - ra) * (dv - ra);
+static inline double dd_ref(int64_t v, const DistConsts& dc) {
+    // (v - rb)^2 - (v - ra)^2 with rb/ra the pre/post-refinement mid-bins
+    double a1 = (double)(v & dc.m1) - dc.full;
+    double a2 = (double)(v & dc.m2) - dc.half;
+    return a1 * a1 - a2 * a2;
 }
 
 // ------------------------------------------------------------ block state
@@ -562,6 +574,7 @@ struct BlockCtx2 {
 static void enc_spp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                     bool raw = false) {
     const uint8_t* zc = SL.zc9[B.orient];
+    const DistConsts dc(plane);
     for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
         int rows = std::min(4, B.h - y0);
         uint64_t* Wr = B.row(s);
@@ -592,7 +605,7 @@ static void enc_spp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                     B.mark_nbr(Wr, x1, k, neg);
                     B.colact_mark(y0 + k, x);
                     B.mark_full(w, s, x);
-                    *dist += dd_sig((int64_t)m, plane);
+                    *dist += dd_sig((int64_t)m, dc);
                 }
             }
             if (w != w0) Wr[x1] = w;
@@ -620,6 +633,7 @@ static void enc_spp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
 
 static void enc_mrp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                     bool raw = false) {
+    const DistConsts dc(plane);
     for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
         int rows = std::min(4, B.h - y0);
         uint64_t* Wr = B.row(s);
@@ -645,7 +659,7 @@ static void enc_mrp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                     mq.encode(bit, ctx);
                 }
                 w |= 1ULL << (22 + k);
-                *dist += dd_ref((int64_t)m, plane);
+                *dist += dd_ref((int64_t)m, dc);
             }
             if (w != w0) Wr[x1] = w;
         };
@@ -668,6 +682,7 @@ static void enc_mrp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
 static void enc_cup(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                     bool segsym) {
     const uint8_t* zc = SL.zc9[B.orient];
+    const DistConsts dc(plane);
     const uint64_t rlmask =
         (B.vsc ? (W_SIG18 & ~W_VSC_SIGCUT) : W_SIG18) | W_VIS4;
     for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
@@ -714,7 +729,7 @@ static void enc_cup(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                     B.mark_nbr(Wr, x1, k, neg);
                     B.colact_mark(y0 + k, x);
                     B.mark_full(w, s, x);
-                    *dist += dd_sig((int64_t)mg[k * B.mstride], plane);
+                    *dist += dd_sig((int64_t)mg[k * B.mstride], dc);
                 }
             }
             if (w != w0) Wr[x1] = w;
