@@ -278,3 +278,78 @@ def encode_tile_to_blob(siz, tcp, params, ti, comp_arrays=None, coeffs=None):
         part_lens.append((ti, psot))
         plens_list.append(plens)
     return bytes(out), part_lens, plens_list
+
+
+class TileEncoder:
+    """Per-tile push encoder (parity: grk_compress_tile,
+    CodeStreamCompress.cpp compressTile / SURVEY §3.5): the caller supplies
+    each tile's component data explicitly — tiles may arrive in any order,
+    the codestream is emitted in tile-index order on close().
+
+    Usage::
+
+        te = TileEncoder(out, image_geometry, params)
+        te.compress_tile(3, comp_arrays_3)
+        te.compress_tile(0, comp_arrays_0)
+        ...
+        te.close()
+    """
+
+    def __init__(self, dst, image: Image, params: CompressParams | None = None):
+        from ..core.stream import OutputStream
+
+        self.params = params or CompressParams()
+        self.params.validate()
+        if self.params.profile:
+            from .profile import apply_profile
+
+            apply_profile(self.params, image)
+        self.image = image
+        self.siz = build_siz(image, self.params)
+        self.tcp = build_tcp(image, self.params)
+        self.out = OutputStream(dst)
+        header, tlm_offset = write_main_header(
+            self.siz, self.tcp, self.params, image
+        )
+        self._tlm_offset = tlm_offset if self.out.seekable else None
+        self.out.write(bytes(header))
+        self._blobs: dict[int, bytes] = {}
+        self._parts: dict[int, list] = {}
+        self._closed = False
+
+    def compress_tile(self, tile_index: int, comp_arrays) -> int:
+        """Encode one tile; returns its compressed byte count. Tiles may be
+        pushed out of order; each index at most once."""
+        if self._closed:
+            raise RuntimeError("TileEncoder already closed")
+        if tile_index in self._blobs:
+            raise ValueError(f"tile {tile_index} already compressed")
+        if not 0 <= tile_index < self.siz.num_tiles:
+            raise ValueError("tile index out of range")
+        blob, part_lens, _plm = encode_tile_to_blob(
+            self.siz, self.tcp, self.params, tile_index, comp_arrays
+        )
+        self._blobs[tile_index] = bytes(blob)
+        self._parts[tile_index] = part_lens
+        return len(blob)
+
+    def close(self) -> int:
+        """Write all tiles in index order + EOC; patch TLM. Returns the
+        final stream length."""
+        missing = [t for t in range(self.siz.num_tiles) if t not in self._blobs]
+        if missing:
+            raise ValueError(f"tiles never compressed: {missing[:8]}")
+        part_lens_all = []
+        for ti in range(self.siz.num_tiles):
+            self.out.write(self._blobs[ti])
+            part_lens_all.extend(self._parts[ti])
+        self.out.write(mk._u16(mk.EOC))
+        if self._tlm_offset is not None:
+            tlm = mk.write_tlm(
+                part_lens_all, st=1 if self.siz.num_tiles <= 255 else 2
+            )
+            self.out.patch(self._tlm_offset, tlm)
+        end = self.out.tell()
+        self.out.close()
+        self._closed = True
+        return end

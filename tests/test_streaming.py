@@ -66,3 +66,34 @@ def test_strip_encode_to_file(tmp_path, rng):
     sc.close()
     out = gk.decompress(str(path)).to_array()
     assert np.array_equal(out.squeeze(), arr)
+
+
+def test_tile_encoder_out_of_order():
+    """Per-tile push API (grk_compress_tile parity): tiles pushed in any
+    order produce a byte-identical stream to the one-shot encoder."""
+    import io
+
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, (150, 220, 3)).astype(np.int32)
+    img = gk.Image.from_array(arr)
+
+    def params():
+        return gk.CompressParams(num_resolutions=3, tile_size=(96, 64),
+                                 write_tlm=True)
+
+    ref = bytes(gk.compress(img, params()))
+    from grok_tpu.codestream.compress import TileEncoder
+
+    buf = io.BytesIO()
+    te = TileEncoder(buf, img, params())
+    for ti in reversed(range(te.siz.num_tiles)):
+        tb = te.siz.tile_bounds(ti)
+        comp = [np.ascontiguousarray(arr[tb.y0:tb.y1, tb.x0:tb.x1, c])
+                for c in range(3)]
+        te.compress_tile(ti, comp)
+    te.close()
+    assert buf.getvalue() == ref
+    with pytest.raises(ValueError):
+        te2 = TileEncoder(io.BytesIO(), img, params())
+        te2.compress_tile(0, comp)
+        te2.compress_tile(0, comp)
