@@ -169,3 +169,72 @@ def test_broadcast_profiles(rng):
     assert np.array_equal(out, arr)  # MULTI_R stays reversible
     info = gk.parse_codestream(s1)
     assert len(info.tile_parts[0]) == 3  # one tile-part per component
+
+
+def test_cli_compress_flag_surface(tmp_path):
+    """New grk_compress-parity flags parse and produce decodable streams."""
+    import numpy as np
+    from PIL import Image as PImage
+
+    import grok_tpu as gk
+    from grok_tpu.cli.compress import main as cmain
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+    src = str(tmp_path / "in.png")
+    PImage.fromarray(arr).save(src)
+
+    out1 = str(tmp_path / "a.j2k")
+    assert cmain(["-i", src, "-o", out1, "-P", "0,0,1,2,3,RLCP",
+                  "-R", "c=0,U=4", "--TP", "R", "-A", "1"]) == 0
+    dec = gk.decompress(open(out1, "rb").read()).to_array()
+    assert np.array_equal(dec, arr)
+
+    out2 = str(tmp_path / "b.jp2")
+    assert cmain(["-i", src, "-o", out2, "-Q", "300,300", "-D", "72,72"]) == 0
+    from grok_tpu.codestream.jp2 import unwrap_jp2
+
+    info = unwrap_jp2(open(out2, "rb").read())
+    assert info.capture_resolution == (300.0, 300.0)
+    assert info.display_resolution == (72.0, 72.0)
+
+    # raw input via -F
+    raw = str(tmp_path / "r.raw")
+    arr[:, :, 0].tofile(raw)
+    out3 = str(tmp_path / "c.j2k")
+    assert cmain(["-i", raw, "-o", out3, "-F", "128,96,1,8,u"]) == 0
+    assert cmain(["-i", raw, "-o", out3]) == 1  # raw without -F: clean error
+
+
+def test_cli_decompress_flag_surface(tmp_path):
+    """Decompress parity flags: precision forcing, split, batch, XML."""
+    import numpy as np
+    from PIL import Image as PImage
+
+    import grok_tpu as gk
+    from grok_tpu.cli.compress import main as cmain
+    from grok_tpu.cli.decompress import main as dmain
+
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 256, (64, 80, 3)).astype(np.uint8)
+    src = str(tmp_path / "in.png")
+    PImage.fromarray(arr).save(src)
+    j2k = str(tmp_path / "x.j2k")
+    assert cmain(["-i", src, "-o", j2k]) == 0
+
+    # precision scale to 6 bits
+    p6 = str(tmp_path / "p6.png")
+    assert dmain(["-i", j2k, "-o", p6, "-p", "6S"]) == 0
+    assert np.asarray(PImage.open(p6)).max() <= 63
+
+    # split components
+    sp = str(tmp_path / "s.ppm")
+    assert dmain(["-i", j2k, "-o", sp, "-s"]) == 0
+    assert (tmp_path / "s_0.ppm").exists() and (tmp_path / "s_2.ppm").exists()
+
+    # batch mode
+    bat = tmp_path / "bat"
+    bat.mkdir()
+    (bat / "one.j2k").write_bytes(open(j2k, "rb").read())
+    assert dmain(["-y", str(bat), "-a", str(bat), "-O", "png"]) == 0
+    assert (bat / "one.png").exists()
