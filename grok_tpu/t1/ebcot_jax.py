@@ -575,23 +575,28 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes, max_passes):
 
         def cup_col(st, s_idx, x, plane, lanes_m):
             y0 = 4 * s_idx + 1
-            rl = lanes_m & (st["full_stripe"][s_idx] == 1)
+            rl0 = lanes_m & (st["full_stripe"][s_idx] == 1)
             colw = jax.lax.dynamic_slice(inb, (4 * s_idx, x - 1, 0), (4, 1, N))[:, 0]
-            rl = rl & (colw[0] == 1)  # x within lane width, row0 in block
-            first_k = jnp.full((N,), 4, dtype=jnp.int32)
-            bits4 = []
-            for k in range(4):
+            rl0 = rl0 & (colw[0] == 1)  # x within lane width, row0 in block
+
+            def rl_scan(k, rl):
                 y = y0 + k
                 sig_v = _get_at(jax, jnp, st["sig"], y, x)
                 vis = _get_at(jax, jnp, st["visited"], y, x)
                 _, ncnt = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x,
                                   zc_lut, st["vsc"])
-                rl = rl & (sig_v == 0) & (vis == 0) & (ncnt == 0)
-                bits4.append(
-                    ((_get_at(jax, jnp, st["mag"], y, x) >> plane) & 1).astype(jnp.int32)
-                )
-            for k in range(3, -1, -1):
-                first_k = jnp.where(rl & (bits4[k] == 1), k, first_k)
+                return rl & (sig_v == 0) & (vis == 0) & (ncnt == 0)
+
+            rl = jax.lax.fori_loop(0, 4, rl_scan, rl0)
+
+            def fk_scan(k, first_k):
+                bit = ((_get_at(jax, jnp, st["mag"], y0 + k, x) >> plane) & 1)
+                hit = rl & (bit == 1) & (first_k == 4)
+                return jnp.where(hit, k, first_k).astype(jnp.int32)
+
+            first_k = jax.lax.fori_loop(
+                0, 4, fk_scan, jnp.full((N,), 4, dtype=jnp.int32)
+            )
             rl_bit = jnp.where(rl & (first_k < 4), 1, 0).astype(jnp.int32)
             rl_ctx = jnp.full((N,), CTX_RL, dtype=jnp.int32)
             uni_ctx = jnp.full((N,), CTX_UNI, dtype=jnp.int32)
@@ -600,7 +605,8 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes, max_passes):
             st = mq_enc(st, (first_k >> 1) & 1, uni_ctx, sigcol)
             st = mq_enc(st, first_k & 1, uni_ctx, sigcol)
             skip_rl0 = rl & (rl_bit == 0)
-            for k in range(4):
+
+            def code_row(k, st):
                 y = y0 + k
                 pos_inb = jax.lax.dynamic_slice(inb, (y - 1, x - 1, 0), (1, 1, N))[0, 0]
                 sig_v = _get_at(jax, jnp, st["sig"], y, x)
@@ -616,22 +622,26 @@ def _build_encoder(jax, jnp, H, W, N, max_bytes, max_passes):
                 bit = ((_get_at(jax, jnp, st["mag"], y, x) >> plane) & 1).astype(jnp.int32)
                 st = mq_enc(st, bit, ctx, zc_code)
                 became = (zc_code & (bit == 1)) | implied
-                st = code_sign(st, y, x, became, plane)
-            return st
+                return code_sign(st, y, x, became, plane)
+
+            return jax.lax.fori_loop(0, 4, code_row, st)
 
         def pass_loop(st, plane, lanes_m, kind):
             def stripe_loop(s_idx, st):
                 def col_loop(x, st):
                     if kind == 2:
                         return cup_col(st, s_idx, x + 1, plane, lanes_m)
-                    st2 = st
-                    for k in range(4):
+
+                    # fori over the 4 stripe rows: the row body is traced
+                    # once instead of four times (XLA program size, and
+                    # with it compile time, drops ~4x)
+                    def row_body(k, st2):
                         y = 4 * s_idx + k + 1
                         if kind == 0:
-                            st2 = spp_body(st2, y, x + 1, plane, lanes_m)
-                        else:
-                            st2 = mrp_body(st2, y, x + 1, plane, lanes_m)
-                    return st2
+                            return spp_body(st2, y, x + 1, plane, lanes_m)
+                        return mrp_body(st2, y, x + 1, plane, lanes_m)
+
+                    return jax.lax.fori_loop(0, 4, row_body, st)
 
                 return jax.lax.fori_loop(0, W, col_loop, st)
 
@@ -830,16 +840,19 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
 
         def cup_col(st, s_idx, x, plane, lanes_m):
             y0 = 4 * s_idx + 1
-            rl = lanes_m & (st["full_stripe"][s_idx] == 1)
+            rl0 = lanes_m & (st["full_stripe"][s_idx] == 1)
             colw = jax.lax.dynamic_slice(inb, (4 * s_idx, x - 1, 0), (4, 1, N))[:, 0]
-            rl = rl & (colw[0] == 1)
-            for k in range(4):
+            rl0 = rl0 & (colw[0] == 1)
+
+            def rl_scan(k, rl):
                 y = y0 + k
                 sig_v = _get_at(jax, jnp, st["sig"], y, x)
                 vis = _get_at(jax, jnp, st["visited"], y, x)
                 _, ncnt = _zc_ctx(jax, jnp, st["sig"], st["or_oh"], y, x,
                                   zc_lut, st["vsc"])
-                rl = rl & (sig_v == 0) & (vis == 0) & (ncnt == 0)
+                return rl & (sig_v == 0) & (vis == 0) & (ncnt == 0)
+
+            rl = jax.lax.fori_loop(0, 4, rl_scan, rl0)
             rl_ctx = jnp.full((N,), CTX_RL, dtype=jnp.int32)
             uni_ctx = jnp.full((N,), CTX_UNI, dtype=jnp.int32)
             st, rl_bit = mq_dec(st, rl_ctx, rl)
@@ -848,7 +861,8 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
             st, b0 = mq_dec(st, uni_ctx, sigcol)
             first_k = jnp.where(sigcol, (b1 << 1) | b0, 4)
             skip_rl0 = rl & (rl_bit == 0)
-            for k in range(4):
+
+            def code_row(k, st):
                 y = y0 + k
                 pos_inb = jax.lax.dynamic_slice(inb, (y - 1, x - 1, 0), (1, 1, N))[0, 0]
                 sig_v = _get_at(jax, jnp, st["sig"], y, x)
@@ -863,22 +877,26 @@ def _build_decoder(jax, jnp, H, W, N, max_bytes):
                                  zc_lut, st["vsc"])
                 st, bit = mq_dec(st, ctx, zc_code)
                 became = (zc_code & (bit == 1)) | implied
-                st = dec_sign(st, y, x, became, plane)
-            return st
+                return dec_sign(st, y, x, became, plane)
+
+            return jax.lax.fori_loop(0, 4, code_row, st)
 
         def pass_loop(st, plane, lanes_m, kind):
             def stripe_loop(s_idx, st):
                 def col_loop(x, st):
                     if kind == 2:
                         return cup_col(st, s_idx, x + 1, plane, lanes_m)
-                    st2 = st
-                    for k in range(4):
+
+                    # fori over the 4 stripe rows: the row body is traced
+                    # once instead of four times (XLA program size, and
+                    # with it compile time, drops ~4x)
+                    def row_body(k, st2):
                         y = 4 * s_idx + k + 1
                         if kind == 0:
-                            st2 = spp_body(st2, y, x + 1, plane, lanes_m)
-                        else:
-                            st2 = mrp_body(st2, y, x + 1, plane, lanes_m)
-                    return st2
+                            return spp_body(st2, y, x + 1, plane, lanes_m)
+                        return mrp_body(st2, y, x + 1, plane, lanes_m)
+
+                    return jax.lax.fori_loop(0, 4, row_body, st)
 
                 return jax.lax.fori_loop(0, W, col_loop, st)
 
