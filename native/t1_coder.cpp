@@ -582,8 +582,10 @@ static void enc_spp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
             int x1 = x + 1;
             uint64_t w0 = Wr[x1], w = w0;
             const uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
-            for (int k = 0; k < rows; k++) {
-                if (w & (1ULL << (7 + k))) continue;
+            unsigned cand = ~(unsigned)(w >> 7) & ((1u << rows) - 1);
+            while (cand) {
+                int k = __builtin_ctz(cand);
+                cand &= cand - 1;
                 uint32_t key = zkey(w, k) & B.zmask[k];
                 if (!(key & 0x1EF)) continue;
                 uint32_t m = mg[k * B.mstride];
@@ -712,8 +714,12 @@ static void enc_cup(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
                 mq.encode((first_k >> 1) & 1, CTX_UNI);
                 mq.encode(first_k & 1, CTX_UNI);
             }
-            for (int k = (rl ? first_k : 0); k < rows; k++) {
-                if (w & ((1ULL << (7 + k)) | (1ULL << (18 + k)))) continue;
+            unsigned cand = ~(unsigned)((w >> 7) | (w >> 18)) &
+                            ((1u << rows) - 1);
+            if (rl) cand &= ~((1u << first_k) - 1);
+            while (cand) {
+                int k = __builtin_ctz(cand);
+                cand &= cand - 1;
                 int bit;
                 if (rl && k == first_k) {
                     bit = 1;  // significance implied by the run interrupt
@@ -765,8 +771,10 @@ static void dec_spp(BlockCtx2& B, MQDecoder& mq, int plane, bool raw = false) {
             int x1 = x + 1;
             uint64_t w0 = Wr[x1], w = w0;
             uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
-            for (int k = 0; k < rows; k++) {
-                if (w & (1ULL << (7 + k))) continue;
+            unsigned cand = ~(unsigned)(w >> 7) & ((1u << rows) - 1);
+            while (cand) {
+                int k = __builtin_ctz(cand);
+                cand &= cand - 1;
                 uint32_t key = zkey(w, k) & B.zmask[k];
                 if (!(key & 0x1EF)) continue;
                 int bit = raw ? mq.raw_bit() : mq.decode(zc[key]);
@@ -886,8 +894,12 @@ static void dec_cup(BlockCtx2& B, MQDecoder& mq, int plane, bool segsym) {
                 int b0 = mq.decode(CTX_UNI);
                 first_k = (b1 << 1) | b0;
             }
-            for (int k = (rl ? first_k : 0); k < rows; k++) {
-                if (w & ((1ULL << (7 + k)) | (1ULL << (18 + k)))) continue;
+            unsigned cand = ~(unsigned)((w >> 7) | (w >> 18)) &
+                            ((1u << rows) - 1);
+            if (rl) cand &= ~((1u << first_k) - 1);
+            while (cand) {
+                int k = __builtin_ctz(cand);
+                cand &= cand - 1;
                 int bit;
                 if (rl && k == first_k) {
                     bit = 1;
