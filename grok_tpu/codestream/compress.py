@@ -186,12 +186,33 @@ def compress(image: Image, params: CompressParams | None = None,
     tile_part_lengths: list[tuple[int, int]] = []
     tiles_blob = bytearray()
     plm_parts: list[list[int]] = []  # per tile-part packet lengths (PLM)
-    for ti in range(num_tiles):
+
+    def enc_one(ti):
         coeffs = tile_coeff_fn(ti) if tile_coeff_fn is not None else None
         comp_arrays = None if coeffs is not None else _extract_tile(image, siz, ti)
-        blob, part_lens, plens_list = encode_tile_to_blob(
-            siz, tcp, params, ti, comp_arrays, coeffs
-        )
+        return encode_tile_to_blob(siz, tcp, params, ti, comp_arrays, coeffs)
+
+    if num_tiles > 1 and tile_coeff_fn is None:
+        # tile-parallel encode on host threads (reference parity: one
+        # TileProcessor per tile on the pool, output serialized in tile
+        # order — CodeStreamCompress.cpp:615); each worker caps its OMP
+        # team so tiles*omp ~= ncores
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..core.cpu import host_threads, set_tile_threads
+
+        nw = min(host_threads(params.num_threads), num_tiles, 8)
+        per_tile = max(1, host_threads(params.num_threads) // nw)
+
+        def work(ti):
+            set_tile_threads(per_tile)
+            return enc_one(ti)
+
+        with ThreadPoolExecutor(max_workers=nw) as ex:
+            results = list(ex.map(work, range(num_tiles)))
+    else:
+        results = [enc_one(ti) for ti in range(num_tiles)]
+    for blob, part_lens, plens_list in results:
         tiles_blob += blob
         tile_part_lengths.extend(part_lens)
         plm_parts.extend(plens_list)

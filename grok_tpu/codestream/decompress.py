@@ -231,13 +231,33 @@ class Decoder:
                 if window is None or not siz.tile_bounds(ti).intersect(window).empty()
             ]
         img = self._make_image(window)
-        for ti in tiles:
-            if window is not None:
-                arrays, rects = self.decompress_tile(ti, window)
-                self._paste_window(img, arrays, rects)
-            else:
-                arrays = self.decompress_tile(ti)
+        if window is None and len(tiles) > 1:
+            # tile-parallel decode on host threads (reference parity:
+            # decompressTiles thread pool); native calls release the GIL,
+            # and each worker caps its OpenMP team so tiles*omp ~= ncores
+            from concurrent.futures import ThreadPoolExecutor
+
+            from ..core.cpu import host_threads, set_tile_threads
+
+            nw = min(host_threads(self.params.num_threads), len(tiles), 8)
+            per_tile = max(1, host_threads(self.params.num_threads) // nw)
+
+            def work(ti):
+                set_tile_threads(per_tile)
+                return self.decompress_tile(ti)
+
+            with ThreadPoolExecutor(max_workers=nw) as ex:
+                results = list(ex.map(work, tiles))
+            for ti, arrays in zip(tiles, results):
                 self._paste_tile(img, ti, arrays)
+        else:
+            for ti in tiles:
+                if window is not None:
+                    arrays, rects = self.decompress_tile(ti, window)
+                    self._paste_window(img, arrays, rects)
+                else:
+                    arrays = self.decompress_tile(ti)
+                    self._paste_tile(img, ti, arrays)
         if self.jp2_info is not None:
             from .jp2 import apply_palette
 

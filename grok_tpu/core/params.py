@@ -207,3 +207,4 @@ class DecompressParams:
     upsample: bool = False
     io_buffer_mb: int = 64
     tile_cache_all: bool = False  # cache decoded tiles for re-reads
+    num_threads: int = 0  # 0 = auto; host tile-parallel decode pool

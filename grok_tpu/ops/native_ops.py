@@ -9,6 +9,13 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..core.cpu import tile_threads
+
+def _nthreads(n: int) -> int:
+    """0 means 'unset': resolve via the per-tile thread-local cap."""
+    return n if n > 0 else tile_threads()
+
+
 
 def get_lib():
     from ..t1.native import get_lib as _gl
@@ -35,7 +42,7 @@ def dwt_forward(arr: np.ndarray, rect, num_levels: int, irreversible: bool,
             return None
         fn = lib.dwt53_forward
     fn(arr, arr.shape[1], rect.x0, rect.y0, rect.x1, rect.y1,
-       num_levels, num_threads)
+       num_levels, _nthreads(num_threads))
     return arr
 
 
@@ -53,7 +60,7 @@ def dwt_inverse(arr: np.ndarray, rect, num_levels: int, irreversible: bool,
             return None
         fn = lib.dwt53_inverse
     fn(arr, arr.shape[1], rect.x0, rect.y0, rect.x1, rect.y1,
-       num_levels, num_threads)
+       num_levels, _nthreads(num_threads))
     return arr
 
 
@@ -77,7 +84,7 @@ def quant_bands(src: np.ndarray, bands, roi_shift: int = 0,
     out = np.zeros(src.shape, dtype=np.int32)
     oys, oxs, hs, ws, steps = _band_arrays(bands)
     lib.quant_bands(src, out, src.shape[1], len(bands), oys, oxs, hs, ws,
-                    steps, roi_shift, num_threads)
+                    steps, roi_shift, _nthreads(num_threads))
     return out
 
 
@@ -89,7 +96,7 @@ def dequant_bands(src: np.ndarray, bands, num_threads: int = 0):
     out = np.zeros(src.shape, dtype=np.float32)
     oys, oxs, hs, ws, steps = _band_arrays(bands)
     lib.dequant_bands(src, out, src.shape[1], len(bands), oys, oxs, hs, ws,
-                      steps, num_threads)
+                      steps, _nthreads(num_threads))
     return out
 
 
@@ -97,7 +104,7 @@ def roi_unshift(arr: np.ndarray, shift: int, num_threads: int = 0):
     lib = get_lib()
     if lib is None or arr.dtype != np.int32 or not arr.flags.c_contiguous:
         return None
-    lib.roi_unshift(arr.reshape(-1), arr.size, shift, num_threads)
+    lib.roi_unshift(arr.reshape(-1), arr.size, shift, _nthreads(num_threads))
     return arr
 
 
@@ -112,7 +119,7 @@ def finish_irrev(arr: np.ndarray, off: float, lo: int, hi: int,
         return None
     out = arr.view(np.int32) if in_place else np.empty(arr.shape, dtype=np.int32)
     lib.finish_irrev(arr.reshape(-1), out.reshape(-1), arr.size,
-                     np.float32(0.5 + off), lo, hi, num_threads)
+                     np.float32(0.5 + off), lo, hi, _nthreads(num_threads))
     return out
 
 

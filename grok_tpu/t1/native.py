@@ -14,6 +14,13 @@ import threading
 
 import numpy as np
 
+from ..core.cpu import tile_threads
+
+def _nthreads(n: int) -> int:
+    """0 means 'unset': resolve via the per-tile thread-local cap."""
+    return n if n > 0 else tile_threads()
+
+
 from .ebcot_np import T1EncodeResult
 
 SUPPORTED_STYLES = 0x3F  # all Part-1 codeblock style bits (T.800 Table A-19)
@@ -235,7 +242,7 @@ def ht_encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0):
         coeffs,
         np.ascontiguousarray(heights, dtype=np.int32),
         np.ascontiguousarray(widths, dtype=np.int32),
-        n, h, w, data, max_bytes, lengths, numbps, dist, num_threads,
+        n, h, w, data, max_bytes, lengths, numbps, dist, _nthreads(num_threads),
     )
     npasses = np.where(numbps > 0, 1, 0).astype(np.int64)
     return T1EncodeResult(
@@ -261,7 +268,7 @@ def ht_decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
         np.ascontiguousarray(npasses, dtype=np.int32),
         np.ascontiguousarray(heights, dtype=np.int32),
         np.ascontiguousarray(widths, dtype=np.int32),
-        n, block_h, block_w, data.shape[1], out, num_threads,
+        n, block_h, block_w, data.shape[1], out, _nthreads(num_threads),
     )
     if rc != 0:
         from ..core import logging as log
@@ -311,7 +318,7 @@ def encode_cblks(
         coeffs, heights32, widths32, orients32, styles32,
         n, h, w, data, max_bytes,
         lengths, numbps, npasses, rates, dists,
-        max_passes, num_threads,
+        max_passes, _nthreads(num_threads),
     )
     if (lengths < 0).any():
         # the coder flagged a buffer overflow (heuristic bound exceeded):
@@ -324,7 +331,7 @@ def encode_cblks(
             coeffs, heights32, widths32, orients32, styles32,
             n, h, w, data, max_bytes,
             lengths, numbps, npasses, rates, dists,
-            max_passes, num_threads,
+            max_passes, _nthreads(num_threads),
         )
         if (lengths < 0).any():
             from ..core.errors import GrokTpuError
@@ -376,7 +383,7 @@ def decode_cblks(
             styles if styles is not None else np.zeros(n), dtype=np.int32
         ),
         seg_lengths, seg_lengths.shape[1],
-        n, block_h, block_w, data.shape[1], out, num_threads,
+        n, block_h, block_w, data.shape[1], out, _nthreads(num_threads),
     )
     planes = np.minimum((np.asarray(npasses) + 2) // 3, np.asarray(numbps))
     return out, planes

@@ -138,7 +138,10 @@ def cached_tile_comp_geometry(comp: int, tc_rect: Rect,
     if g is None:
         g = build_tile_comp_geometry(comp, tc_rect, tccp)
         if len(_GEOM_CACHE) >= _GEOM_CACHE_CAP:
-            _GEOM_CACHE.pop(next(iter(_GEOM_CACHE)))
+            try:  # concurrent tile workers may race the eviction
+                _GEOM_CACHE.pop(next(iter(_GEOM_CACHE)))
+            except (KeyError, StopIteration):
+                pass
         _GEOM_CACHE[key] = g
     return g, key
 

@@ -108,7 +108,10 @@ class TileProcessor:
                     self.siz, self.tcp, self.geoms, self.tile_rect
                 )
                 if len(cache) >= 32:
-                    cache.pop(next(iter(cache)))
+                    try:  # concurrent tile workers may race the eviction
+                        cache.pop(next(iter(cache)))
+                    except (KeyError, StopIteration):
+                        pass
                 cache[key] = flat
             self._flat_t2 = flat
         return flat

@@ -643,9 +643,11 @@ static void enc_mrp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
             int x1 = x + 1;
             uint64_t w0 = Wr[x1], w = w0;
             const uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
-            for (int k = 0; k < rows; k++) {
-                if (!(w & (1ULL << (7 + k))) || (w & (1ULL << (18 + k))))
-                    continue;
+            unsigned cand = (unsigned)(w >> 7) & ~(unsigned)(w >> 18) &
+                            ((1u << rows) - 1);
+            while (cand) {
+                int k = __builtin_ctz(cand);
+                cand &= cand - 1;
                 uint32_t m = mg[k * B.mstride];
                 int bit = (int)((m >> plane) & 1);
                 if (raw) {
@@ -826,9 +828,11 @@ static void dec_mrp(BlockCtx2& B, MQDecoder& mq, int plane, bool raw = false) {
             int x1 = x + 1;
             uint64_t w0 = Wr[x1], w = w0;
             uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
-            for (int k = 0; k < rows; k++) {
-                if (!(w & (1ULL << (7 + k))) || (w & (1ULL << (18 + k))))
-                    continue;
+            unsigned cand = (unsigned)(w >> 7) & ~(unsigned)(w >> 18) &
+                            ((1u << rows) - 1);
+            while (cand) {
+                int k = __builtin_ctz(cand);
+                cand &= cand - 1;
                 int bit;
                 if (raw) {
                     bit = mq.raw_bit();
