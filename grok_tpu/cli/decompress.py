@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="store embedded XML metadata to BASE.xml")
     p.add_argument("-e", "--repetitions", type=int, default=1,
                    help="decode repeatedly (performance measurement)")
+    p.add_argument("-c", "--compression", default=None,
+                   help="TIF output compression (NONE/LZW/ZIP/PACKBITS/...)")
+    p.add_argument("-L", "--compression_level", type=int, default=None,
+                   help="PNG output compression level 0-9")
     p.add_argument("-W", "--logfile", help="append verbose output to this file")
     p.add_argument("-H", "--num_threads", type=int, default=0)
     p.add_argument("-v", "--verbose", action="store_true")
@@ -114,7 +118,12 @@ def run_one(in_file: str, out_file: str, args) -> None:
             one.components.append(comp)
             save_image(f"{base}_{ci}{ext or '.pgm'}", one)
     else:
-        save_image(out_file, img)
+        save_kw = {}
+        if args.compression and out_file.lower().endswith((".tif", ".tiff")):
+            save_kw["compression"] = args.compression.lower()
+        if args.compression_level is not None and out_file.lower().endswith(".png"):
+            save_kw["compress_level"] = args.compression_level
+        save_image(out_file, img, **save_kw)
     if args.verbose or args.logfile:
         mp = sum(c.w * c.h for c in img.components) / 1e6
         line = (f"{in_file}: decoded {mp:.2f} MP in {dt*1000:.1f} ms "

@@ -133,7 +133,7 @@ def load_image(path: str, **raw_kw) -> Image:
     return img
 
 
-def save_image(path: str, image: Image) -> None:
+def save_image(path: str, image: Image, **save_kw) -> None:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".pgx":
         base = os.path.splitext(path)[0]
@@ -160,4 +160,4 @@ def save_image(path: str, image: Image) -> None:
         if arr.shape[2] != 1:
             raise ValueError(f"16-bit multi-component {ext} output unsupported; use .ppm/.tif")
         pil = PImage.fromarray(arr[:, :, 0].astype(np.uint16), mode="I;16")
-    pil.save(path)
+    pil.save(path, **save_kw)

@@ -5,17 +5,44 @@
 - ebcot_jax: device (TPU) lockstep coder
 
 select_backend() resolves the implementation: GROK_TPU_T1 env var
-("native" | "numpy" | "jax") or native-if-available.
+("native" | "numpy" | "jax" | a registered name) or native-if-available.
+
+register_backend() is the pluggable-accelerator hook (capability parity
+with the reference's T1 plugin framework, plugin/plugin_interface.h:134 +
+plugin_bridge.cpp: an external module supplies the block coder while the
+host keeps rate control and T2). A backend is any module/object exposing::
+
+    encode_cblks(coeffs, heights, widths, orients, styles=None, ...)
+    decode_cblks(data, lengths, numbps, npasses, heights, widths,
+                 orients, block_h, block_w, styles=None, seg_lengths=None)
+    SUPPORTED_STYLES  (int bitmask of T.800 Table A-19 style bits)
 """
 
 from __future__ import annotations
 
 import os
 
+_REGISTRY: dict[str, object] = {}
+
+
+def register_backend(name: str, module) -> None:
+    """Register an external T1 implementation under ``name``; select it
+    with GROK_TPU_T1=<name> or select_backend(<name>)."""
+    for attr in ("encode_cblks", "decode_cblks"):
+        if not hasattr(module, attr):
+            raise TypeError(f"T1 backend {name!r} lacks {attr}()")
+    _REGISTRY[name] = module
+
+
+def unregister_backend(name: str) -> None:
+    _REGISTRY.pop(name, None)
+
 
 def select_backend(name: str | None = None):
     """Returns a module exposing encode_cblks/decode_cblks."""
     name = name or os.environ.get("GROK_TPU_T1", "auto")
+    if name in _REGISTRY:
+        return _REGISTRY[name]
     if name in ("native", "auto"):
         from . import native
 
@@ -27,6 +54,9 @@ def select_backend(name: str | None = None):
         from . import ebcot_jax
 
         return ebcot_jax
+    if name not in ("auto", "numpy", "native"):
+        raise ValueError(f"unknown T1 backend {name!r} "
+                         f"(registered: {sorted(_REGISTRY)})")
     from . import ebcot_np
 
     return ebcot_np
