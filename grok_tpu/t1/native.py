@@ -231,7 +231,8 @@ def ht_encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0):
     lib = get_lib()
     coeffs = np.ascontiguousarray(coeffs, dtype=np.int32)
     n, h, w = coeffs.shape
-    maxmag = int(np.abs(coeffs).max(initial=0))
+    # temp-free |max|: np.abs on a multi-hundred-MB batch costs seconds
+    maxmag = int(max(coeffs.max(initial=0), -int(coeffs.min(initial=0))))
     bytes_per_sample = (2 * maxmag).bit_length() // 8 + 2
     max_bytes = max(256, h * w * bytes_per_sample + (h * w) // 2 + 64)
     data = np.zeros((n, max_bytes), dtype=np.uint8)
@@ -302,7 +303,8 @@ def encode_cblks(
     )
 
     # worst-case magnitude bitplanes bound the buffer/pass sizes
-    maxmag = int(np.abs(coeffs).max(initial=0))
+    # (temp-free |max|: np.abs on a multi-hundred-MB batch costs seconds)
+    maxmag = int(max(coeffs.max(initial=0), -int(coeffs.min(initial=0))))
     pmax = maxmag.bit_length()
     max_passes = max(3 * pmax - 2, 1)
     max_bytes = max(64, (pmax * h * w) // 4 + 128)
