@@ -214,11 +214,26 @@ def decode_packets(lib, flat: FlatTileT2, body, max_layers, use_sop, use_eph,
             out_entry, out_np, out_nb, out_off, max_contrib, n_contrib,
             entry_numbps, end_pos,
         )
-        if rc == 0:
+        if rc == 0 or rc == 1:
             n = int(n_contrib[0])
-            return entry_numbps, (out_entry[:n], out_np[:n], out_nb[:n],
-                                  out_off[:n]), body_arr
-        if rc == 1:
-            raise CorruptPacketError("packet parse error")
+            ent = out_entry[:n]
+            np_c = out_np[:n]
+            nb = out_nb[:n]
+            off = out_off[:n]
+            if rc == 1:
+                # corrupt packet: keep every contribution parsed before the
+                # error whose body bytes are actually present (reference
+                # parity: T2Decompress m_corrupt_packet tolerance decodes
+                # the intact prefix and leaves the rest zero)
+                ok = (off >= 0) & (off + nb <= len(body))
+                if not bool(ok.all()):
+                    ent, np_c, nb, off = ent[ok], np_c[ok], nb[ok], off[ok]
+                from ..core import logging as log
+
+                log.warn(
+                    "corrupt packet at byte %d: keeping %d intact "
+                    "contributions", int(end_pos[0]), len(ent),
+                )
+            return entry_numbps, (ent, np_c, nb, off), body_arr
         max_contrib *= 4
     raise MemoryError("T2 decode contribution buffer sizing failed")
