@@ -57,12 +57,57 @@ def dump(data: bytes, out=sys.stdout) -> None:
         print(f"  tile {ti}: {len(spans)} part(s), {total} bytes", file=out)
 
 
+def dump_markers(data: bytes, out=sys.stdout) -> None:
+    """Marker-by-marker listing with offsets/lengths (reference -v
+    parity: grk_dump prints the raw marker structure)."""
+    if is_jp2(data):
+        data = unwrap_jp2(data).codestream
+    names = {
+        0xFF4F: "SOC", 0xFF51: "SIZ", 0xFF52: "COD", 0xFF53: "COC",
+        0xFF5C: "QCD", 0xFF5D: "QCC", 0xFF5E: "RGN", 0xFF5F: "POC",
+        0xFF55: "TLM", 0xFF57: "PLM", 0xFF58: "PLT", 0xFF60: "PPM",
+        0xFF61: "PPT", 0xFF63: "CRG", 0xFF64: "COM", 0xFF90: "SOT",
+        0xFF93: "SOD", 0xFFD9: "EOC", 0xFF91: "SOP", 0xFF92: "EPH",
+        0xFF50: "CAP", 0xFF74: "MCT", 0xFF75: "MCC", 0xFF77: "MCO",
+    }
+    pos = 0
+    n = len(data)
+    psot_end = None
+    while pos + 2 <= n:
+        m = (data[pos] << 8) | data[pos + 1]
+        nm = names.get(m, f"0x{m:04X}")
+        if m in (0xFF4F, 0xFFD9, 0xFF93):
+            print(f"  {pos:#010x}  {nm}", file=out)
+            pos += 2
+            if m == 0xFF93:  # SOD: skip to the end of this tile part
+                pos = psot_end if psot_end else n
+            if m == 0xFFD9:
+                break
+            continue
+        if pos + 4 > n:
+            break
+        ln = (data[pos + 2] << 8) | data[pos + 3]
+        print(f"  {pos:#010x}  {nm}  L={ln}", file=out)
+        if m == 0xFF90 and ln >= 10:  # SOT: record Psot for SOD skip
+            isot = (data[pos + 4] << 8) | data[pos + 5]
+            psot = int.from_bytes(data[pos + 6 : pos + 10], "big")
+            psot_end = pos + (psot if psot else n - pos)
+            print(f"              tile={isot} Psot={psot}", file=out)
+        pos += 2 + ln
+
+
 def _cli_guard(argv=None) -> int:
     p = argparse.ArgumentParser(prog="grok-tpu-dump")
     p.add_argument("-i", "--in_file", required=True)
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="also list every marker segment with offsets")
     args = p.parse_args(argv)
     with open(args.in_file, "rb") as f:
-        dump(f.read())
+        data = f.read()
+    dump(data)
+    if args.verbose:
+        print("Markers:")
+        dump_markers(data)
     return 0
 
 

@@ -736,6 +736,17 @@ class TileProcessor:
                     np.ascontiguousarray(row_steps[mask]),
                     staging[c], staging[c].shape[1], 0,
                 )
+            elif not isinstance(staging[c], np.ndarray):
+                # sparse canvas (windowed decode): python writes — the
+                # window restriction keeps the block count small
+                pys = flat.e_py[sel][mask]
+                pxs = flat.e_px[sel][mask]
+                hhs = flat.e_h[sel][mask]
+                wws = flat.e_w[sel][mask]
+                for r2, py2, px2, h2, w2 in zip(
+                        rows_all[mask], pys, pxs, hhs, wws):
+                    staging[c].write(int(py2), int(px2),
+                                     coeffs[r2, :h2, :w2])
             else:
                 lib.scatter_rows(
                     coeffs, cbh, cbw,
@@ -966,13 +977,20 @@ class TileProcessor:
             "GROK_TPU_NATIVE_OPS", "1") != "0" else None
 
         cbh, cbw = self._nominal_cblk()
+        sparse_win = window is not None and lib is not None
         coeff_arrays = []
         for c2, g in enumerate(self.geoms):
             top = max(g.num_resolutions - 1 - reduce, 0)
             rr = g.resolutions[top].rect
-            coeff_arrays.append(
-                np.zeros((rr.height, rr.width), dtype=np.float32 if irrev else np.int32)
-            )
+            dt = np.float32 if irrev else np.int32
+            if sparse_win:
+                # windowed decode: chunk-allocated sparse canvas (reference
+                # SparseCanvas parity) — only touched regions materialize
+                from .sparse import SparseCanvas
+
+                coeff_arrays.append(SparseCanvas((rr.height, rr.width), dt))
+            else:
+                coeff_arrays.append(np.zeros((rr.height, rr.width), dtype=dt))
         # fused scatter+dequant: decoded blocks land directly in the float
         # plane at their band step (no int32 staging pass); falls back when
         # ROI/window/object paths need the staged integers
@@ -991,11 +1009,19 @@ class TileProcessor:
             and _os.environ.get("GROK_TPU_FUSED_DEQ", "0") == "1"
             and all(t.roi_shift == 0 for t in tcp.tccps)
         )
-        staging = (
-            coeff_arrays
-            if not irrev or fused_deq
-            else [np.zeros(a.shape, dtype=np.int32) for a in coeff_arrays]
-        )
+        if sparse_win:
+            from .sparse import SparseCanvas
+
+            staging = (
+                coeff_arrays if not irrev
+                else [SparseCanvas(a.shape, np.int32) for a in coeff_arrays]
+            )
+        else:
+            staging = (
+                coeff_arrays
+                if not irrev or fused_deq
+                else [np.zeros(a.shape, dtype=np.int32) for a in coeff_arrays]
+            )
 
         comp_windows = None
         if window is not None:
@@ -1040,6 +1066,43 @@ class TileProcessor:
 
         for c2 in range(ncomp):
             tccp2 = tcp.tccps[c2]
+            if not isinstance(staging[c2], np.ndarray):
+                # sparse canvas (windowed decode): chunk-wise ROI/dequant
+                canvas = staging[c2]
+                if tccp2.roi_shift:
+                    sh = tccp2.roi_shift
+                    th = np.int32(1) << sh
+
+                    def _roi(v, sh=sh, th=th):
+                        mag = np.abs(v)
+                        mag = np.where(mag >= th, mag >> sh, mag)
+                        return np.where(v < 0, -mag, mag)
+
+                    canvas.apply(0, canvas.shape[0], 0, canvas.shape[1], _roi)
+                if irrev:
+                    g2 = self.geoms[c2]
+                    top2 = max(g2.num_resolutions - 1 - reduce, 0)
+                    fc = canvas.astype_canvas(np.float32)
+                    for res2 in g2.resolutions[: top2 + 1]:
+                        for band2 in res2.bands:
+                            oy2, ox2 = _band_origin_in_packed(
+                                g2, res2.r, band2.orient)
+                            st2 = np.float32(band2.step)
+
+                            def _deq(v, st2=st2):
+                                mag2 = np.abs(v)
+                                rec2 = np.where(
+                                    mag2 > 0,
+                                    (mag2 + np.float32(0.5)) * st2,
+                                    np.float32(0.0))
+                                return np.where(v < 0, -rec2, rec2)
+
+                            fc.apply(oy2, oy2 + band2.rect.height,
+                                     ox2, ox2 + band2.rect.width, _deq)
+                    coeff_arrays[c2] = fc
+                else:
+                    coeff_arrays[c2] = canvas
+                continue
             if tccp2.roi_shift:
                 a2 = np.ascontiguousarray(staging[c2], dtype=np.int32)
                 if native_ops.roi_unshift(a2, tccp2.roi_shift) is not None:

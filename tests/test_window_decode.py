@@ -120,3 +120,24 @@ def test_window_interop_grok(tmp_path, rng):
             for f in sorted(glob.glob(str(tmp_path / "win_ref*.pgx")))]
     for i in range(3):
         assert np.array_equal(ours[:, :, i], refs[i])
+
+
+def test_sparse_canvas_memory():
+    """Windowed decode materializes only touched chunks (SparseCanvas
+    parity, tile/SparseCanvas.h): allocation stays far below whole-tile
+    planes and results match the full decode exactly."""
+    import tracemalloc
+
+    arr = natural_image(1024, 1536, 3)
+    im = gk.Image.from_array(arr)
+    blob = bytes(gk.compress(im, gk.CompressParams(num_resolutions=6)))
+    full = gk.decompress(blob).to_array()
+    tracemalloc.start()
+    out = gk.decompress(
+        blob, gk.DecompressParams(window=(600, 500, 728, 628))
+    ).to_array()
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert np.array_equal(out, full[500:628, 600:728])
+    # whole-tile staging alone would be ~19 MB; sparse stays well under
+    assert peak < 12e6, peak
