@@ -244,7 +244,6 @@ static int64_t encode_block(const int32_t* coeffs, int W_stride, int h, int w,
     int mel_tmp = (mel.tmp << mel.rem) & 0xFF;
     int mel_mask = (0xFF << mel.rem) & 0xFF;
     int vlc_mask = vlc.used ? (0xFF >> (8 - vlc.used)) : 0;
-    int mel_len = mel.pos;
     int vlc_extra = 0;  // pending vlc byte emitted separately
     int fuse_byte = -1;
     if ((mel_mask | vlc_mask) != 0) {

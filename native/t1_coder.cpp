@@ -513,7 +513,7 @@ struct BlockCtx2 {
                                   // no SPP/CUP candidates remain, skip them
     bool use_bits = false;
     uint64_t wmask = 0;
-    uint32_t zmask[4], smask[4];  // per-row VSC key masks
+    uint32_t zmask[4] = {}, smask[4] = {};  // per-row VSC key masks (init())
 
     inline uint64_t* row(int s) const {
         return words + (int64_t)(s + 1) * ws;
