@@ -54,6 +54,10 @@ def select_backend(name: str | None = None):
         from . import ebcot_jax
 
         return ebcot_jax
+    if name == "pallas":
+        from . import ebcot_pallas
+
+        return ebcot_pallas
     if name not in ("auto", "numpy", "native"):
         raise ValueError(f"unknown T1 backend {name!r} "
                          f"(registered: {sorted(_REGISTRY)})")

@@ -1,0 +1,609 @@
+"""Pallas (TPU) EBCOT Tier-1 encoder: VMEM-resident lockstep scan.
+
+The round-3 device T1 design (docs/DEVICE.md "Engineering conclusions" #2):
+the per-coefficient context-modeling scan — the hot part of Tier-1 — runs as
+a Pallas kernel with the significance/visited/refined flag plane resident in
+VMEM and all per-position decisions vectorized across a 128-codeblock lane
+batch. The kernel emits fixed-layout *symbol records* (valid|raw|bit|ctx, one
+byte each, at statically known slot positions), and the inherently serial MQ
+byte packing runs on the host, reusing the bit-exact lane-parallel MQEncoder
+from ebcot_np. This sidesteps the variable-rate per-lane byte-store problem
+that has no efficient TPU vector form (each lane's stream grows at a
+data-dependent rate) while keeping the expensive part — the neighborhood
+scan over every (plane, pass, position) — on-chip.
+
+Why this split is sound: the *encoder's* symbol sequence is fully determined
+by the coefficient data (MQ state never feeds back into the scan), so
+symbols + contexts reproduce the byte stream exactly. The decoder has a true
+feedback loop through the MQ registers and stays on the lockstep jax /
+native host coders.
+
+Reference mapping: t1/t1_part1/T1.cpp compress_cblk (pass loops),
+mqc_enc.cpp (host packer side). Styles: VSC/SEGSYM/BYPASS shape the symbol
+stream (kernel); TERMALL/RESET/PTERM only affect segment termination and
+context resets at pass boundaries (host packer) — so all Part-1 codeblock
+styles are supported and bit-identical to the numpy/native backends.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .ebcot_np import (
+    T1EncodeResult,
+    _dd_ref,
+    _dd_sig,
+    _lane_numbps,
+    _local_pass_index,
+    _pass_is_raw,
+    _term_after,
+)
+from .mq_np import CTX_MR0, CTX_RL, CTX_UNI, MQEncoder
+
+SUPPORTED_STYLES = 0x3F
+
+# symbol record bit layout (must match kernel + packer)
+_VALID = 0x80
+_RAW = 0x40
+_BIT = 0x20
+_CTXM = 0x1F
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _slot_counts(ns: int, w: int) -> tuple[int, int, int, int]:
+    s_spp = ns * w * 8      # (s, x, k) x (zc, sign)
+    s_mrp = ns * w * 4      # (s, x, k)
+    s_cup = ns * w * 11 + 4  # (s, x) x (rl, uni1, uni0, 4x(zc, sign)) + segsym
+    s_pad = _round_up(max(s_spp, s_cup), 8)
+    return s_spp, s_mrp, s_cup, s_pad
+
+
+# ================================================================ the kernel
+_KERNELS: dict = {}
+
+
+def _build_kernel(Hp: int, W: int, N: int, PMAXC: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NS = Hp // 4
+    Wp = W + 2
+    R = (Hp + 2) * Wp
+    S_SPP, S_MRP, S_CUP, S_PAD = _slot_counts(NS, W)
+    # debug-only: restrict which pass bodies are traced (crash bisection)
+    _passes = os.environ.get("GROK_TPU_PALLAS_PASSES", "spp,mrp,cup").split(",")
+
+    def zc_ctx(up, mid, dn, upc, dnc, orient):
+        """ZC context + neighbor count from flag row triples.
+
+        up/mid/dn: [3, N] i32 flag words of rows y-1/y/y+1 at x-1..x+1;
+        upc/dnc: VSC cut masks [1, N] (bool) for the row above/below."""
+        s = lambda t, i: t[i : i + 1] & 1
+        blw = lambda i: jnp.where(dnc, 0, s(dn, i))
+        h = s(mid, 0) + s(mid, 2)
+        v = jnp.where(upc, 0, s(up, 1)) + blw(1)
+        d = (
+            jnp.where(upc, 0, s(up, 0) + s(up, 2))
+            + blw(0)
+            + blw(2)
+        )
+        # normal table (LL/LH); HL swaps h and v roles
+        hn = jnp.where(orient == 1, v, h)
+        vn = jnp.where(orient == 1, h, v)
+        nrm = jnp.where(
+            hn == 2,
+            8,
+            jnp.where(
+                hn == 1,
+                jnp.where(vn >= 1, 7, jnp.where(d >= 1, 6, 5)),
+                jnp.where(
+                    vn == 2,
+                    4,
+                    jnp.where(
+                        vn == 1, 3, jnp.where(d >= 2, 2, jnp.where(d == 1, 1, 0))
+                    ),
+                ),
+            ),
+        )
+        a = h + v
+        hh = jnp.where(
+            d >= 3,
+            8,
+            jnp.where(
+                d == 2,
+                jnp.where(a >= 1, 7, 6),
+                jnp.where(
+                    d == 1,
+                    jnp.where(a >= 2, 5, jnp.where(a == 1, 4, 3)),
+                    jnp.where(a >= 2, 2, jnp.where(a == 1, 1, 0)),
+                ),
+            ),
+        )
+        return jnp.where(orient == 3, hh, nrm), h + v + d
+
+    def sc_ctx(up, mid, dn, cup, cmid, cdn, upc, dnc):
+        """Sign context + xor from flag triples and coefficient triples."""
+        con = lambda f, c, i: (f[i : i + 1] & 1) * (
+            1 - 2 * (c[i : i + 1] < 0).astype(jnp.int32)
+        )
+        below = jnp.where(dnc, 0, con(dn, cdn, 1))
+        above = jnp.where(upc, 0, con(up, cup, 1))
+        hb = jnp.clip(con(mid, cmid, 0) + con(mid, cmid, 2), -1, 1)
+        vb = jnp.clip(above + below, -1, 1)
+        ctx = jnp.where(hb == 0, 9 + jnp.abs(vb), 12 + hb * vb)
+        xr = jnp.where(hb == 0, (vb < 0).astype(jnp.int32), (hb < 0).astype(jnp.int32))
+        return ctx, xr
+
+    def kernel(coef_ref, lane_ref, sym_ref, flags_ref):
+        p = pl.program_id(0)
+        q = pl.program_id(1)
+        plane = (PMAXC - 1) - p
+
+        @pl.when((p == 0) & (q == 0))
+        def _():
+            flags_ref[:] = jnp.zeros_like(flags_ref)
+
+        sym_ref[:] = jnp.zeros_like(sym_ref)
+
+        nbps = lane_ref[0:1, :]
+        hgt = lane_ref[1:2, :]
+        wid = lane_ref[2:3, :]
+        orient = lane_ref[3:4, :]
+        vsc = lane_ref[4:5, :] != 0
+        segsym = lane_ref[5:6, :] != 0
+        bypass = lane_ref[6:7, :] != 0
+
+        spp_m = (nbps - 1) > plane
+        cup_m = (nbps - 1) >= plane
+        rel = nbps - 1 - plane
+
+        def lpi(kind):
+            return jnp.where(rel <= 0, 0, (rel - 1) * 3 + 1 + kind)
+
+        raw_spp = bypass & (lpi(0) >= 10)
+        raw_mrp = bypass & (lpi(1) >= 10)
+
+        def rows3(ref, r):
+            return ref[pl.ds(r - 1, 3), :]
+
+        def load_env(r, k):
+            """Neighborhood triples + VSC cut masks for padded flat pos r."""
+            fu, fm, fd = rows3(flags_ref, r - Wp), rows3(flags_ref, r), rows3(
+                flags_ref, r + Wp
+            )
+            cu, cm, cd = rows3(coef_ref, r - Wp), rows3(coef_ref, r), rows3(
+                coef_ref, r + Wp
+            )
+            # stripe-causal VSC: the row below a stripe bottom (k==3) is cut;
+            # the row above a stripe top (k==0) belongs to the stripe above,
+            # whose samples are visible (T.800 D.7 cuts only the *next*
+            # stripe), so no upper cut.
+            dnc = vsc & (k == 3)
+            upc = jnp.zeros_like(dnc)
+            return fu, fm, fd, cu, cm, cd, upc, dnc
+
+        def rec(valid, raw, bit, ctx):
+            return (
+                (valid.astype(jnp.int32) << 7)
+                | ((raw & valid).astype(jnp.int32) << 6)
+                | ((bit.astype(jnp.int32) & 1) << 5)
+                | ctx.astype(jnp.int32)
+            )
+
+        def put(slot, v):
+            sym_ref[0, 0, pl.ds(slot, 1), :] = v
+
+        def spp_pos(s, x, k):
+            y = 4 * s + k
+            r = (y + 1) * Wp + (x + 1)
+            fu, fm, fd, cu, cm, cd, upc, dnc = load_env(r, k)
+            ctx, ncnt = zc_ctx(fu, fm, fd, upc, dnc, orient)
+            selff = fm[1:2]
+            cvec = cm[1:2]
+            mag = jnp.abs(cvec)
+            sgn = (cvec < 0).astype(jnp.int32)
+            inb = (y < hgt) & (x < wid) & spp_m
+            code = inb & ((selff & 1) == 0) & (ncnt > 0)
+            bit = (mag >> plane) & 1
+            slot0 = ((s * W + x) * 4 + k) * 2
+            put(slot0, rec(code, raw_spp, bit, ctx))
+            became = code & (bit == 1)
+            scc, xr = sc_ctx(fu, fm, fd, cu, cm, cd, upc, dnc)
+            sbit = jnp.where(raw_spp, sgn, sgn ^ xr)
+            put(slot0 + 1, rec(became, raw_spp, sbit, scc))
+            newf = selff | became.astype(jnp.int32) | (code.astype(jnp.int32) << 1)
+            flags_ref[pl.ds(r, 1), :] = newf
+
+        def mrp_pos(s, x, k):
+            y = 4 * s + k
+            r = (y + 1) * Wp + (x + 1)
+            fu, fm, fd, cu, cm, cd, upc, dnc = load_env(r, k)
+            _, ncnt = zc_ctx(fu, fm, fd, upc, dnc, orient)
+            selff = fm[1:2]
+            sig_v = (selff & 1) != 0
+            vis = (selff & 2) != 0
+            refn = (selff & 4) != 0
+            inb = (y < hgt) & (x < wid) & spp_m
+            code = inb & sig_v & ~vis
+            ctx = jnp.where(
+                refn, CTX_MR0 + 2, jnp.where(ncnt > 0, CTX_MR0 + 1, CTX_MR0)
+            )
+            mag = jnp.abs(cm[1:2])
+            bit = (mag >> plane) & 1
+            put((s * W + x) * 4 + k, rec(code, raw_mrp, bit, ctx))
+            flags_ref[pl.ds(r, 1), :] = selff | (code.astype(jnp.int32) << 2)
+
+        def cup_col(s, x):
+            y0 = 4 * s
+            base = (s * W + x) * 11
+            full_stripe = (y0 + 4) <= hgt
+            col_ok = full_stripe & (x < wid) & cup_m
+
+            # NOTE: fori_loop carries must be i32, not bool — Mosaic gives
+            # i1 loop carries a packed 32x layout that fails verification
+            # when combined with fresh compare results.
+            def rl_scan(k, rl32):
+                r = (y0 + k + 1) * Wp + (x + 1)
+                fu, fm, fd, _, _, _, upc, dnc = load_env(r, k)
+                _, ncnt = zc_ctx(fu, fm, fd, upc, dnc, orient)
+                selff = fm[1:2]
+                ok = ((selff & 3) == 0) & (ncnt == 0)
+                return rl32 * ok.astype(jnp.int32)
+
+            rl = (
+                jax.lax.fori_loop(0, 4, rl_scan, col_ok.astype(jnp.int32)) != 0
+            )
+
+            def fk_scan(i, fk):
+                k = 3 - i
+                r = (y0 + k + 1) * Wp + (x + 1)
+                bit = (jnp.abs(coef_ref[pl.ds(r, 1), :]) >> plane) & 1
+                return jnp.where(rl & (bit == 1), k, fk)
+
+            fk = jax.lax.fori_loop(
+                0, 4, fk_scan, jnp.full((1, N), 4, dtype=jnp.int32)
+            )
+            rl_bit = (rl & (fk < 4)).astype(jnp.int32)
+            put(base, rec(rl, jnp.zeros_like(rl), rl_bit,
+                          jnp.full((1, N), CTX_RL, jnp.int32)))
+            sigcol = rl & (rl_bit == 1)
+            uni = jnp.full((1, N), CTX_UNI, jnp.int32)
+            put(base + 1, rec(sigcol, jnp.zeros_like(rl), (fk >> 1) & 1, uni))
+            put(base + 2, rec(sigcol, jnp.zeros_like(rl), fk & 1, uni))
+            skip_rl0 = rl & (rl_bit == 0)
+
+            def code_row(k, _):
+                y = y0 + k
+                r = (y + 1) * Wp + (x + 1)
+                fu, fm, fd, cu, cm, cd, upc, dnc = load_env(r, k)
+                selff = fm[1:2]
+                inb = (y < hgt) & (x < wid) & cup_m
+                bse = inb & ((selff & 3) == 0) & ~skip_rl0
+                pre_run = sigcol & (k < fk)
+                implied = sigcol & (k == fk)
+                zc_code = bse & ~pre_run & ~implied
+                ctx, _n = zc_ctx(fu, fm, fd, upc, dnc, orient)
+                cvec = cm[1:2]
+                mag = jnp.abs(cvec)
+                sgn = (cvec < 0).astype(jnp.int32)
+                bit = (mag >> plane) & 1
+                put(base + 3 + 2 * k, rec(zc_code, jnp.zeros_like(rl), bit, ctx))
+                became = (zc_code & (bit == 1)) | implied
+                scc, xr = sc_ctx(fu, fm, fd, cu, cm, cd, upc, dnc)
+                put(base + 4 + 2 * k,
+                    rec(became, jnp.zeros_like(rl), sgn ^ xr, scc))
+                flags_ref[pl.ds(r, 1), :] = selff | became.astype(jnp.int32)
+                return 0
+
+            jax.lax.fori_loop(0, 4, code_row, 0)
+
+        @pl.when(q == 0)
+        def _spp():
+            if "spp" not in _passes:
+                return
+            def stripe(s, _):
+                def colb(x, __):
+                    def rowb(k, ___):
+                        spp_pos(s, x, k)
+                        return 0
+
+                    jax.lax.fori_loop(0, 4, rowb, 0)
+                    return 0
+
+                jax.lax.fori_loop(0, W, colb, 0)
+                return 0
+
+            jax.lax.fori_loop(0, NS, stripe, 0)
+
+        @pl.when(q == 1)
+        def _mrp():
+            if "mrp" not in _passes:
+                return
+            def stripe(s, _):
+                def colb(x, __):
+                    def rowb(k, ___):
+                        mrp_pos(s, x, k)
+                        return 0
+
+                    jax.lax.fori_loop(0, 4, rowb, 0)
+                    return 0
+
+                jax.lax.fori_loop(0, W, colb, 0)
+                return 0
+
+            jax.lax.fori_loop(0, NS, stripe, 0)
+
+        @pl.when(q == 2)
+        def _cup():
+            if "cup" not in _passes:
+                return
+            def stripe(s, _):
+                def colb(x, __):
+                    cup_col(s, x)
+                    return 0
+
+                jax.lax.fori_loop(0, W, colb, 0)
+                return 0
+
+            jax.lax.fori_loop(0, NS, stripe, 0)
+            seg = segsym & cup_m
+            uni = jnp.full((1, N), CTX_UNI, jnp.int32)
+            z = jnp.zeros_like(seg)
+            for j, b in enumerate((1, 0, 1, 0)):
+                put(NS * W * 11 + j,
+                    rec(seg, z, jnp.full((1, N), b, jnp.int32), uni))
+            # end of plane: clear 'visited' for the next plane
+            flags_ref[:] = flags_ref[:] & ~jnp.int32(2)
+
+        del _spp, _mrp, _cup
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(PMAXC, 3),
+        in_specs=[
+            pl.BlockSpec((R, N), lambda p, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, N), lambda p, q: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, S_PAD, N), lambda p, q: (p, q, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((PMAXC, 3, S_PAD, N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((R, N), jnp.int32)],
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def _get_kernel(Hp: int, W: int, N: int, PMAXC: int, interpret: bool):
+    key = (Hp, W, N, PMAXC, interpret)
+    fn = _KERNELS.get(key)
+    if fn is None:
+        fn = _KERNELS[key] = _build_kernel(Hp, W, N, PMAXC, interpret)
+    return fn
+
+
+# ============================================================== host packer
+def _pack_symbols(
+    sym: np.ndarray,  # [PMAXC, 3, S_PAD, n] uint8 symbol records
+    mag: np.ndarray,  # [n, h, w] magnitudes (unpadded)
+    numbps: np.ndarray,
+    heights: np.ndarray,
+    widths: np.ndarray,
+    styles: np.ndarray | None,
+    Hp: int,
+) -> T1EncodeResult:
+    """Serial MQ/raw byte packing of the kernel's symbol streams.
+
+    Bit-identical to ebcot_np.encode_cblks by construction: the MQ coder,
+    pass-rate bounds, termination and distortion formulas are the same
+    lane-parallel machinery, driven by the recorded symbols instead of a
+    host rescan."""
+    n, h, w = mag.shape
+    NS = Hp // 4
+    S_SPP, S_MRP, S_CUP, _ = _slot_counts(NS, w)
+    PMAXC = sym.shape[0]
+
+    pmax = int(numbps.max(initial=0))
+    npasses = np.maximum(numbps * 3 - 2, 0)
+    max_passes = int(npasses.max(initial=0))
+    max_bytes = max(64, (pmax * h * w) // 4 + 128)
+    mq = MQEncoder(n, max_bytes)
+    lanes_idx = np.arange(n)
+
+    pass_rates = np.zeros((n, max(max_passes, 1)), dtype=np.int64)
+    pass_dist = np.zeros((n, max(max_passes, 1)), dtype=np.float64)
+    sty = np.zeros(n, dtype=np.int64) if styles is None else np.asarray(styles)
+    termall_m = (sty & 0x04) != 0
+    bypass_m = (sty & 0x01) != 0
+    reset_m = (sty & 0x02) != 0
+    last_term = np.zeros(n, dtype=bool)
+
+    # magnitudes in (s, x, k) slot order for vectorized distortion sums
+    magp = np.zeros((n, Hp, w), dtype=np.int64)
+    magp[:, :h, :] = mag
+    mag_sxk = magp.reshape(n, NS, 4, w).transpose(0, 1, 3, 2).reshape(n, -1)
+
+    def feed(stream):
+        """stream: [S, n] — drive the lockstep MQ/raw coders slot by slot."""
+        for srow in stream:
+            valid = (srow & _VALID) != 0
+            if not valid.any():
+                continue
+            raw = (srow & _RAW) != 0
+            bit = ((srow >> 5) & 1).astype(np.uint8)
+            ctx = (srow & _CTXM).astype(np.int64)
+            mqm = valid & ~raw
+            if mqm.any():
+                mq.encode(bit, ctx, mqm)
+            rm = valid & raw
+            if rm.any():
+                mq.raw_bit(bit, rm)
+
+    def end_pass(plane, kind, lane_mask, dd):
+        if not lane_mask.any():
+            return
+        lpi = _local_pass_index(plane, kind, numbps)
+        raw_m = _pass_is_raw(bypass_m, lpi, kind) & lane_mask
+        term_m = _term_after(termall_m, bypass_m, lpi, kind) & lane_mask
+        r = mq.pos + (27 - mq.ct + 7) // 8
+        if hasattr(mq, "raw_used"):
+            r = np.where(raw_m, mq.raw_safe_len(), r)
+        t_mq = term_m & ~raw_m
+        t_raw = term_m & raw_m
+        if t_mq.any():
+            r = np.where(t_mq, mq.terminate_restart(t_mq), r)
+        if t_raw.any():
+            r = np.where(t_raw, mq.raw_terminate_restart_mq(t_raw), r)
+        pass_rates[lane_mask, lpi[lane_mask]] = r[lane_mask]
+        pass_dist[lane_mask, lpi[lane_mask]] = dd[lane_mask]
+        last_term[lane_mask] = term_m[lane_mask]
+        mq.reset_ctx(reset_m & lane_mask)
+        nxt_raw = _pass_is_raw(bypass_m, lpi + 1, (kind + 1) % 3) & term_m
+        if nxt_raw.any():
+            mq.raw_start(nxt_raw)
+
+    for plane in range(pmax - 1, -1, -1):
+        pidx = PMAXC - 1 - plane
+        spp_lanes = numbps - 1 > plane
+        cup_lanes = numbps - 1 >= plane
+        if spp_lanes.any():
+            stream = sym[pidx, 0, :S_SPP]
+            feed(stream)
+            became = (stream.reshape(-1, 2, n)[:, 1, :] & _VALID) != 0
+            dd = np.where(became.T, _dd_sig(mag_sxk, plane), 0.0).sum(axis=1)
+            end_pass(plane, 0, spp_lanes, dd)
+
+            stream = sym[pidx, 1, :S_MRP]
+            feed(stream)
+            coded = (stream & _VALID) != 0
+            dd = np.where(coded.T, _dd_ref(mag_sxk, plane), 0.0).sum(axis=1)
+            end_pass(plane, 1, spp_lanes, dd)
+        if cup_lanes.any():
+            stream = sym[pidx, 2, :S_CUP]
+            feed(stream)
+            became = (
+                stream[: NS * w * 11].reshape(-1, 11, n)[:, 4::2, :] & _VALID
+            ) != 0
+            dd = np.where(
+                became.reshape(-1, n).T, _dd_sig(mag_sxk, plane), 0.0
+            ).sum(axis=1)
+            end_pass(plane, 2, cup_lanes, dd)
+
+    final_lpi = np.maximum(npasses - 1, 0)
+    in_raw_tail = _pass_is_raw(
+        bypass_m, final_lpi, np.where(final_lpi == 0, 2, (final_lpi - 1) % 3)
+    ) & ~last_term
+    lengths = np.zeros(n, dtype=np.int64)
+    if last_term.any():
+        lengths = np.where(last_term, pass_rates[lanes_idx, final_lpi], lengths)
+    if in_raw_tail.any():
+        lengths = np.where(
+            in_raw_tail, mq.raw_terminate_restart_mq(in_raw_tail), lengths
+        )
+    rest = ~last_term & ~in_raw_tail
+    if rest.any():
+        mq.flush(rest)
+        lengths = np.where(rest, mq.lengths(), lengths)
+    lengths = np.where(npasses > 0, lengths, 0)
+    if max_passes:
+        pass_rates[lanes_idx, final_lpi] = lengths
+        np.minimum(pass_rates, lengths[:, None], out=pass_rates)
+    return T1EncodeResult(
+        data=mq.buf[:, 1:],
+        raw_data=(mq.buf, 1),
+        lengths=lengths,
+        numbps=numbps,
+        npasses=npasses,
+        pass_rates=pass_rates,
+        pass_dist=pass_dist,
+    )
+
+
+# ============================================================== public API
+def _use_interpret() -> bool:
+    v = os.environ.get("GROK_TPU_PALLAS_INTERPRET")
+    if v is not None:
+        return v not in ("0", "")
+    try:
+        import jax
+
+        return jax.default_backend() not in ("tpu",)
+    except Exception:
+        return True
+
+
+def available() -> bool:
+    try:
+        import jax  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def encode_cblks(
+    coeffs: np.ndarray,
+    heights: np.ndarray,
+    widths: np.ndarray,
+    orients: np.ndarray,
+    max_bitplanes: int | None = None,
+    styles: np.ndarray | None = None,
+) -> T1EncodeResult:
+    coeffs = np.asarray(coeffs, dtype=np.int64)
+    n, h, w = coeffs.shape
+    mag = np.abs(coeffs)
+    numbps = _lane_numbps(mag, heights, widths)
+    pmax = int(numbps.max(initial=0))
+    if pmax == 0 or n == 0:
+        from . import ebcot_np
+
+        return ebcot_np.encode_cblks(
+            coeffs, heights, widths, orients, max_bitplanes, styles
+        )
+
+    import jax.numpy as jnp
+
+    interpret = _use_interpret()
+    Hp = _round_up(h, 4)
+    PMAXC = _round_up(pmax, 4)
+    lane_q = 128 if not interpret else 8
+    N = _round_up(n, lane_q)
+    Wp = w + 2
+    R = (Hp + 2) * Wp
+
+    flat = np.zeros((Hp + 2, Wp, N), dtype=np.int32)
+    flat[1 : h + 1, 1 : w + 1, :n] = coeffs.transpose(1, 2, 0)
+    lane_tab = np.zeros((8, N), dtype=np.int32)
+    sty = np.zeros(n, dtype=np.int64) if styles is None else np.asarray(styles)
+    lane_tab[0, :n] = numbps
+    lane_tab[1, :n] = heights
+    lane_tab[2, :n] = widths
+    lane_tab[3, :n] = orients
+    lane_tab[4, :n] = (sty & 0x08) != 0
+    lane_tab[5, :n] = (sty & 0x20) != 0
+    lane_tab[6, :n] = (sty & 0x01) != 0
+
+    fn = _get_kernel(Hp, w, N, PMAXC, interpret)
+    sym = np.asarray(fn(jnp.asarray(flat.reshape(R, N)), jnp.asarray(lane_tab)))
+    sym_u8 = (sym[:, :, :, :n] & 0xFF).astype(np.uint8)
+    return _pack_symbols(sym_u8, mag, numbps, heights, widths, styles, Hp)
+
+
+def decode_cblks(*args, **kwargs):
+    """Decode delegates to the host coders: the MQ decoder's feedback loop
+    (each decoded bit steers the scan) is inherently serial per block and
+    gains nothing from the symbol-stream split (docs/DEVICE.md)."""
+    from . import native
+
+    if native.available():
+        return native.decode_cblks(*args, **kwargs)
+    from . import ebcot_np
+
+    return ebcot_np.decode_cblks(*args, **kwargs)
