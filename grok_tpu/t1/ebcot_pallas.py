@@ -526,6 +526,64 @@ def _pack_symbols(
     )
 
 
+def _pack_symbols_nat(
+    sym_lane_major: np.ndarray,  # [n, PMAXC, 3, S_PAD] uint8, C-contiguous
+    mag: np.ndarray,
+    numbps: np.ndarray,
+    styles: np.ndarray | None,
+    Hp: int,
+) -> T1EncodeResult | None:
+    """Native (OpenMP) symbol packer; returns None if the lib is absent."""
+    from . import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    n, h, w = mag.shape
+    NS = Hp // 4
+    _, pmaxc, _, s_pad = sym_lane_major.shape
+    pmax = int(numbps.max(initial=0))
+    npasses = np.maximum(numbps * 3 - 2, 0)
+    max_passes = int(npasses.max(initial=0))
+    max_bytes = max(64, (pmax * h * w) // 4 + 128)
+
+    magp = np.zeros((n, Hp, w), dtype=np.int64)
+    magp[:, :h, :] = mag
+    mag_sxk = np.ascontiguousarray(
+        magp.reshape(n, NS, 4, w).transpose(0, 1, 3, 2).reshape(n, -1)
+    )
+    sty = (
+        np.zeros(n, dtype=np.int32)
+        if styles is None
+        else np.asarray(styles, dtype=np.int32)
+    )
+    out = np.zeros((n, max_bytes + 2), dtype=np.uint8)
+    lengths = np.zeros(n, dtype=np.int64)
+    pass_rates = np.zeros((n, max(max_passes, 1)), dtype=np.int64)
+    pass_dist = np.zeros((n, max(max_passes, 1)), dtype=np.float64)
+    rc = lib.t1_pack_symbols(
+        np.ascontiguousarray(sym_lane_major),
+        mag_sxk,
+        np.asarray(numbps, dtype=np.int32),
+        sty,
+        n, pmaxc, pmax, s_pad, NS, w,
+        out, max_bytes,
+        lengths, pass_rates, pass_dist,
+        max(max_passes, 1), native._nthreads(0),
+    )
+    if rc != 0:
+        raise RuntimeError("t1_pack_symbols: output buffer overflow")
+    return T1EncodeResult(
+        data=out[:, 1:],
+        raw_data=(out, 1),
+        lengths=lengths,
+        numbps=numbps,
+        npasses=npasses,
+        pass_rates=pass_rates,
+        pass_dist=pass_dist,
+    )
+
+
 # ============================================================== public API
 def _use_interpret() -> bool:
     v = os.environ.get("GROK_TPU_PALLAS_INTERPRET")
@@ -593,6 +651,13 @@ def encode_cblks(
     fn = _get_kernel(Hp, w, N, PMAXC, interpret)
     sym = np.asarray(fn(jnp.asarray(flat.reshape(R, N)), jnp.asarray(lane_tab)))
     sym_u8 = (sym[:, :, :, :n] & 0xFF).astype(np.uint8)
+    if os.environ.get("GROK_TPU_PALLAS_PACKER") != "numpy":
+        res = _pack_symbols_nat(
+            np.ascontiguousarray(sym_u8.transpose(3, 0, 1, 2)),
+            mag, numbps, styles, Hp,
+        )
+        if res is not None:
+            return res
     return _pack_symbols(sym_u8, mag, numbps, heights, widths, styles, Hp)
 
 

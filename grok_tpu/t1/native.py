@@ -91,6 +91,14 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_int64, i32p, ctypes.c_int32,
         ]
         lib.t1_decode_cblks.restype = ctypes.c_int
+        lib.t1_pack_symbols.argtypes = [
+            u8p, i64p, i32p, i32p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            u8p, ctypes.c_int64, i64p, i64p, f64p,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.t1_pack_symbols.restype = ctypes.c_int
         u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
         lib.ht_install_tables.argtypes = [u16p, u16p, u16p, u16p]
         lib.ht_install_tables.restype = ctypes.c_int
