@@ -246,30 +246,24 @@ def _build_kernel(Hp: int, W: int, N: int, PMAXC: int, interpret: bool):
             full_stripe = (y0 + 4) <= hgt
             col_ok = full_stripe & (x < wid) & cup_m
 
-            # NOTE: fori_loop carries must be i32, not bool — Mosaic gives
-            # i1 loop carries a packed 32x layout that fails verification
-            # when combined with fresh compare results.
-            def rl_scan(k, rl32):
+            # Rows are python-unrolled: this device's Mosaic miscompiles any
+            # VMEM address that is not affine in a SINGLE loop induction
+            # variable (nested fori vars, loop carries, SMEM-table scalars
+            # and program_id combinations all fault at runtime), so the only
+            # traced address variable anywhere is the column fori index.
+            rl = col_ok
+            for k in range(4):
                 r = (y0 + k + 1) * Wp + (x + 1)
                 fu, fm, fd, _, _, _, upc, dnc = load_env(r, k)
                 _, ncnt = zc_ctx(fu, fm, fd, upc, dnc, orient)
                 selff = fm[1:2]
-                ok = ((selff & 3) == 0) & (ncnt == 0)
-                return rl32 * ok.astype(jnp.int32)
+                rl = rl & ((selff & 3) == 0) & (ncnt == 0)
 
-            rl = (
-                jax.lax.fori_loop(0, 4, rl_scan, col_ok.astype(jnp.int32)) != 0
-            )
-
-            def fk_scan(i, fk):
-                k = 3 - i
+            fk = jnp.full((1, N), 4, dtype=jnp.int32)
+            for k in range(3, -1, -1):
                 r = (y0 + k + 1) * Wp + (x + 1)
                 bit = (jnp.abs(coef_ref[pl.ds(r, 1), :]) >> plane) & 1
-                return jnp.where(rl & (bit == 1), k, fk)
-
-            fk = jax.lax.fori_loop(
-                0, 4, fk_scan, jnp.full((1, N), 4, dtype=jnp.int32)
-            )
+                fk = jnp.where(rl & (bit == 1), k, fk)
             rl_bit = (rl & (fk < 4)).astype(jnp.int32)
             put(base, rec(rl, jnp.zeros_like(rl), rl_bit,
                           jnp.full((1, N), CTX_RL, jnp.int32)))
@@ -279,7 +273,7 @@ def _build_kernel(Hp: int, W: int, N: int, PMAXC: int, interpret: bool):
             put(base + 2, rec(sigcol, jnp.zeros_like(rl), fk & 1, uni))
             skip_rl0 = rl & (rl_bit == 0)
 
-            def code_row(k, _):
+            for k in range(4):
                 y = y0 + k
                 r = (y + 1) * Wp + (x + 1)
                 fu, fm, fd, cu, cm, cd, upc, dnc = load_env(r, k)
@@ -300,59 +294,44 @@ def _build_kernel(Hp: int, W: int, N: int, PMAXC: int, interpret: bool):
                 put(base + 4 + 2 * k,
                     rec(became, jnp.zeros_like(rl), sgn ^ xr, scc))
                 flags_ref[pl.ds(r, 1), :] = selff | became.astype(jnp.int32)
-                return 0
 
-            jax.lax.fori_loop(0, 4, code_row, 0)
-
+        # Loop structure everywhere: python-unrolled stripes and rows, ONE
+        # fori over columns — see the Mosaic single-induction-variable
+        # address constraint noted in cup_col.
         @pl.when(q == 0)
         def _spp():
             if "spp" not in _passes:
                 return
-            def stripe(s, _):
-                def colb(x, __):
-                    def rowb(k, ___):
+            for s in range(NS):
+                def colb(x, _, s=s):
+                    for k in range(4):
                         spp_pos(s, x, k)
-                        return 0
-
-                    jax.lax.fori_loop(0, 4, rowb, 0)
                     return 0
 
                 jax.lax.fori_loop(0, W, colb, 0)
-                return 0
-
-            jax.lax.fori_loop(0, NS, stripe, 0)
 
         @pl.when(q == 1)
         def _mrp():
             if "mrp" not in _passes:
                 return
-            def stripe(s, _):
-                def colb(x, __):
-                    def rowb(k, ___):
+            for s in range(NS):
+                def colb(x, _, s=s):
+                    for k in range(4):
                         mrp_pos(s, x, k)
-                        return 0
-
-                    jax.lax.fori_loop(0, 4, rowb, 0)
                     return 0
 
                 jax.lax.fori_loop(0, W, colb, 0)
-                return 0
-
-            jax.lax.fori_loop(0, NS, stripe, 0)
 
         @pl.when(q == 2)
         def _cup():
             if "cup" not in _passes:
                 return
-            def stripe(s, _):
-                def colb(x, __):
+            for s in range(NS):
+                def colb(x, _, s=s):
                     cup_col(s, x)
                     return 0
 
                 jax.lax.fori_loop(0, W, colb, 0)
-                return 0
-
-            jax.lax.fori_loop(0, NS, stripe, 0)
             seg = segsym & cup_m
             uni = jnp.full((1, N), CTX_UNI, jnp.int32)
             z = jnp.zeros_like(seg)
