@@ -571,8 +571,12 @@ struct BlockCtx2 {
 };
 
 // --------------------------------------------------------------- encoder
-static void enc_spp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
+static void enc_spp(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
                     bool raw = false) {
+    // Local copy: a non-escaping local cannot alias the magnitude/flag-word
+    // stores (uint32_t*/uint64_t* may legally alias the coder's uint32_t/
+    // int64_t members), so a/c/ct/pos stay in registers for the whole pass.
+    MQEncoder mq = mq_io;
     const uint8_t* zc = SL.zc9[B.orient];
     const DistConsts dc(plane);
     for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
@@ -631,10 +635,12 @@ static void enc_spp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
             }
         }
     }
+    mq_io = mq;
 }
 
-static void enc_mrp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
+static void enc_mrp(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
                     bool raw = false) {
+    MQEncoder mq = mq_io;  // local copy, see enc_spp
     const DistConsts dc(plane);
     for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
         int rows = std::min(4, B.h - y0);
@@ -681,10 +687,12 @@ static void enc_mrp(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
             }
         }
     }
+    mq_io = mq;
 }
 
-static void enc_cup(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
+static void enc_cup(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
                     bool segsym) {
+    MQEncoder mq = mq_io;  // local copy, see enc_spp
     const uint8_t* zc = SL.zc9[B.orient];
     const DistConsts dc(plane);
     const uint64_t rlmask =
@@ -761,10 +769,12 @@ static void enc_cup(BlockCtx2& B, MQEncoder& mq, int plane, double* dist,
         mq.encode(1, CTX_UNI);
         mq.encode(0, CTX_UNI);
     }
+    mq_io = mq;
 }
 
 // --------------------------------------------------------------- decoder
-static void dec_spp(BlockCtx2& B, MQDecoder& mq, int plane, bool raw = false) {
+static void dec_spp(BlockCtx2& B, MQDecoder& mq_io, int plane, bool raw = false) {
+    MQDecoder mq = mq_io;  // local copy, see enc_spp
     const uint8_t* zc = SL.zc9[B.orient];
     for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
         int rows = std::min(4, B.h - y0);
@@ -818,9 +828,11 @@ static void dec_spp(BlockCtx2& B, MQDecoder& mq, int plane, bool raw = false) {
             }
         }
     }
+    mq_io = mq;
 }
 
-static void dec_mrp(BlockCtx2& B, MQDecoder& mq, int plane, bool raw = false) {
+static void dec_mrp(BlockCtx2& B, MQDecoder& mq_io, int plane, bool raw = false) {
+    MQDecoder mq = mq_io;  // local copy, see enc_spp
     for (int s = 0, y0 = 0; y0 < B.h; s++, y0 += 4) {
         int rows = std::min(4, B.h - y0);
         uint64_t* Wr = B.row(s);
@@ -870,9 +882,11 @@ static void dec_mrp(BlockCtx2& B, MQDecoder& mq, int plane, bool raw = false) {
             }
         }
     }
+    mq_io = mq;
 }
 
-static void dec_cup(BlockCtx2& B, MQDecoder& mq, int plane, bool segsym) {
+static void dec_cup(BlockCtx2& B, MQDecoder& mq_io, int plane, bool segsym) {
+    MQDecoder mq = mq_io;  // local copy, see enc_spp
     const uint8_t* zc = SL.zc9[B.orient];
     const uint64_t rlmask =
         (B.vsc ? (W_SIG18 & ~W_VSC_SIGCUT) : W_SIG18) | W_VIS4;
@@ -940,6 +954,7 @@ static void dec_cup(BlockCtx2& B, MQDecoder& mq, int plane, bool segsym) {
         mq.decode(CTX_UNI);
         mq.decode(CTX_UNI);
     }
+    mq_io = mq;
 }
 
 }  // namespace
