@@ -41,6 +41,10 @@ def unregister_backend(name: str) -> None:
 def select_backend(name: str | None = None):
     """Returns a module exposing encode_cblks/decode_cblks."""
     name = name or os.environ.get("GROK_TPU_T1", "auto")
+    if name not in _REGISTRY and os.environ.get("GROK_TPU_T1_PLUGIN"):
+        from . import plugin
+
+        plugin.autoload_from_env()
     if name in _REGISTRY:
         return _REGISTRY[name]
     if name in ("native", "auto"):

@@ -62,6 +62,34 @@ def _build() -> str | None:
     return out
 
 
+def bind_t1_abi(lib: ctypes.CDLL) -> None:
+    """Attach argtypes for the batched-T1 C ABI to ``lib``.
+
+    This pair of entry points IS the loadable T1-accelerator plugin ABI
+    (the analogue of the reference's plugin_interface.h block-coder hook):
+    any shared library exporting t1_encode_cblks/t1_decode_cblks with
+    these signatures can be loaded via t1.load_plugin()."""
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.t1_encode_cblks.argtypes = [
+        i32p, i32p, i32p, i32p, i32p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        u8p, ctypes.c_int64,
+        i64p, i32p, i32p, i64p, f64p,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.t1_encode_cblks.restype = ctypes.c_int
+    lib.t1_decode_cblks.argtypes = [
+        u8p, i64p, i32p, i32p, i32p, i32p, i32p, i32p,
+        i64p, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, i32p, ctypes.c_int32,
+    ]
+    lib.t1_decode_cblks.restype = ctypes.c_int
+
+
 def get_lib() -> ctypes.CDLL | None:
     global _LIB, _TRIED
     with _LOCK:
@@ -76,21 +104,7 @@ def get_lib() -> ctypes.CDLL | None:
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-        lib.t1_encode_cblks.argtypes = [
-            i32p, i32p, i32p, i32p, i32p,
-            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-            u8p, ctypes.c_int64,
-            i64p, i32p, i32p, i64p, f64p,
-            ctypes.c_int32, ctypes.c_int32,
-        ]
-        lib.t1_encode_cblks.restype = ctypes.c_int
-        lib.t1_decode_cblks.argtypes = [
-            u8p, i64p, i32p, i32p, i32p, i32p, i32p, i32p,
-            i64p, ctypes.c_int32,
-            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int64, i32p, ctypes.c_int32,
-        ]
-        lib.t1_decode_cblks.restype = ctypes.c_int
+        bind_t1_abi(lib)
         lib.t1_pack_symbols.argtypes = [
             u8p, i64p, i32p, i32p,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
@@ -298,8 +312,9 @@ def encode_cblks(
     orients: np.ndarray,
     num_threads: int = 0,
     styles: np.ndarray | None = None,
+    _lib: ctypes.CDLL | None = None,
 ) -> T1EncodeResult:
-    lib = get_lib()
+    lib = _lib if _lib is not None else get_lib()
     assert lib is not None
     coeffs = np.ascontiguousarray(coeffs, dtype=np.int32)
     n, h, w = coeffs.shape
@@ -372,8 +387,9 @@ def decode_cblks(
     num_threads: int = 0,
     styles: np.ndarray | None = None,
     seg_lengths: np.ndarray | None = None,
+    _lib: ctypes.CDLL | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    lib = get_lib()
+    lib = _lib if _lib is not None else get_lib()
     assert lib is not None
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
