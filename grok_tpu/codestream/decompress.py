@@ -181,7 +181,9 @@ class Decoder:
                 tp = TileProcessor(siz, tcp, tile_index)
                 out = tp.decompress(body, self.params.max_layers,
                                     self.params.reduce, packed_headers=packed,
-                                    window=window)
+                                    window=window,
+                                    plt=self._plt.get(tile_index))
+                self.last_t2_skipped = getattr(tp, "last_t2_skipped", 0)
             except (GrokTpuError, ValueError, IndexError, OverflowError) as e:
                 log.warn("tile %d failed to decode (%s); zero-filled",
                          tile_index, e)

@@ -218,6 +218,7 @@ def get_lib() -> ctypes.CDLL | None:
             i32, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
             i32, i32,
             u8p, i64, i32,
+            i32, i64p, i32p, i64p,
             i32p, i32p, i64p, i64p, i64, i64p,
             i32p, i64p,
         ]

@@ -178,11 +178,23 @@ def encode_packets(lib, flat: FlatTileT2, refs, t1res, cum_passes,
 
 
 def decode_packets(lib, flat: FlatTileT2, body, max_layers, use_sop, use_eph,
-                   packed_headers):
+                   packed_headers, plt_lens=None, pkt_skip=None):
     """Parse all packets natively.
 
-    Returns (entry_numbps, contributions) where contributions is a list of
-    (entry, npasses, nbytes, offset) arrays in stream order."""
+    Returns (entry_numbps, contributions, body_arr, n_skipped) where
+    contributions is a tuple of (entry, npasses, nbytes, offset) arrays in
+    stream order.
+
+    ``pkt_skip`` marks unwanted packets (dropped resolution, precinct
+    outside the decode window, truncated layer). The mask must be
+    *precinct-monotone*: once a precinct's packet is skipped, every later
+    packet of that precinct must be skipped too (true by construction for
+    reduce/window/layer truncation) — a skipped packet's tag-tree state is
+    never replayed. With ``plt_lens`` covering all packets (PLT marker
+    lengths, cache/PacketLengthMarkers skipTo parity) skipped packets are
+    jumped by their recorded byte length without parsing their headers;
+    without PLT they are still header-parsed (to keep stream position and
+    the PPT bit stream aligned) but contribute nothing."""
     body_arr = np.frombuffer(body, dtype=np.uint8) if len(body) else np.zeros(1, dtype=np.uint8)
     body_arr = np.ascontiguousarray(body_arr)
     use_ppt = packed_headers is not None
@@ -194,6 +206,18 @@ def decode_packets(lib, flat: FlatTileT2, body, max_layers, use_sop, use_eph,
         hdrs = body_arr
         hdr_len = 0
     total_entries = int(flat.prc_cb_off[-1])
+    npk = len(flat.pkt_layer)
+    has_plt = 0
+    if plt_lens is not None and not use_ppt and len(plt_lens) >= npk:
+        plt_arr = np.ascontiguousarray(plt_lens[:npk], dtype=np.int64)
+        has_plt = 1
+    else:
+        plt_arr = np.zeros(1, dtype=np.int64)
+    if pkt_skip is not None:
+        skip_arr = np.ascontiguousarray(pkt_skip, dtype=np.int32)
+    else:
+        skip_arr = np.zeros(npk, dtype=np.int32)
+    n_skipped = np.zeros(1, dtype=np.int64)
     max_contrib = max(total_entries * max(len(flat.pkt_layer) // max(total_entries, 1) + 2, 4), 1024)
     for _ in range(4):
         out_entry = np.zeros(max_contrib, dtype=np.int32)
@@ -211,6 +235,7 @@ def decode_packets(lib, flat: FlatTileT2, body, max_layers, use_sop, use_eph,
             flat.prc_cb_off, flat.cb_cx, flat.cb_cy, flat.cb_style,
             int(use_sop), int(use_eph),
             hdrs, hdr_len, int(use_ppt),
+            has_plt, plt_arr, skip_arr, n_skipped,
             out_entry, out_np, out_nb, out_off, max_contrib, n_contrib,
             entry_numbps, end_pos,
         )
@@ -234,6 +259,6 @@ def decode_packets(lib, flat: FlatTileT2, body, max_layers, use_sop, use_eph,
                     "corrupt packet at byte %d: keeping %d intact "
                     "contributions", int(end_pos[0]), len(ent),
                 )
-            return entry_numbps, (ent, np_c, nb, off), body_arr
+            return entry_numbps, (ent, np_c, nb, off), body_arr, int(n_skipped[0])
         max_contrib *= 4
     raise MemoryError("T2 decode contribution buffer sizing failed")

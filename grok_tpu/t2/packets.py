@@ -261,11 +261,17 @@ def decode_packet(
     use_sop: bool = False,
     use_eph: bool = False,
     hdr_reader: BitReader | None = None,
+    drop: bool = False,
 ) -> int:
     """Parse one packet starting at data[pos]; returns new position.
 
     With packed packet headers (PPM/PPT), hdr_reader supplies the header
-    bits and ``data`` carries only the packet bodies."""
+    bits and ``data`` carries only the packet bodies.
+
+    ``drop`` parses the packet (keeping stream position and PPT bit-stream
+    alignment for later wanted packets of interleaving progressions) but
+    discards its codeblock contributions — used for unwanted mid-stream
+    packets, e.g. truncated layers in non-layer-outermost progressions."""
     n = len(data)
     if use_sop and pos + 6 <= n and data[pos] == 0xFF and data[pos + 1] == 0x91:
         pos += 6
@@ -317,8 +323,9 @@ def decode_packet(
     for cb, npl, nbytes in contributions:
         if pos + nbytes > n:
             raise CorruptPacketError("packet body truncated")
-        cb.segments.append(bytes(data[pos : pos + nbytes]))
-        cb.seg_passes.append(npl)
-        cb.npasses += npl
+        if not drop:
+            cb.segments.append(bytes(data[pos : pos + nbytes]))
+            cb.seg_passes.append(npl)
+            cb.npasses += npl
         pos += nbytes
     return pos

@@ -630,36 +630,47 @@ class TileProcessor:
 
     def _decompress_t1_flat(self, lib, body, max_layers, reduce,
                             packed_headers, use_sop, use_eph, cbh, cbw,
-                            staging, comp_windows=None, fused_deq=False):
+                            staging, comp_windows=None, fused_deq=False,
+                            plt=None):
         """Array-driven T2 parse + T1 decode + scatter (no per-cblk objects)."""
         from ..t2 import native_t2
 
         siz, tcp = self.siz, self.tcp
         ncomp = siz.num_comps
         flat = self._get_flat_t2(native_t2)
-        entry_numbps, (c_entry, c_np, c_nb, c_off), body_arr = (
-            native_t2.decode_packets(
-                lib, flat, bytes(body), max_layers, use_sop, use_eph,
-                bytes(packed_headers) if packed_headers is not None else None,
-            )
-        )
+        # entry "want" mask, known BEFORE the packet parse: geometry +
+        # reduce + decode window. Feeds the T2 skip fast path — unwanted
+        # packets are jumped via PLT lengths (reference parity:
+        # PacketLengthMarkers + PacketParser skip) or parsed-and-dropped.
         te = len(flat.e_comp)
-        entry_np = np.zeros(te, dtype=np.int64)
-        entry_bytes = np.zeros(te, dtype=np.int64)
-        if len(c_entry):
-            np.add.at(entry_np, c_entry, c_np.astype(np.int64))
-            np.add.at(entry_bytes, c_entry, c_nb)
-        keep = (entry_np > 0) & (flat.e_h > 0) & (flat.e_w > 0)
+        want_entry = (flat.e_h > 0) & (flat.e_w > 0)
         if reduce:
             numres = np.array(
                 [tcp.tccps[c].num_resolutions for c in range(ncomp)],
                 dtype=np.int32,
             )
-            keep &= flat.e_res < (numres[flat.e_comp] - reduce)
+            want_entry &= flat.e_res < (numres[flat.e_comp] - reduce)
         if comp_windows is not None:
             # windowed decode: keep only codeblocks inside the per-level
             # filter supports (everything else never touches the T1 coder)
-            keep &= self._window_entry_mask(flat, reduce, comp_windows)
+            want_entry &= self._window_entry_mask(flat, reduce, comp_windows)
+        pkt_skip = None
+        if reduce or comp_windows is not None:
+            pkt_skip = self._pkt_skip_mask(flat, want_entry)
+        entry_numbps, (c_entry, c_np, c_nb, c_off), body_arr, n_skip = (
+            native_t2.decode_packets(
+                lib, flat, bytes(body), max_layers, use_sop, use_eph,
+                bytes(packed_headers) if packed_headers is not None else None,
+                plt_lens=plt, pkt_skip=pkt_skip,
+            )
+        )
+        self.last_t2_skipped = n_skip
+        entry_np = np.zeros(te, dtype=np.int64)
+        entry_bytes = np.zeros(te, dtype=np.int64)
+        if len(c_entry):
+            np.add.at(entry_np, c_entry, c_np.astype(np.int64))
+            np.add.at(entry_bytes, c_entry, c_nb)
+        keep = (entry_np > 0) & want_entry
         sel = np.nonzero(keep)[0]
         n = len(sel)
         if n == 0:
@@ -758,6 +769,31 @@ class TileProcessor:
                     staging[c], staging[c].shape[1], 0,
                 )
 
+    @staticmethod
+    def _pkt_skip_mask(flat, want_entry):
+        """Per-packet skip mask: a packet is unwanted when no codeblock of
+        its precincts is wanted. Precinct-monotone by construction (reduce,
+        window and layer truncation never re-want a precinct), which the
+        native PLT skip path requires."""
+        off = flat.prc_cb_off
+        nprc = len(flat.prc_numbps)
+        prc_any = np.zeros(nprc, dtype=bool)
+        nonempty = off[1:] > off[:-1]
+        if nonempty.any():
+            # dropping empty segments' start offsets is safe for reduceat:
+            # they span zero elements, so each retained segment still covers
+            # exactly its own entries
+            prc_any[nonempty] = np.bitwise_or.reduceat(
+                want_entry, off[:-1][nonempty]
+            )
+        pkt_vals = prc_any[flat.pkt_prc_ids]
+        po = flat.pkt_prc_off
+        pkt_any = np.zeros(len(flat.pkt_layer), dtype=bool)
+        pne = po[1:] > po[:-1]
+        if pne.any():
+            pkt_any[pne] = np.bitwise_or.reduceat(pkt_vals, po[:-1][pne])
+        return (~pkt_any).astype(np.int32)
+
     def _window_entry_mask(self, flat, reduce, comp_windows):
         """Entry mask: codeblock rect intersects its band's needed region."""
         siz, tcp = self.siz, self.tcp
@@ -824,9 +860,17 @@ class TileProcessor:
             from ..codestream.bitio import BitReader
 
             hdr_reader = BitReader(packed_headers, 0)
-        for pk in packet_order(siz, tcp, self.geoms, self.tile_rect):
-            if max_layers and pk.layer >= max_layers:
-                continue
+        order = list(packet_order(siz, tcp, self.geoms, self.tile_rect))
+        last_wanted = -1
+        for i, pk in enumerate(order):
+            if not (max_layers and pk.layer >= max_layers):
+                last_wanted = i
+        for i, pk in enumerate(order):
+            if i > last_wanted:
+                break  # pure unwanted suffix: stop reading
+            # mid-stream unwanted layers (non-layer-outermost progressions)
+            # are parsed-and-dropped to keep the stream position aligned
+            drop = bool(max_layers and pk.layer >= max_layers)
             res = self.geoms[pk.comp].resolutions[pk.res]
             ctxs = [
                 prc_ctx_map[(pk.comp, pk.res, bi, pk.prec)]
@@ -835,7 +879,8 @@ class TileProcessor:
             if pos >= len(body) and hdr_reader is None:
                 break  # truncated stream: remaining packets empty
             pos = decode_packet(
-                body, pos, ctxs, pk.layer, use_sop, use_eph, hdr_reader
+                body, pos, ctxs, pk.layer, use_sop, use_eph, hdr_reader,
+                drop=drop,
             )
 
         refs, datas, lens, nps, nbps, hs, ws, ors = [], [], [], [], [], [], [], []
@@ -944,6 +989,7 @@ class TileProcessor:
     def decompress(
         self, body: memoryview, max_layers: int = 0, reduce: int = 0,
         packed_headers: bytes | None = None, window: Rect | None = None,
+        plt: list[int] | None = None,
     ):
         """Decode a tile body into per-component arrays.
 
@@ -1035,7 +1081,7 @@ class TileProcessor:
             self._decompress_t1_flat(
                 lib, body, max_layers, reduce, packed_headers, use_sop,
                 use_eph, cbh, cbw, staging, comp_windows,
-                fused_deq=fused_deq,
+                fused_deq=fused_deq, plt=plt,
             )
         else:
             self._decompress_t1_objects(

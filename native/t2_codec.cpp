@@ -490,6 +490,14 @@ int t2_decode_packets(
     const int32_t* cb_cy, const int32_t* cb_style,
     int32_t use_sop, int32_t use_eph,
     const uint8_t* hdrs, int64_t hdr_len, int32_t use_ppt,
+    // PLT fast path (cache/PacketLengthMarkers + skipTo parity): when
+    // plt_lens covers all npk packets and a packet is marked skip (not
+    // wanted: dropped resolution / excluded precinct / truncated layer),
+    // advance by its recorded length instead of parsing its headers.
+    // Only valid without PPT (packed headers are a separate bit stream
+    // with no per-packet byte index).
+    int32_t has_plt, const int64_t* plt_lens, const int32_t* pkt_skip,
+    int64_t* n_skipped,
     int32_t* out_entry, int32_t* out_npasses, int64_t* out_nbytes,
     int64_t* out_off, int64_t max_contrib, int64_t* n_contrib,
     int32_t* entry_numbps, int64_t* end_pos) {
@@ -510,9 +518,33 @@ int t2_decode_packets(
     // per-packet contribution staging (entry, npasses, nbytes)
     std::vector<int64_t> contrib;
 
+    const bool plt_skip_ok = has_plt && !use_ppt;
+    int64_t skipped = 0;
+    auto is_unwanted = [&](int32_t pk) {
+        return (max_layers > 0 && pkt_layer[pk] >= max_layers) ||
+               (pkt_skip && pkt_skip[pk]);
+    };
+    int32_t last_wanted = -1;
+    for (int32_t pk = 0; pk < npk; pk++)
+        if (!is_unwanted(pk)) last_wanted = pk;
     for (int32_t pk = 0; pk < npk; pk++) {
         int layer = pkt_layer[pk];
-        if (max_layers > 0 && layer >= max_layers) continue;
+        if (pk > last_wanted) break;  // pure unwanted suffix: stop reading
+        bool drop = is_unwanted(pk);
+        if (drop && plt_skip_ok) {
+            if (pos < body_len) {
+                // jump the whole packet (SOP/header/EPH/bodies included in
+                // the recorded length) so later wanted packets of
+                // interleaving progressions stay aligned
+                pos += plt_lens[pk];
+                skipped++;
+                if (pos > body_len) break;  // truncated tail
+            }
+            continue;
+        }
+        // without PLT an unwanted mid-stream packet is still parsed (headers
+        // keep pos and the PPT bit stream aligned); its contributions are
+        // dropped below
         if (pos >= body_len && !use_ppt) break;  // truncated: rest empty
         if (use_sop && pos + 6 <= body_len && body[pos] == 0xFF &&
             body[pos + 1] == 0x91)
@@ -581,17 +613,20 @@ int t2_decode_packets(
             int64_t e = contrib[ci], npl = contrib[ci + 1],
                     nb = contrib[ci + 2];
             if (pos + nb > body_len) return 1;  // body truncated
-            if (nout >= max_contrib) return 2;
-            out_entry[nout] = (int32_t)e;
-            out_npasses[nout] = (int32_t)npl;
-            out_nbytes[nout] = nb;
-            out_off[nout] = pos;
-            nout++;
+            if (!drop) {
+                if (nout >= max_contrib) return 2;
+                out_entry[nout] = (int32_t)e;
+                out_npasses[nout] = (int32_t)npl;
+                out_nbytes[nout] = nb;
+                out_off[nout] = pos;
+                nout++;
+            }
             pos += nb;
         }
     }
     *n_contrib = nout;
     *end_pos = pos;
+    if (n_skipped) *n_skipped = skipped;
     return 0;
 }
 

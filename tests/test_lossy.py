@@ -50,6 +50,59 @@ def test_53_truncation_layers():
     assert psnr(arr, lossy) > 25
 
 
+def test_max_layers_non_lrcp_progressions():
+    """Layer truncation when layer is NOT the outermost progression axis:
+    unwanted layer packets interleave mid-stream and must be
+    parsed-and-dropped (or PLT-skipped) so later wanted packets stay
+    byte-aligned. Layer allocation depends only on the rates, so layer-1
+    pixels must be identical across all five progression orders."""
+    arr = natural_image(200, 280, nc=3)
+    im = gk.Image.from_array(arr)
+    cfg = dict(num_resolutions=4, num_layers=3, layer_rates=[60, 20, 1])
+    expected = None
+    for prog in gk.ProgressionOrder:
+        for plt in (False, True):
+            stream = gk.compress(
+                im, gk.CompressParams(progression=prog, write_plt=plt, **cfg)
+            )
+            out = gk.decompress(
+                stream, gk.DecompressParams(max_layers=1)
+            ).to_array()
+            if expected is None:
+                expected = out
+            assert np.array_equal(out, expected), (prog, plt)
+
+
+def test_max_layers_non_lrcp_interop():
+    """The reference decoder's -l 1 on our RPCL stream must match ours."""
+    import glob
+
+    from tests.conftest import grk_decompress, have_grok, read_pgx
+
+    if not have_grok():
+        pytest.skip("reference binaries not available")
+    import tempfile, os
+
+    arr = natural_image(200, 280, nc=3)
+    im = gk.Image.from_array(arr)
+    stream = bytes(gk.compress(im, gk.CompressParams(
+        progression=gk.ProgressionOrder.RPCL, num_resolutions=4,
+        num_layers=3, layer_rates=[60, 20, 1],
+    )))
+    ours = gk.decompress(stream, gk.DecompressParams(max_layers=1)).to_array()
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "l.j2k")
+        with open(p, "wb") as f:
+            f.write(stream)
+        out = os.path.join(td, "l_ref.pgx")
+        r = grk_decompress(["-i", p, "-o", out, "-l", "1"])
+        assert r.returncode == 0, r.stderr
+        refs = [read_pgx(f)
+                for f in sorted(glob.glob(os.path.join(td, "l_ref*.pgx")))]
+    for i in range(3):
+        assert np.array_equal(ours[:, :, i], refs[i]), i
+
+
 def test_97_rgb_ict():
     arr = natural_image(128, 128, nc=3)
     im = gk.Image.from_array(arr)

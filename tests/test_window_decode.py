@@ -122,6 +122,52 @@ def test_window_interop_grok(tmp_path, rng):
         assert np.array_equal(ours[:, :, i], refs[i])
 
 
+def test_plt_skip_fast_path(rng):
+    """With a PLT index, unwanted packets (window / reduce) are jumped by
+    their recorded byte lengths instead of header-parsed (parity:
+    cache/PacketLengthMarkers + PacketParser skip)."""
+    from grok_tpu.codestream.decompress import Decoder
+
+    arr = natural_image(512, 512)
+    im = gk.Image.from_array(arr)
+    # small precincts so a sub-tile window excludes whole packets (the
+    # skip granularity is the precinct)
+    cfg = dict(num_resolutions=5, precinct_sizes=[(6, 6)] * 5)
+    stream = bytes(gk.compress(im, gk.CompressParams(**cfg)))
+    stream_plt = bytes(gk.compress(
+        im, gk.CompressParams(write_plt=True, **cfg)
+    ))
+    # PCRL: resolution is an inner progression axis, so reduce-dropped
+    # packets interleave mid-stream (can't be handled by a suffix break)
+    pcrl = dict(progression=gk.ProgressionOrder.PCRL, **cfg)
+    stream_pcrl = bytes(gk.compress(im, gk.CompressParams(**pcrl)))
+    stream_pcrl_plt = bytes(gk.compress(
+        im, gk.CompressParams(write_plt=True, **pcrl)
+    ))
+    cases = [
+        # mid-stream windows / reduces must fire the PLT jump
+        (stream_plt, stream, dict(window=(100, 100, 160, 160)), True),
+        (stream_plt, stream, dict(reduce=1, window=(300, 300, 380, 380)), True),
+        (stream_pcrl_plt, stream_pcrl, dict(reduce=2), True),
+        # LRCP reduce: dropped resolutions are a pure suffix — the parser
+        # stops reading instead of skipping (strictly better than PLT)
+        (stream_plt, stream, dict(reduce=2), False),
+    ]
+    for splt, sref, dp, expect_skips in cases:
+        dec = Decoder(splt, gk.DecompressParams(**dp))
+        out = dec.decompress().to_array()
+        ref = gk.decompress(sref, gk.DecompressParams(**dp)).to_array()
+        assert np.array_equal(out, ref), dp
+        if expect_skips:
+            assert dec.last_t2_skipped > 0, dp
+        else:
+            assert dec.last_t2_skipped == 0, dp
+    # without PLT the same decode parses-and-drops (no skips), same pixels
+    dec = Decoder(stream, gk.DecompressParams(window=(100, 100, 160, 160)))
+    dec.decompress()
+    assert dec.last_t2_skipped == 0
+
+
 def test_sparse_canvas_memory():
     """Windowed decode materializes only touched chunks (SparseCanvas
     parity, tile/SparseCanvas.h): allocation stays far below whole-tile
