@@ -211,6 +211,10 @@ def _cli_guard(argv=None) -> int:
         print("error: -i and -o required (or -y batch mode)", file=sys.stderr)
         return 2
     run_one(args.in_file, args.out_file, params, args.verbose, args)
+    from ..core import trace
+
+    if trace.enabled():
+        trace.report()
     return 0
 
 

@@ -161,6 +161,10 @@ def _cli_guard(argv=None) -> int:
               file=sys.stderr)
         return 1
     run_one(args.in_file, args.out_file, args)
+    from ..core import trace
+
+    if trace.enabled():
+        trace.report()
     return 0
 
 

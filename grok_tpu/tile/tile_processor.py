@@ -20,6 +20,9 @@ from ..codestream.quantizer import apply_band_quant, band_norm
 from ..codestream.structs import Siz, Tcp
 from ..core.params import QuantStyle
 from ..core.rect import Rect, ceil_div
+import time as _time
+
+from ..core import trace
 from ..ops import dwt as dwt_ops
 from ..ops import mct as mct_ops
 from ..t1 import select_backend
@@ -185,14 +188,17 @@ class TileProcessor:
                 self._dev_fwd = fwd
             import jax.numpy as jnp
 
-            dev_out = fwd(*[
-                jnp.asarray(np.ascontiguousarray(comp_arrays[c], dtype=np.int32))
-                for c in range(ncomp)
-            ])
-            coeff_arrays = [np.asarray(x) for x in dev_out]
+            with trace.span("enc.device_fwd"), trace.device_trace():
+                dev_out = fwd(*[
+                    jnp.asarray(
+                        np.ascontiguousarray(comp_arrays[c], dtype=np.int32))
+                    for c in range(ncomp)
+                ])
+                coeff_arrays = [np.asarray(x) for x in dev_out]
             return self._entropy_and_t2(coeff_arrays, packed_headers)
 
         # ---- DC shift + MCT (fused native kernel when available)
+        _t_mct = _time.perf_counter() if trace.enabled() else 0.0
         from ..ops.native_ops import get_lib as _get_native
 
         _nlib = _get_native()
@@ -250,6 +256,10 @@ class TileProcessor:
             )
 
         # ---- per-component DWT + quantization to int coefficients
+        if trace.enabled():
+            trace.add("enc.mct_dc", _time.perf_counter() - _t_mct,
+                      bytes_moved=2 * sum(a.nbytes for a in shifted))
+        _t_dwt = _time.perf_counter() if trace.enabled() else 0.0
         coeff_arrays = []
         for c in range(ncomp):
             g = self.geoms[c]
@@ -290,6 +300,9 @@ class TileProcessor:
                     packed = packed << tccp.roi_shift
                 coeff_arrays.append(packed)
 
+        if trace.enabled():
+            trace.add("enc.dwt_quant", _time.perf_counter() - _t_dwt,
+                      bytes_moved=4 * sum(a.nbytes for a in coeff_arrays))
         return self._entropy_and_t2(coeff_arrays, packed_headers)
 
     def compress_from_coeffs(self, coeff_arrays, packed_headers=None):
@@ -313,6 +326,7 @@ class TileProcessor:
         t2lib = native_t2.get_lib() if os.environ.get(
             "GROK_TPU_NATIVE_OPS", "1") != "0" else None
         refs = None
+        _t_gather = _time.perf_counter() if trace.enabled() else 0.0
         if t2lib is not None:
             # flat path: entry order == ref order; native per-component gather
             flat = self._get_flat_t2(native_t2)
@@ -382,34 +396,41 @@ class TileProcessor:
             styles = np.array(
                 [tcp.tccps[r.comp].cblk_style & 0x7F for r in refs], dtype=np.int32
             )
-        if tcp.tccps[0].cblk_style & 0x40:
-            from ..t1 import ht as t1
+        if trace.enabled():
+            trace.add("enc.gather", _time.perf_counter() - _t_gather,
+                      bytes_moved=2 * batch.nbytes)
+        with trace.span("enc.t1", bytes_moved=batch.nbytes):
+            if tcp.tccps[0].cblk_style & 0x40:
+                from ..t1 import ht as t1
 
-            refine = bool(getattr(self.enc_params, "ht_refine", False))
-            t1res = t1.encode_cblks(batch, heights, widths, orients,
-                                    refine=refine)
-        else:
-            t1 = select_backend()
-            _check_styles_supported(styles, t1)
-            t1res = t1.encode_cblks(batch, heights, widths, orients, styles=styles)
+                refine = bool(getattr(self.enc_params, "ht_refine", False))
+                t1res = t1.encode_cblks(batch, heights, widths, orients,
+                                        refine=refine)
+            else:
+                t1 = select_backend()
+                _check_styles_supported(styles, t1)
+                t1res = t1.encode_cblks(batch, heights, widths, orients,
+                                        styles=styles)
 
         # ---- PCRD layer allocation (iterative: re-run with a tightened
         # budget if the emitted packets overshoot the rate target, mirroring
         # the reference's simulate-then-write loop)
         targets = self._layer_targets()
         shrink = 0
-        for _attempt in range(4):
-            cum_passes = self._allocate_layers(refs, t1res, extra_margin=shrink)
-            if packed_headers is not None:
-                packed_headers.clear()
-            body, pkt_lens = self._emit_packets(refs, t1res, cum_passes,
-                                                packed_headers)
-            if targets is None or targets[-1] is None:
-                break
-            total = len(body)
-            if total <= targets[-1]:
-                break
-            shrink += total - targets[-1] + 16
+        with trace.span("enc.pcrd_t2"):
+            for _attempt in range(4):
+                cum_passes = self._allocate_layers(refs, t1res,
+                                                   extra_margin=shrink)
+                if packed_headers is not None:
+                    packed_headers.clear()
+                body, pkt_lens = self._emit_packets(refs, t1res, cum_passes,
+                                                    packed_headers)
+                if targets is None or targets[-1] is None:
+                    break
+                total = len(body)
+                if total <= targets[-1]:
+                    break
+                shrink += total - targets[-1] + 16
         return body, pkt_lens
 
     def _emit_packets(self, refs, t1res, cum_passes, packed_headers=None):
@@ -657,13 +678,14 @@ class TileProcessor:
         pkt_skip = None
         if reduce or comp_windows is not None:
             pkt_skip = self._pkt_skip_mask(flat, want_entry)
-        entry_numbps, (c_entry, c_np, c_nb, c_off), body_arr, n_skip = (
-            native_t2.decode_packets(
-                lib, flat, bytes(body), max_layers, use_sop, use_eph,
-                bytes(packed_headers) if packed_headers is not None else None,
-                plt_lens=plt, pkt_skip=pkt_skip,
+        with trace.span("dec.t2_parse", bytes_moved=len(body)):
+            entry_numbps, (c_entry, c_np, c_nb, c_off), body_arr, n_skip = (
+                native_t2.decode_packets(
+                    lib, flat, bytes(body), max_layers, use_sop, use_eph,
+                    bytes(packed_headers) if packed_headers is not None else None,
+                    plt_lens=plt, pkt_skip=pkt_skip,
+                )
             )
-        )
         self.last_t2_skipped = n_skip
         entry_np = np.zeros(te, dtype=np.int64)
         entry_bytes = np.zeros(te, dtype=np.int64)
@@ -682,11 +704,12 @@ class TileProcessor:
         data = np.zeros((n, max(maxlen, 1)), dtype=np.uint8)
         cursors = np.zeros(n, dtype=np.int64)
         if len(c_entry):
-            lib.gather_segments(
-                body_arr, np.ascontiguousarray(row_of[c_entry]),
-                np.ascontiguousarray(c_nb), np.ascontiguousarray(c_off),
-                len(c_entry), data, data.shape[1], cursors,
-            )
+            with trace.span("dec.gather_seg", bytes_moved=2 * int(lens.sum())):
+                lib.gather_segments(
+                    body_arr, np.ascontiguousarray(row_of[c_entry]),
+                    np.ascontiguousarray(c_nb), np.ascontiguousarray(c_off),
+                    len(c_entry), data, data.shape[1], cursors,
+                )
         styles = flat.cb_style[sel]
         nbps = entry_numbps[sel].astype(np.int64)
         nps = entry_np[sel]
@@ -709,23 +732,26 @@ class TileProcessor:
                 n, seg_arr, seg_arr.shape[1],
             )
 
-        if tcp.tccps[0].cblk_style & 0x40:
-            from ..t1 import ht as t1
+        with trace.span("dec.t1", bytes_moved=int(lens.sum())
+                        + n * cbh * cbw * 4):
+            if tcp.tccps[0].cblk_style & 0x40:
+                from ..t1 import ht as t1
 
-            coeffs, planes = t1.decode_cblks(
-                data, lens, nbps, nps, hs, ws, ors, cbh, cbw,
-                seg_lengths=seg_arr,
-            )
-        else:
-            t1 = select_backend()
-            _check_styles_supported(styles, t1)
-            coeffs, planes = t1.decode_cblks(
-                data, lens, nbps, nps, hs, ws, ors, cbh, cbw,
-                styles=styles.astype(np.int64), seg_lengths=seg_arr,
-            )
+                coeffs, planes = t1.decode_cblks(
+                    data, lens, nbps, nps, hs, ws, ors, cbh, cbw,
+                    seg_lengths=seg_arr,
+                )
+            else:
+                t1 = select_backend()
+                _check_styles_supported(styles, t1)
+                coeffs, planes = t1.decode_cblks(
+                    data, lens, nbps, nps, hs, ws, ors, cbh, cbw,
+                    styles=styles.astype(np.int64), seg_lengths=seg_arr,
+                )
         coeffs = np.ascontiguousarray(coeffs, dtype=np.int32)
         rows_all = np.arange(n, dtype=np.int32)
         comp_sel = flat.e_comp[sel]
+        _t_scatter = _time.perf_counter() if trace.enabled() else 0.0
         if fused_deq:
             band_steps = np.array(
                 [self.geoms[c].resolutions[r].bands[bi].step
@@ -768,6 +794,9 @@ class TileProcessor:
                     np.ascontiguousarray(flat.e_w[sel][mask]),
                     staging[c], staging[c].shape[1], 0,
                 )
+        if trace.enabled():
+            trace.add("dec.scatter", _time.perf_counter() - _t_scatter,
+                      bytes_moved=2 * coeffs.nbytes)
 
     @staticmethod
     def _pkt_skip_mask(flat, want_entry):
@@ -1102,14 +1131,16 @@ class TileProcessor:
                 self._dev_inv_cache[reduce] = inv
             import jax.numpy as jnp
 
-            dev_out = inv(*[
-                jnp.asarray(np.ascontiguousarray(s, dtype=np.int32))
-                for s in staging
-            ])
-            return [np.asarray(x) for x in dev_out]
+            with trace.span("dec.device_inv"), trace.device_trace():
+                dev_out = inv(*[
+                    jnp.asarray(np.ascontiguousarray(s, dtype=np.int32))
+                    for s in staging
+                ])
+                return [np.asarray(x) for x in dev_out]
 
         from ..ops import native_ops
 
+        _t_deq = _time.perf_counter() if trace.enabled() else 0.0
         for c2 in range(ncomp):
             tccp2 = tcp.tccps[c2]
             if not isinstance(staging[c2], np.ndarray):
@@ -1194,27 +1225,36 @@ class TileProcessor:
                         )
                         out2[sl2] = np.where(q2 < 0, -rec2, rec2)
 
+        if trace.enabled():
+            trace.add("dec.dequant_roi", _time.perf_counter() - _t_deq,
+                      bytes_moved=2 * sum(
+                          getattr(a, "nbytes", 0) for a in coeff_arrays))
+
         # ---- inverse DWT (fewer levels under resolution reduction;
         # windowed with filter halos when a sub-tile region was requested)
         out = []
         out_rects = []
-        for c in range(ncomp):
-            g = self.geoms[c]
-            nl = max(self.tcp.tccps[c].num_resolutions - 1 - reduce, 0)
-            rect = g.rect.ceil_div_pow2(reduce) if reduce else g.rect
-            if comp_windows is not None:
-                rec, orect = dwt_ops.inverse_window(
-                    np, coeff_arrays[c], rect, nl, irrev, comp_windows[c]
-                )
-                rec = np.ascontiguousarray(rec)
-                out_rects.append(orect)
-            else:
-                rec = dwt_ops.inverse(np, coeff_arrays[c], rect, nl, irrev)
-                out_rects.append(rect)
-            out.append(rec)
+        with trace.span("dec.idwt", bytes_moved=4 * sum(
+                getattr(a, "nbytes", 0) for a in coeff_arrays)):
+            for c in range(ncomp):
+                g = self.geoms[c]
+                nl = max(self.tcp.tccps[c].num_resolutions - 1 - reduce, 0)
+                rect = g.rect.ceil_div_pow2(reduce) if reduce else g.rect
+                if comp_windows is not None:
+                    rec, orect = dwt_ops.inverse_window(
+                        np, coeff_arrays[c], rect, nl, irrev, comp_windows[c]
+                    )
+                    rec = np.ascontiguousarray(rec)
+                    out_rects.append(orect)
+                else:
+                    rec = dwt_ops.inverse(np, coeff_arrays[c], rect, nl,
+                                          irrev)
+                    out_rects.append(rect)
+                out.append(rec)
 
         # ---- inverse MCT + DC shift (+ final conversion, fused natively
         # when the first three components share precision/signedness)
+        _t_fin = _time.perf_counter() if trace.enabled() else 0.0
         from ..ops.native_ops import get_lib as _gl2
 
         _fuse_lib = _gl2()
@@ -1245,6 +1285,9 @@ class TileProcessor:
                 _fuse_lib.rct_finish(out[0], out[1], out[2],
                                      res3[0], res3[1], res3[2], nel,
                                      add, lo, hi, 0)
+            if trace.enabled():
+                trace.add("dec.mct_finish", _time.perf_counter() - _t_fin,
+                          bytes_moved=2 * sum(a.nbytes for a in res3))
             if window is not None:
                 return res3, out_rects
             return res3
@@ -1318,6 +1361,9 @@ class TileProcessor:
                     a = mct_ops.dc_shift_inverse(np, a, prec2, signed2)
                     a = a.astype(np.int32, copy=False)
             final.append(a)
+        if trace.enabled():
+            trace.add("dec.mct_finish", _time.perf_counter() - _t_fin,
+                      bytes_moved=2 * sum(a.nbytes for a in final))
         if window is not None:
             return final, out_rects
         return final

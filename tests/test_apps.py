@@ -238,3 +238,29 @@ def test_cli_decompress_flag_surface(tmp_path):
     (bat / "one.j2k").write_bytes(open(j2k, "rb").read())
     assert dmain(["-y", str(bat), "-a", str(bat), "-O", "png"]) == 0
     assert (bat / "one.png").exists()
+
+
+def test_trace_spans(monkeypatch):
+    """GROK_TPU_TRACE=1 collects per-stage spans with roofline accounting
+    (SURVEY §5 tracing subsystem: jax.profiler hook + stage counters)."""
+    import io
+
+    monkeypatch.setenv("GROK_TPU_TRACE", "1")
+    from grok_tpu.core import trace
+
+    trace.reset()
+    arr = natural_image(128, 128, 3)
+    im = gk.Image.from_array(arr)
+    st = gk.compress(im, gk.CompressParams(num_resolutions=4))
+    out = gk.decompress(st).to_array()
+    assert np.array_equal(out, arr)
+    names = {r["stage"] for r in trace.rows()}
+    assert {"enc.mct_dc", "enc.dwt_quant", "enc.t1", "enc.pcrd_t2",
+            "dec.t2_parse", "dec.t1", "dec.scatter", "dec.idwt",
+            "dec.mct_finish"} <= names, names
+    buf = io.StringIO()
+    rows = trace.report(file=buf)
+    assert "roofline" in buf.getvalue()
+    assert all(r["ms"] >= 0 for r in rows)
+    trace.reset()
+    assert not trace.rows()
