@@ -393,6 +393,18 @@ constexpr uint64_t SC_PEXT = (1ULL << 1) | (1ULL << 6) | (1ULL << 8) |
                              (1ULL << 32) | (1ULL << 36);
 constexpr uint64_t ZC_PEXT = 0x71C7ULL;  // rows k-1..k+1 of all 3 columns
 
+// 4-bit "has a significant neighbor" mask over rows 0-3, computed from a
+// whole stripe word at once: bit k set iff row k's 8-neighborhood (the
+// zkey & 0x1EF test) is non-empty. Lets the SPP scan skip all
+// no-neighbor rows of a column without per-row pext+test. The caller
+// pre-clears W_VSC_SIGCUT under VSC (row-4 contributions).
+static inline unsigned nbr4(uint64_t w) {
+    unsigned LR = (unsigned)((w | (w >> 12)) & 0x3F);  // left|right column
+    unsigned S = (unsigned)((w >> 6) & 0x3F);          // self column
+    // row k sees L/R rows k-1..k+1 (bits k..k+2) and self rows k-1,k+1
+    return ((LR | (LR >> 1) | (LR >> 2)) | S | (S >> 2)) & 0xFu;
+}
+
 // 9-bit neighborhood-significance key for row k: bits 0-2 left column
 // rows k-1..k+1, bits 3-5 self column (bit 4 = self, ignored by the LUT),
 // bits 6-8 right column
@@ -587,11 +599,14 @@ static void enc_spp(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
             uint64_t w0 = Wr[x1], w = w0;
             const uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
             unsigned cand = ~(unsigned)(w >> 7) & ((1u << rows) - 1);
-            while (cand) {
-                int k = __builtin_ctz(cand);
-                cand &= cand - 1;
+            // see dec_spp: the nbr4 jump visits exactly the rows the
+            // sequential scan's (key & 0x1EF) test would code
+            unsigned live =
+                cand & nbr4(B.vsc ? (w & ~W_VSC_SIGCUT) : w);
+            while (live) {
+                int k = __builtin_ctz(live);
+                cand &= ~((2u << k) - 1);
                 uint32_t key = zkey(w, k) & B.zmask[k];
-                if (!(key & 0x1EF)) continue;
                 uint32_t m = mg[k * B.mstride];
                 int bit = (int)((m >> plane) & 1);
                 if (raw)
@@ -612,6 +627,9 @@ static void enc_spp(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
                     B.colact_mark(y0 + k, x);
                     B.mark_full(w, s, x);
                     *dist += dd_sig((int64_t)m, dc);
+                    live = cand & nbr4(B.vsc ? (w & ~W_VSC_SIGCUT) : w);
+                } else {
+                    live &= live - 1;
                 }
             }
             if (w != w0) Wr[x1] = w;
@@ -784,12 +802,16 @@ static void dec_spp(BlockCtx2& B, MQDecoder& mq_io, int plane, bool raw = false)
             uint64_t w0 = Wr[x1], w = w0;
             uint32_t* mg = B.mag + (int64_t)y0 * B.mstride + x;
             unsigned cand = ~(unsigned)(w >> 7) & ((1u << rows) - 1);
-            while (cand) {
-                int k = __builtin_ctz(cand);
-                cand &= cand - 1;
-                uint32_t key = zkey(w, k) & B.zmask[k];
-                if (!(key & 0x1EF)) continue;
-                int bit = raw ? mq.raw_bit() : mq.decode(zc[key]);
+            // scan order is top-down and w only changes on a hit, so
+            // jumping to the next live (has-neighbor) row evaluates each
+            // skipped row with exactly the state a sequential scan would
+            unsigned live =
+                cand & nbr4(B.vsc ? (w & ~W_VSC_SIGCUT) : w);
+            while (live) {
+                int k = __builtin_ctz(live);
+                cand &= ~((2u << k) - 1);  // rows <= k are done this pass
+                int bit = raw ? mq.raw_bit()
+                              : mq.decode(zc[zkey(w, k) & B.zmask[k]]);
                 w |= 1ULL << (18 + k);
                 if (bit) {
                     uint64_t neg;
@@ -807,6 +829,9 @@ static void dec_spp(BlockCtx2& B, MQDecoder& mq_io, int plane, bool raw = false)
                     B.mark_nbr(Wr, x1, k, neg);
                     B.colact_mark(y0 + k, x);
                     B.mark_full(w, s, x);
+                    live = cand & nbr4(B.vsc ? (w & ~W_VSC_SIGCUT) : w);
+                } else {
+                    live &= live - 1;
                 }
             }
             if (w != w0) Wr[x1] = w;
