@@ -48,7 +48,10 @@ def compress_distributed(image, params: CompressParams | None = None,
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     from ..ops import jax_pipeline
 
@@ -127,3 +130,124 @@ def compress_distributed(image, params: CompressParams | None = None,
         return coeff_map.get(ti)
 
     return _compress(image, params, tile_coeff_fn=tile_coeff_fn)
+
+
+def compress_frames(images, params: CompressParams | None = None,
+                    mesh=None) -> list[bytes]:
+    """Frame-parallel batch encode (P7): a video/DCI sequence of
+    same-geometry frames is stacked on the frame axis and sharded over the
+    mesh — every device runs the whole transform chain for its frame shard
+    in one program, then the per-frame entropy/T2/assembly runs on host
+    threads. Each returned codestream is byte-identical to
+    ``gk.compress(frame)`` (asserted by tests/test_parallel.py).
+
+    Frames whose geometry differs from the first frame's, subsampled or
+    multi-tile inputs fall back to the per-frame host path (same output).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    from ..ops import jax_pipeline
+
+    params = params or CompressParams()
+    params.validate()
+    if not images:
+        return []
+    for im in images:
+        im.finalize()
+    if params.profile:
+        from ..codestream.profile import apply_profile
+
+        apply_profile(params, images[0])
+
+    siz = build_siz(images[0], params)
+    tcp = build_tcp(images[0], params)
+    subsampled = any(c.dx != 1 or c.dy != 1 for c in siz.comps)
+
+    def _same_geometry(im) -> bool:
+        return (im.x0, im.y0, im.x1, im.y1) == (
+            images[0].x0, images[0].y0, images[0].x1, images[0].y1
+        ) and len(im.components) == len(images[0].components) and all(
+            (a.prec, a.signed, a.dx, a.dy) == (b.prec, b.signed, b.dx, b.dy)
+            for a, b in zip(im.components, images[0].components)
+        )
+
+    batch_idx = [
+        i for i, im in enumerate(images)
+        if _same_geometry(im) and not subsampled and siz.num_tiles == 1
+    ]
+    coeffs_of: dict[int, list[np.ndarray]] = {}
+    if len(batch_idx) >= 2:
+        mesh = mesh or _make_mesh()
+        n_dev = mesh.shape["tile"]
+        tp0 = TileProcessor(siz, tcp, 0, enc_params=params)
+        for c in range(siz.num_comps):
+            apply_band_quant(tp0.geoms[c], tcp.tccps[c], tp0._comp_prec(c))
+        fwd_one = jax_pipeline.make_forward_fn(
+            tp0.geoms, tcp.tccps, siz.comps, tcp.mct
+        )
+
+        def batched(stack):  # [F_local, C, H, W]
+            def one(frame):
+                outs = fwd_one(*[frame[c] for c in range(frame.shape[0])])
+                return jnp.stack(outs, axis=0)
+
+            return jax.vmap(one)(stack)
+
+        sharded = jax.jit(
+            shard_map(
+                batched, mesh=mesh,
+                in_specs=(P("tile"),), out_specs=P("tile"),
+            )
+        )
+        stack = np.stack(
+            [
+                np.stack(
+                    [c.data.astype(np.int32)
+                     for c in images[i].components],
+                    axis=0,
+                )
+                for i in batch_idx
+            ],
+            axis=0,
+        )
+        pad = (-stack.shape[0]) % n_dev
+        if pad:
+            stack = np.concatenate(
+                [stack, np.zeros((pad, *stack.shape[1:]), np.int32)], axis=0
+            )
+        out = np.asarray(sharded(jnp.asarray(stack)))
+        for row, i in enumerate(batch_idx):
+            coeffs_of[i] = [out[row, c] for c in range(out.shape[1])]
+
+    # per-frame entropy + T2 + assembly on host threads (the native T1/T2
+    # calls release the GIL; cap each worker's OpenMP team)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..core.cpu import host_threads, set_tile_threads
+
+    nw = min(host_threads(getattr(params, "num_threads", 0)), len(images), 8)
+    per_frame = max(1, host_threads(getattr(params, "num_threads", 0)) // nw)
+
+    import copy
+
+    def encode_one(i):
+        set_tile_threads(per_frame)
+        # compress() may (idempotently) mutate params via apply_profile;
+        # give each worker its own copy so frames can't race on it
+        p = copy.deepcopy(params)
+        cf = coeffs_of.get(i)
+        if cf is not None:
+            return _compress(images[i], p,
+                             tile_coeff_fn=lambda ti: cf if ti == 0 else None)
+        return _compress(images[i], p)
+
+    if nw > 1 and len(images) > 1:
+        with ThreadPoolExecutor(max_workers=nw) as ex:
+            return list(ex.map(encode_one, range(len(images))))
+    return [encode_one(i) for i in range(len(images))]

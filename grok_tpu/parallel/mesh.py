@@ -184,7 +184,10 @@ def make_sharded_transform(mesh, levels: int = 5):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     from ..ops import mct as mct_ops
 
@@ -226,7 +229,10 @@ def make_sharded_strip_dwt(mesh, levels: int):
     """jit-compiled forward/inverse sharded-strip DWT pair (config 4)."""
     import jax
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     n = mesh.shape["y"]
     fwd = shard_map(

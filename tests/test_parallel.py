@@ -98,3 +98,37 @@ def test_distributed_encode_byte_identical(rng):
     ref2 = gk.compress(gk.Image.from_array(arr2), p2)
     dist2 = compress_distributed(gk.Image.from_array(arr2), p2)
     assert dist2 == ref2
+
+
+def test_frame_parallel_batch_encode(rng):
+    """P7 frame parallelism: a same-geometry frame sequence sharded over
+    the mesh encodes each frame byte-identically to the one-shot path."""
+    import grok_tpu as gk
+    from grok_tpu.parallel.distributed import compress_frames
+    from tests.conftest import natural_image
+
+    frames = [
+        gk.Image.from_array(natural_image(96, 128, 3, seed=s))
+        for s in range(5)
+    ]
+    p = gk.CompressParams(num_resolutions=3)
+    refs = [
+        gk.compress(gk.Image.from_array(natural_image(96, 128, 3, seed=s)), p)
+        for s in range(5)
+    ]
+    outs = compress_frames(frames, p)
+    assert len(outs) == 5
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert o == r, i
+    # mixed geometry: odd frame falls back to the host path, same bytes
+    frames2 = [
+        gk.Image.from_array(natural_image(96, 128, 3, seed=1)),
+        gk.Image.from_array(natural_image(64, 80, 3, seed=2)),
+        gk.Image.from_array(natural_image(96, 128, 3, seed=3)),
+    ]
+    outs2 = compress_frames(frames2, p)
+    for f2, o2 in zip(
+        (natural_image(96, 128, 3, seed=1), natural_image(64, 80, 3, seed=2),
+         natural_image(96, 128, 3, seed=3)), outs2
+    ):
+        assert gk.compress(gk.Image.from_array(f2), p) == o2
