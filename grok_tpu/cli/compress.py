@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-e", "--repetitions", type=int, default=1,
                    help="encode repeatedly (performance measurement)")
     p.add_argument("-W", "--logfile", help="append verbose output to this file")
+    p.add_argument("-V", "--TransferExifTags", dest="transfer_exif",
+                   action="store_true",
+                   help="embed input EXIF tags in the JP2 (uuid box)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -173,6 +176,8 @@ def run_one(in_file: str, out_file: str, params: CompressParams, verbose: bool,
     if args is not None and getattr(args, "display_res", None):
         img.display_resolution = tuple(
             float(v) for v in args.display_res.split(","))
+    if not (args is not None and getattr(args, "transfer_exif", False)):
+        img.exif = None  # EXIF rides into the JP2 only under -V
     reps = getattr(args, "repetitions", 1) if args is not None else 1
     t0 = time.perf_counter()
     for _ in range(max(1, reps)):

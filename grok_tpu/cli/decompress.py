@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-L", "--compression_level", type=int, default=None,
                    help="PNG output compression level 0-9")
     p.add_argument("-W", "--logfile", help="append verbose output to this file")
+    p.add_argument("-V", "--TransferExifTags", dest="transfer_exif",
+                   action="store_true",
+                   help="copy EXIF from the JP2 uuid box into the output")
     p.add_argument("-H", "--num_threads", type=int, default=0)
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -123,6 +126,10 @@ def run_one(in_file: str, out_file: str, args) -> None:
             save_kw["compression"] = args.compression.lower()
         if args.compression_level is not None and out_file.lower().endswith(".png"):
             save_kw["compress_level"] = args.compression_level
+        if getattr(args, "transfer_exif", False) and getattr(img, "exif", None):
+            # PNG/JPEG/TIFF/WebP writers accept the raw EXIF blob; PIL
+            # strips/keeps the Exif\0\0 header per format
+            save_kw["exif"] = b"Exif\x00\x00" + img.exif
         save_image(out_file, img, **save_kw)
     if args.verbose or args.logfile:
         mp = sum(c.w * c.h for c in img.components) / 1e6

@@ -277,6 +277,16 @@ class Decoder:
             if getattr(info, "xml", None):
                 img.xml = (info.xml[0] if len(info.xml) == 1
                            else b"".join(info.xml))
+            if getattr(info, "uuid", None):
+                from .jp2 import EXIF_UUID
+
+                img.uuid_boxes = list(info.uuid)
+                for uid, payload in info.uuid:
+                    if uid == EXIF_UUID:
+                        img.exif = (payload[6:]
+                                    if payload.startswith(b"Exif\x00\x00")
+                                    else payload)
+                        break
         return img
 
     def _paste_window(self, img: Image, comp_arrays, rects) -> None:

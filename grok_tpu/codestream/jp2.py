@@ -39,6 +39,11 @@ class Jp2Info:
     display_resolution: tuple[float, float] | None = None
 
 
+# the widely used EXIF-in-JP2 uuid ("JpgTiffExif->JP2", same convention
+# ExifTool and the reference's exif transfer consume)
+EXIF_UUID = b"JpgTiffExif->JP2"
+
+
 def wrap_jp2(codestream: bytes, image: Image) -> bytes:
     """Wrap a raw codestream in a JP2 container."""
     out = bytearray(JP2_SIGNATURE)
@@ -77,6 +82,11 @@ def wrap_jp2(codestream: bytes, image: Image) -> bytes:
     out += _box(b"jp2h", jp2h)
     if image.xml:
         out += _box(b"xml ", image.xml)
+    if getattr(image, "exif", None):
+        payload = image.exif
+        if not payload.startswith(b"Exif\x00\x00"):
+            payload = b"Exif\x00\x00" + payload
+        out += _box(b"uuid", EXIF_UUID + payload)
     for (uid, payload) in getattr(image, "uuid_boxes", None) or []:
         out += _box(b"uuid", uid + payload)
     out += _box(b"jp2c", codestream)

@@ -50,6 +50,7 @@ class Image:
     channel_defs: list | None = None  # (channel, type, association)
     uuid_boxes: list | None = None  # [(16-byte uuid, payload)]
     display_resolution: tuple[float, float] | None = None
+    exif: bytes | None = None  # raw EXIF payload (JpgTiffExif->JP2 uuid box)
 
     @property
     def num_comps(self) -> int:

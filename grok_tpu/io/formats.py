@@ -130,6 +130,15 @@ def load_image(path: str, **raw_kw) -> Image:
     icc = pil.info.get("icc_profile")
     if icc:
         img.icc_profile = icc
+    exif = pil.info.get("exif")
+    if not exif:
+        try:
+            ex = pil.getexif()
+            exif = ex.tobytes() if len(ex) else None
+        except Exception:
+            exif = None
+    if exif:
+        img.exif = bytes(exif)
     return img
 
 

@@ -264,3 +264,38 @@ def test_trace_spans(monkeypatch):
     assert all(r["ms"] >= 0 for r in rows)
     trace.reset()
     assert not trace.rows()
+
+
+def test_exif_transfer_roundtrip(tmp_path):
+    """-V EXIF transfer (reference grk -V TransferExifTags parity): input
+    EXIF rides a JpgTiffExif->JP2 uuid box and comes back out on decode."""
+    from PIL import Image as PImage
+
+    src = tmp_path / "in.jpg"
+    pil = PImage.fromarray(natural_image(48, 64, 3).astype(np.uint8))
+    ex = PImage.Exif()
+    ex[271] = "grok_tpu_make"   # Make
+    ex[272] = "grok_tpu_model"  # Model
+    pil.save(src, exif=ex.tobytes())
+
+    from grok_tpu.cli.compress import main as cmain
+    from grok_tpu.cli.decompress import main as dmain
+
+    jp2 = tmp_path / "o.jp2"
+    assert cmain(["-i", str(src), "-o", str(jp2), "-n", "3", "-V"]) == 0
+    # uuid box present with the conventional EXIF uuid
+    from grok_tpu.codestream.jp2 import EXIF_UUID, unwrap_jp2
+
+    info = unwrap_jp2(jp2.read_bytes())
+    assert any(uid == EXIF_UUID for uid, _ in info.uuid)
+
+    back = tmp_path / "back.png"
+    assert dmain(["-i", str(jp2), "-o", str(back), "-V"]) == 0
+    got = PImage.open(back).getexif()
+    assert got[271] == "grok_tpu_make" and got[272] == "grok_tpu_model"
+
+    # without -V the EXIF must NOT be embedded
+    jp2n = tmp_path / "n.jp2"
+    assert cmain(["-i", str(src), "-o", str(jp2n), "-n", "3"]) == 0
+    info2 = unwrap_jp2(jp2n.read_bytes())
+    assert not any(uid == EXIF_UUID for uid, _ in info2.uuid)
