@@ -165,18 +165,112 @@ class OutputStream:
             self._f.close()
 
 
+class _UringBackend:
+    """Kernel-ring positional writes via the native raw-syscall io_uring
+    wrapper (native/uring_io.cpp; reference FileUringIO.cpp:42-76). The
+    Python side owns every submitted buffer until its completion token is
+    reaped — positional (pwrite) submission makes completion order
+    irrelevant, so the TLM/PSOT patch rides the same ring."""
+
+    DEPTH = 32
+
+    def __init__(self, lib, path):
+        import ctypes
+        import os as _os
+
+        self._ct = ctypes
+        self.lib = lib
+        self.fd = _os.open(str(path), _os.O_WRONLY | _os.O_CREAT | _os.O_TRUNC,
+                           0o644)
+        self.h = lib.uring_writer_create(self.fd, self.DEPTH)
+        if not self.h:
+            _os.close(self.fd)
+            raise OSError("io_uring unavailable")
+        self._pending: dict[int, bytes] = {}
+        self._next_token = 1
+        self._tokens = (ctypes.c_uint64 * (self.DEPTH * 2))()
+
+    def _reap(self, wait: bool):
+        n = self.lib.uring_writer_reap(self.h, self._tokens,
+                                       len(self._tokens), int(wait))
+        if n < 0:
+            raise OSError("io_uring reap failed")
+        for i in range(n):
+            self._pending.pop(int(self._tokens[i]), None)
+
+    def submit(self, data: bytes, offset: int):
+        tok = self._next_token
+        self._next_token += 1
+        self._pending[tok] = data  # keep alive until completion
+        while True:
+            rc = self.lib.uring_writer_write(self.h, data, len(data),
+                                             offset, tok)
+            if rc == 0:
+                break
+            if rc == -2:  # ring full: wait for one completion
+                self._reap(wait=True)
+                continue
+            self._pending.pop(tok, None)
+            raise OSError("io_uring submit failed")
+        self._reap(wait=False)
+
+    def close(self) -> None:
+        import os as _os
+
+        nt = self._ct.c_int64(0)
+        while self._pending:
+            errs = self.lib.uring_writer_drain(self.h, self._tokens,
+                                               len(self._tokens),
+                                               self._ct.byref(nt))
+            if errs < 0:
+                break
+            for i in range(int(nt.value)):
+                self._pending.pop(int(self._tokens[i]), None)
+            if errs > 0:
+                self.lib.uring_writer_destroy(self.h)
+                _os.close(self.fd)
+                raise OSError(f"{errs} async write(s) failed")
+            if int(nt.value) == 0:
+                break
+        self.lib.uring_writer_destroy(self.h)
+        _os.close(self.fd)
+
+
 class AsyncWriter:
-    """Queued background writes (the portable analogue of the reference's
-    io_uring strip writer, image_format/FileUringIO.cpp:42-76): the caller
-    never blocks on disk — chunks are handed to a writer thread with a
-    bounded queue, and close() joins and reports the total length.
+    """Queued background writes (the analogue of the reference's io_uring
+    strip writer, image_format/FileUringIO.cpp:42-76): the caller never
+    blocks on disk — chunks go to a kernel io_uring (raw syscalls,
+    native/uring_io.cpp) when writing to a file path, or to a writer
+    thread with a bounded queue otherwise; close() drains and reports the
+    total length. Disable the ring with GROK_TPU_URING=0.
 
     Used by the strip codecs so entropy coding of tile row N+1 overlaps
     the disk write of tile row N."""
 
     def __init__(self, dst, queue_depth: int = 8):
+        import os as _os
         import queue as _q
         import threading
+
+        self._uring = None
+        if isinstance(dst, (str, _os.PathLike)) and _os.environ.get(
+                "GROK_TPU_URING", "1") != "0":
+            lib = None
+            try:
+                from ..t1.native import get_lib
+
+                lib = get_lib()
+            except Exception:
+                lib = None
+            if lib is not None and hasattr(lib, "uring_writer_create"):
+                try:
+                    self._uring = _UringBackend(lib, dst)
+                except OSError:
+                    self._uring = None
+            if self._uring is not None:
+                self.seekable = True
+                self._written = 0
+                return
 
         self._out = OutputStream(dst)
         self.seekable = self._out.seekable
@@ -203,6 +297,10 @@ class AsyncWriter:
 
     def write(self, data) -> int:
         data = bytes(data)
+        if self._uring is not None:
+            self._uring.submit(data, self._written)
+            self._written += len(data)
+            return len(data)
         self._q.put(("w", data))
         self._written += len(data)
         return len(data)
@@ -212,9 +310,15 @@ class AsyncWriter:
         return self._written
 
     def patch(self, offset: int, data: bytes):
+        if self._uring is not None:
+            self._uring.submit(bytes(data), offset)
+            return
         self._q.put(("p", (offset, bytes(data))))
 
     def close(self) -> int:
+        if self._uring is not None:
+            self._uring.close()
+            return self._written
         self._q.put(None)
         self._t.join()
         if self._err is not None:

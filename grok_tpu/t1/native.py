@@ -35,6 +35,7 @@ _SRCS = [
     os.path.join(_NATIVE_DIR, "ht_coder.cpp"),
     os.path.join(_NATIVE_DIR, "pipeline.cpp"),
     os.path.join(_NATIVE_DIR, "t2_codec.cpp"),
+    os.path.join(_NATIVE_DIR, "uring_io.cpp"),
 ]
 _OUT = os.path.join(_NATIVE_DIR, "libgrok_tpu_native.so")
 
@@ -223,6 +224,24 @@ def get_lib() -> ctypes.CDLL | None:
             i32p, i64p,
         ]
         lib.t2_decode_packets.restype = ctypes.c_int
+        u64pp = ctypes.POINTER(ctypes.c_uint64)
+        lib.uring_writer_create.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.uring_writer_create.restype = ctypes.c_void_p
+        lib.uring_writer_write.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, i64, i64, ctypes.c_uint64,
+        ]
+        lib.uring_writer_write.restype = ctypes.c_int
+        lib.uring_writer_reap.argtypes = [
+            ctypes.c_void_p, u64pp, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.uring_writer_reap.restype = ctypes.c_int
+        lib.uring_writer_drain.argtypes = [
+            ctypes.c_void_p, u64pp, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.uring_writer_drain.restype = ctypes.c_int
+        lib.uring_writer_destroy.argtypes = [ctypes.c_void_p]
+        lib.uring_writer_destroy.restype = None
         _install_ht_tables(lib)
         _LIB = lib
         return _LIB

@@ -68,6 +68,47 @@ def test_strip_encode_to_file(tmp_path, rng):
     assert np.array_equal(out.squeeze(), arr)
 
 
+def test_strip_encode_io_uring(tmp_path, rng, monkeypatch):
+    """File-path strip output rides the kernel io_uring (raw-syscall
+    wrapper, reference FileUringIO parity) and stays byte-identical to
+    the one-shot stream, TLM patch included."""
+    from grok_tpu.core.stream import AsyncWriter
+    from grok_tpu.t1.native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "uring_writer_create"):
+        pytest.skip("native lib unavailable")
+    probe = AsyncWriter(str(tmp_path / "probe.bin"))
+    uring_ok = probe._uring is not None
+    probe.write(b"x")
+    probe.close()
+    if not uring_ok:
+        pytest.skip("io_uring unavailable in this environment")
+
+    arr = natural_image(200, 230, 3)
+    params = dict(num_resolutions=3, tile_size=(64, 64), write_tlm=True)
+    ref = gk.compress(gk.Image.from_array(arr), gk.CompressParams(**params))
+    path = tmp_path / "uring.j2k"
+    sc = StripCompressor(str(path), 230, 200, 3, 8,
+                         gk.CompressParams(**params), async_io=True)
+    assert getattr(sc.out, "_uring", None) is not None
+    for y in range(0, 200, 17):
+        sc.push(arr[y : y + 17])
+    sc.close()
+    assert path.read_bytes() == ref
+
+    # forced fallback path (GROK_TPU_URING=0) must produce the same bytes
+    monkeypatch.setenv("GROK_TPU_URING", "0")
+    path2 = tmp_path / "thread.j2k"
+    sc2 = StripCompressor(str(path2), 230, 200, 3, 8,
+                          gk.CompressParams(**params), async_io=True)
+    assert getattr(sc2.out, "_uring", None) is None
+    for y in range(0, 200, 17):
+        sc2.push(arr[y : y + 17])
+    sc2.close()
+    assert path2.read_bytes() == ref
+
+
 def test_tile_encoder_out_of_order():
     """Per-tile push API (grk_compress_tile parity): tiles pushed in any
     order produce a byte-identical stream to the one-shot encoder."""
