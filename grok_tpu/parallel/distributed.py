@@ -43,8 +43,12 @@ def _make_mesh(n_devices=None):
 
 
 def compress_distributed(image, params: CompressParams | None = None,
-                         mesh=None) -> bytes:
-    """Distributed encode over a tile mesh; byte-identical to compress()."""
+                         mesh=None, device_irreversible: bool = False
+                         ) -> bytes:
+    """Distributed encode over a tile mesh; byte-identical to compress().
+
+    Irreversible (9/7) encodes keep the host transform unless
+    ``device_irreversible`` — see compress_frames."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -76,7 +80,9 @@ def compress_distributed(image, params: CompressParams | None = None,
         tb = siz.tile_bounds(ti)
         shapes.setdefault((tb.width, tb.height), []).append(ti)
     batch_tiles: list[int] = []
-    if not subsampled and siz.num_tiles > 1:
+    irrev = bool(tcp.tccps and tcp.tccps[0].irreversible)
+    if not subsampled and siz.num_tiles > 1 and (
+            not irrev or device_irreversible):
         batch_tiles = max(shapes.values(), key=len)
         if len(batch_tiles) < 2:
             batch_tiles = []
@@ -133,7 +139,8 @@ def compress_distributed(image, params: CompressParams | None = None,
 
 
 def compress_frames(images, params: CompressParams | None = None,
-                    mesh=None) -> list[bytes]:
+                    mesh=None, device_irreversible: bool = False
+                    ) -> list[bytes]:
     """Frame-parallel batch encode (P7): a video/DCI sequence of
     same-geometry frames is stacked on the frame axis and sharded over the
     mesh — every device runs the whole transform chain for its frame shard
@@ -143,6 +150,11 @@ def compress_frames(images, params: CompressParams | None = None,
 
     Frames whose geometry differs from the first frame's, subsampled or
     multi-tile inputs fall back to the per-frame host path (same output).
+    Irreversible (9/7) sequences use the host transform by default too —
+    the device float path fuses FMAs and drifts ±1 ulp from the host, so
+    only the reversible path carries a byte-identity guarantee; pass
+    ``device_irreversible=True`` to batch 9/7 on the mesh anyway (lossy
+    quality is equivalent).
     """
     import jax
     import jax.numpy as jnp
@@ -177,10 +189,13 @@ def compress_frames(images, params: CompressParams | None = None,
             for a, b in zip(im.components, images[0].components)
         )
 
+    irrev = bool(tcp.tccps and tcp.tccps[0].irreversible)
     batch_idx = [
         i for i, im in enumerate(images)
         if _same_geometry(im) and not subsampled and siz.num_tiles == 1
     ]
+    if irrev and not device_irreversible:
+        batch_idx = []
     coeffs_of: dict[int, list[np.ndarray]] = {}
     if len(batch_idx) >= 2:
         mesh = mesh or _make_mesh()

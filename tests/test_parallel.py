@@ -100,6 +100,35 @@ def test_distributed_encode_byte_identical(rng):
     assert dist2 == ref2
 
 
+def test_frame_parallel_cinema_batch(rng):
+    """BASELINE config 5: Cinema DCI rate-capped frames as a
+    frame-parallel batch — every frame byte-identical to the one-shot
+    encoder and within the DCI codestream cap."""
+    import grok_tpu as gk
+    from grok_tpu.codestream.profile import validate_cinema_stream
+    from grok_tpu.core.params import CINEMA_24_CS, PROFILE_CINEMA_2K
+    from grok_tpu.parallel.distributed import compress_frames
+    from tests.conftest import natural_image
+
+    frames = [
+        gk.Image.from_array(natural_image(1080, 2048, nc=3, prec=12, seed=s),
+                            prec=12)
+        for s in range(3)
+    ]
+    p = gk.CompressParams(profile=PROFILE_CINEMA_2K, framerate=24)
+    outs = compress_frames(frames, p)
+    assert len(outs) == 3
+    for s, st in enumerate(outs):
+        assert len(st) <= CINEMA_24_CS, s
+        assert validate_cinema_stream(st, p), s
+        one = gk.compress(
+            gk.Image.from_array(
+                natural_image(1080, 2048, nc=3, prec=12, seed=s), prec=12),
+            gk.CompressParams(profile=PROFILE_CINEMA_2K, framerate=24),
+        )
+        assert st == one, s
+
+
 def test_frame_parallel_batch_encode(rng):
     """P7 frame parallelism: a same-geometry frame sequence sharded over
     the mesh encodes each frame byte-identically to the one-shot path."""
