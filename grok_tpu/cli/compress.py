@@ -75,6 +75,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-V", "--TransferExifTags", dest="transfer_exif",
                    action="store_true",
                    help="embed input EXIF tags in the JP2 (uuid box)")
+    p.add_argument("-U", "--BROADCAST", dest="broadcast",
+                   help="Broadcast profile: SINGLE|MULTI|MULTI_R"
+                        "[,mainlevel=X][,framerate=FPS]")
+    p.add_argument("-z", "--IMF", dest="imf",
+                   help="IMF profile: 2K|4K|8K|2K_R|4K_R|8K_R"
+                        "[,mainlevel=X][,sublevel=Y][,framerate=FPS]")
+    p.add_argument("-J", "--duration", type=float,
+                   help="repeat the encode for this many seconds (timing)")
+    p.add_argument("-g", "--plugin_path",
+                   help="load a T1 block-coder plugin shared library")
+    p.add_argument("-G", "--device_id", type=int,
+                   help="device index for the jax device pipeline")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -131,6 +143,36 @@ def params_from_args(args) -> CompressParams:
         p.profile = prm.PROFILE_CINEMA_4K
         p.framerate = args.cinema4k
         p.irreversible = True
+    if getattr(args, "broadcast", None):
+        from ..core import params as prm
+
+        base, opts = _profile_opts(args.broadcast)
+        profiles = {"SINGLE": prm.PROFILE_BC_SINGLE,
+                    "MULTI": prm.PROFILE_BC_MULTI,
+                    "MULTI_R": prm.PROFILE_BC_MULTI_R}
+        if base not in profiles:
+            raise ValueError(
+                "-U/--BROADCAST needs SINGLE|MULTI|MULTI_R"
+                "[,mainlevel=X][,framerate=FPS]")
+        p.profile = profiles[base] | int(opts.get("mainlevel", 0))
+        if "framerate" in opts:
+            p.framerate = int(opts["framerate"])
+    if getattr(args, "imf", None):
+        from ..core import params as prm
+
+        base, opts = _profile_opts(args.imf)
+        profiles = {"2K": prm.PROFILE_IMF_2K, "4K": prm.PROFILE_IMF_4K,
+                    "8K": prm.PROFILE_IMF_8K, "2K_R": prm.PROFILE_IMF_2K_R,
+                    "4K_R": prm.PROFILE_IMF_4K_R,
+                    "8K_R": prm.PROFILE_IMF_8K_R}
+        if base not in profiles:
+            raise ValueError(
+                "-z/--IMF needs 2K|4K|8K|2K_R|4K_R|8K_R"
+                "[,mainlevel=X][,sublevel=Y][,framerate=FPS]")
+        p.profile = (profiles[base] | (int(opts.get("sublevel", 0)) << 4)
+                     | int(opts.get("mainlevel", 0)))
+        if "framerate" in opts:
+            p.framerate = int(opts["framerate"])
     if args.roi:
         kv = dict(f.split("=") for f in args.roi.split(","))
         p.roi_comp = int(kv.get("c", 0))
@@ -162,6 +204,13 @@ def params_from_args(args) -> CompressParams:
     return p
 
 
+def _profile_opts(val: str):
+    """Parse '<BASE>[,k=v]...' (reference -U/-z syntax)."""
+    parts = val.split(",")
+    opts = dict(kv.split("=", 1) for kv in parts[1:] if "=" in kv)
+    return parts[0].upper(), opts
+
+
 def run_one(in_file: str, out_file: str, params: CompressParams, verbose: bool,
             args=None) -> None:
     raw_kw = {}
@@ -179,15 +228,23 @@ def run_one(in_file: str, out_file: str, params: CompressParams, verbose: bool,
     if not (args is not None and getattr(args, "transfer_exif", False)):
         img.exif = None  # EXIF rides into the JP2 only under -V
     reps = getattr(args, "repetitions", 1) if args is not None else 1
+    duration = getattr(args, "duration", None) if args is not None else None
     t0 = time.perf_counter()
-    for _ in range(max(1, reps)):
-        stream = compress(img, params)
+    if duration:
+        # -J: repeat for a fixed wall-clock budget (reference DurationArg)
+        reps = 0
+        while time.perf_counter() - t0 < duration or reps == 0:
+            stream = compress(img, params)
+            reps += 1
+    else:
+        for _ in range(max(1, reps)):
+            stream = compress(img, params)
     if out_file.lower().endswith(".jp2"):
         stream = wrap_jp2(stream, img)
     with open(out_file, "wb") as f:
         f.write(stream)
     if verbose:
-        dt = time.perf_counter() - t0
+        dt = (time.perf_counter() - t0) / max(1, reps)
         mp = (img.x1 - img.x0) * (img.y1 - img.y0) / 1e6
         print(f"{in_file}: {len(stream)} bytes, {dt*1000:.1f} ms ({mp/dt:.2f} MP/s)")
 
@@ -199,6 +256,12 @@ def _cli_guard(argv=None) -> int:
     except (ValueError, KeyError, IndexError) as e:
         print(f"error: invalid parameter value: {e}", file=sys.stderr)
         return 1
+    if getattr(args, "plugin_path", None):
+        from ..t1.plugin import load_plugin
+
+        load_plugin(args.plugin_path)
+    if getattr(args, "device_id", None) is not None:
+        os.environ["GROK_TPU_DEVICE_ID"] = str(args.device_id)
     if args.in_file and os.path.splitext(args.in_file)[1].lower() in (
             ".raw", ".rawl") and not args.raw:
         print("error: raw input requires -F w,h,ncomp,prec,{s,u}",

@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-V", "--TransferExifTags", dest="transfer_exif",
                    action="store_true",
                    help="copy EXIF from the JP2 uuid box into the output")
+    p.add_argument("-z", "--Duration", dest="duration", type=float,
+                   help="repeat the decode for this many seconds (timing)")
+    p.add_argument("-g", "--plugin_path",
+                   help="load a T1 block-coder plugin shared library")
+    p.add_argument("-G", "--device_id", type=int,
+                   help="device index for the jax device pipeline")
     p.add_argument("-H", "--num_threads", type=int, default=0)
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -96,9 +102,16 @@ def run_one(in_file: str, out_file: str, args) -> None:
     if args.region:
         params.window = tuple(int(v) for v in args.region.split(","))
     reps = max(1, args.repetitions)
+    duration = getattr(args, "duration", None)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        img = decompress(in_file, params)
+    if duration:
+        reps = 0
+        while time.perf_counter() - t0 < duration or reps == 0:
+            img = decompress(in_file, params)
+            reps += 1
+    else:
+        for _ in range(reps):
+            img = decompress(in_file, params)
     dt = (time.perf_counter() - t0) / reps
     if args.xml and getattr(img, "xml", None):
         with open(args.xml + ".xml", "wb") as f:
@@ -144,6 +157,12 @@ def run_one(in_file: str, out_file: str, args) -> None:
 
 def _cli_guard(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "plugin_path", None):
+        from ..t1.plugin import load_plugin
+
+        load_plugin(args.plugin_path)
+    if getattr(args, "device_id", None) is not None:
+        os.environ["GROK_TPU_DEVICE_ID"] = str(args.device_id)
     if args.batch_src:
         outdir = args.out_dir or args.batch_src
         files = sorted(

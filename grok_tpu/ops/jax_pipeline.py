@@ -90,6 +90,25 @@ def make_forward_fn(geoms, tccps, siz_comps, mct: int):
     return f
 
 
+def _pin_device(fn):
+    """Honor GROK_TPU_DEVICE_ID (CLI -G DeviceId parity): run the jitted
+    program on the selected device instead of jax's default."""
+    import os
+
+    did = os.environ.get("GROK_TPU_DEVICE_ID", "")
+    if not did:
+        return fn
+    import jax
+
+    dev = jax.devices()[int(did)]
+
+    def wrapped(*a):
+        with jax.default_device(dev):
+            return fn(*a)
+
+    return wrapped
+
+
 def build_forward(geoms, tccps, siz_comps, mct: int):
     """Returns jitted fn(*comps int32 [H,W]) -> tuple of packed int32 arrays.
 
@@ -97,7 +116,7 @@ def build_forward(geoms, tccps, siz_comps, mct: int):
     """
     import jax
 
-    return jax.jit(make_forward_fn(geoms, tccps, siz_comps, mct))
+    return _pin_device(jax.jit(make_forward_fn(geoms, tccps, siz_comps, mct)))
 
 
 def build_inverse(geoms, tccps, siz_comps, mct: int, reduce: int = 0):
@@ -168,7 +187,7 @@ def build_inverse(geoms, tccps, siz_comps, mct: int, reduce: int = 0):
             final.append(a.astype(jnp.int32))
         return tuple(final)
 
-    return jax.jit(f)
+    return _pin_device(jax.jit(f))
 
 
 def device_enabled() -> bool:

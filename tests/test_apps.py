@@ -299,3 +299,39 @@ def test_exif_transfer_roundtrip(tmp_path):
     assert cmain(["-i", str(src), "-o", str(jp2n), "-n", "3"]) == 0
     info2 = unwrap_jp2(jp2n.read_bytes())
     assert not any(uid == EXIF_UUID for uid, _ in info2.uuid)
+
+
+def test_cli_profile_and_timing_flags(tmp_path):
+    """-U BROADCAST / -z IMF profile selection, -J duration loop, -G
+    device id and -g plugin path (reference grk_compress flag parity)."""
+    from PIL import Image as PImage
+
+    from grok_tpu.cli.compress import main as cmain
+    from grok_tpu.core import params as prm
+
+    src = tmp_path / "in.png"
+    PImage.fromarray(natural_image(64, 80, 3).astype(np.uint8)).save(src)
+
+    out = tmp_path / "imf.j2k"
+    assert cmain(["-i", str(src), "-o", str(out), "-z",
+                  "2K,mainlevel=1,sublevel=1,framerate=24"]) == 0
+    ps = gk.parse_codestream(out.read_bytes())
+    assert ps.header.siz.rsiz == prm.PROFILE_IMF_2K | (1 << 4) | 1
+
+    out2 = tmp_path / "bc.j2k"
+    assert cmain(["-i", str(src), "-o", str(out2), "-U",
+                  "SINGLE,mainlevel=2"]) == 0
+    ps2 = gk.parse_codestream(out2.read_bytes())
+    assert ps2.header.siz.rsiz == prm.PROFILE_BC_SINGLE | 2
+
+    # -J: duration-driven repeat still produces a valid stream
+    out3 = tmp_path / "dur.j2k"
+    assert cmain(["-i", str(src), "-o", str(out3), "-n", "3",
+                  "-J", "0.2", "-v"]) == 0
+    assert np.array_equal(
+        gk.decompress(out3.read_bytes()).to_array(),
+        natural_image(64, 80, 3),
+    )
+
+    # bad profile value: clean CLI error, not a traceback
+    assert cmain(["-i", str(src), "-o", str(out), "-z", "3K"]) == 1
