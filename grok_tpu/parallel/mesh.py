@@ -142,6 +142,114 @@ def _inv53_h_local(y):
     return out
 
 
+# ------------------------------------------------- sharded 9/7 lifting DWT
+def _fwd97_v_sharded(x, axis_name, n_shards):
+    """One vertical 9/7 forward pass on a Y-sharded float32 array: four
+    lifting steps, each with a single one-row halo exchange (ops/dwt.py
+    fwd97_axis math, distributed)."""
+    jax, jnp = _jax()
+    from ..ops.dwt import ALPHA, BETA, DELTA, GAMMA, K
+
+    s = x[0::2]
+    d = x[1::2]
+    last = _is_last(axis_name, n_shards)
+    first = _is_first(axis_name)
+
+    def s_next(sv):
+        nxt = _halo_from_next(sv[0:1], axis_name, n_shards)
+        nxt = jnp.where(last, sv[-1:], nxt)
+        return jnp.concatenate([sv[1:], nxt], axis=0)
+
+    def d_prev(dv):
+        prv = _halo_from_prev(dv[-1:], axis_name, n_shards)
+        prv = jnp.where(first, dv[0:1], prv)
+        return jnp.concatenate([prv, dv[:-1]], axis=0)
+
+    d = d + jnp.float32(ALPHA) * (s + s_next(s))
+    s = s + jnp.float32(BETA) * (d_prev(d) + d)
+    d = d + jnp.float32(GAMMA) * (s + s_next(s))
+    s = s + jnp.float32(DELTA) * (d_prev(d) + d)
+    s = s * jnp.float32(1.0 / K)
+    d = d * jnp.float32(K)
+    return jnp.concatenate([s, d], axis=0)
+
+
+def _inv97_v_sharded(y, axis_name, n_shards):
+    jax, jnp = _jax()
+    from ..ops.dwt import ALPHA, BETA, DELTA, GAMMA, K
+
+    half = y.shape[0] // 2
+    s = y[:half] * jnp.float32(K)
+    d = y[half:] * jnp.float32(1.0 / K)
+    last = _is_last(axis_name, n_shards)
+    first = _is_first(axis_name)
+
+    def s_next(sv):
+        nxt = _halo_from_next(sv[0:1], axis_name, n_shards)
+        nxt = jnp.where(last, sv[-1:], nxt)
+        return jnp.concatenate([sv[1:], nxt], axis=0)
+
+    def d_prev(dv):
+        prv = _halo_from_prev(dv[-1:], axis_name, n_shards)
+        prv = jnp.where(first, dv[0:1], prv)
+        return jnp.concatenate([prv, dv[:-1]], axis=0)
+
+    s = s - jnp.float32(DELTA) * (d_prev(d) + d)
+    d = d - jnp.float32(GAMMA) * (s + s_next(s))
+    s = s - jnp.float32(BETA) * (d_prev(d) + d)
+    d = d - jnp.float32(ALPHA) * (s + s_next(s))
+    out = jnp.zeros_like(y)
+    out = out.at[0::2].set(s)
+    out = out.at[1::2].set(d)
+    return out
+
+
+def _fwd97_h_local(x):
+    _, jnp = _jax()
+    from ..ops.dwt import ALPHA, BETA, DELTA, GAMMA, K
+
+    s = x[:, 0::2]
+    d = x[:, 1::2]
+
+    def nxt(sv):
+        return jnp.concatenate([sv[:, 1:], sv[:, -1:]], axis=1)
+
+    def prv(dv):
+        return jnp.concatenate([dv[:, :1], dv[:, :-1]], axis=1)
+
+    d = d + jnp.float32(ALPHA) * (s + nxt(s))
+    s = s + jnp.float32(BETA) * (prv(d) + d)
+    d = d + jnp.float32(GAMMA) * (s + nxt(s))
+    s = s + jnp.float32(DELTA) * (prv(d) + d)
+    return jnp.concatenate(
+        [s * jnp.float32(1.0 / K), d * jnp.float32(K)], axis=1
+    )
+
+
+def _inv97_h_local(y):
+    _, jnp = _jax()
+    from ..ops.dwt import ALPHA, BETA, DELTA, GAMMA, K
+
+    half = y.shape[1] // 2
+    s = y[:, :half] * jnp.float32(K)
+    d = y[:, half:] * jnp.float32(1.0 / K)
+
+    def nxt(sv):
+        return jnp.concatenate([sv[:, 1:], sv[:, -1:]], axis=1)
+
+    def prv(dv):
+        return jnp.concatenate([dv[:, :1], dv[:, :-1]], axis=1)
+
+    s = s - jnp.float32(DELTA) * (prv(d) + d)
+    d = d - jnp.float32(GAMMA) * (s + nxt(s))
+    s = s - jnp.float32(BETA) * (prv(d) + d)
+    d = d - jnp.float32(ALPHA) * (s + nxt(s))
+    out = jnp.zeros_like(y)
+    out = out.at[:, 0::2].set(s)
+    out = out.at[:, 1::2].set(d)
+    return out
+
+
 def sharded_dwt53_forward(x_local, levels: int, axis_name: str, n_shards: int = 1):
     """Multi-level forward 5/3 DWT of a Y-sharded tile strip.
 
@@ -174,6 +282,111 @@ def sharded_dwt53_inverse(y_local, levels: int, axis_name: str, n_shards: int = 
         sub = _inv53_v_sharded(sub, axis_name, n_shards)
         y_local = y_local.at[:h, :w].set(sub)
     return y_local
+
+
+def sharded_dwt97_forward(x_local, levels: int, axis_name: str,
+                          n_shards: int = 1):
+    """Multi-level forward 9/7 DWT of a Y-sharded float32 tile strip
+    (same per-shard packed layout as the 5/3 variant)."""
+    _, jnp = _jax()
+    S, W = x_local.shape
+    cur_h, cur_w = S, W
+    for _ in range(levels):
+        sub = x_local[:cur_h, :cur_w]
+        sub = _fwd97_v_sharded(sub, axis_name, n_shards)
+        sub = _fwd97_h_local(sub)
+        x_local = x_local.at[:cur_h, :cur_w].set(sub)
+        cur_h //= 2
+        cur_w //= 2
+    return x_local
+
+
+def sharded_dwt97_inverse(y_local, levels: int, axis_name: str,
+                          n_shards: int = 1):
+    _, jnp = _jax()
+    S, W = y_local.shape
+    hs = [(S >> l, W >> l) for l in range(levels + 1)]
+    for l in range(levels, 0, -1):
+        h, w = hs[l - 1]
+        sub = y_local[:h, :w]
+        sub = _inv97_h_local(sub)
+        sub = _inv97_v_sharded(sub, axis_name, n_shards)
+        y_local = y_local.at[:h, :w].set(sub)
+    return y_local
+
+
+# ------------------------------------------- strip <-> codestream layout
+def _strip_row_provenance(H: int, n_shards: int, levels: int) -> np.ndarray:
+    """strip_row -> provenance id (the natural input row whose coefficient
+    chain lands there), by simulating the per-shard packing on indices."""
+    S = H // n_shards
+    out = np.arange(H).reshape(n_shards, S).copy()
+    cur = S
+    for _ in range(levels):
+        sub = out[:, :cur]
+        out[:, :cur] = np.concatenate([sub[:, 0::2], sub[:, 1::2]], axis=1)
+        cur //= 2
+    return out.reshape(-1)
+
+
+def _mallat_row_provenance(H: int, levels: int) -> np.ndarray:
+    out = np.arange(H).copy()
+    cur = H
+    for _ in range(levels):
+        sub = out[:cur].copy()
+        out[: (cur + 1) // 2] = sub[0::2]
+        out[(cur + 1) // 2 : cur] = sub[1::2]
+        cur //= 2
+    return out
+
+
+def _row_perm_at_level(H: int, n_shards: int, level: int) -> np.ndarray:
+    """mallat = strip_rows[perm] for rows packed ``level`` times."""
+    strip = _strip_row_provenance(H, n_shards, level)
+    mallat = _mallat_row_provenance(H, level)
+    inv = np.empty(H, dtype=np.int64)
+    inv[strip] = np.arange(H)
+    return inv[mallat]
+
+
+def strip_to_mallat_map(H: int, W: int, n_shards: int,
+                        levels: int) -> np.ndarray:
+    """[H, W] row-index map m with mallat = strip[m, arange(W)] (one
+    take_along_axis gather): converts the per-shard packed layout of
+    sharded_dwt*_forward into the global codestream (Mallat) layout of
+    ops/dwt.py, so sharded coefficients feed codeblock gathering /
+    compress_from_coeffs directly.
+
+    The map is per-column-band because each level's vertical split only
+    reorders the columns it still owns (cols < W >> (l-1)): the h-high
+    band of level l keeps the row order after exactly l vertical
+    packings. Requires n_shards | H and 2^levels | H/n_shards (the strip
+    constraint); the column layout already matches (the horizontal axis
+    is unsharded)."""
+    m = np.empty((H, W), dtype=np.int64)
+    for lvl in range(1, levels + 1):
+        perm = _row_perm_at_level(H, n_shards, lvl)
+        lo, hi = W >> lvl, W >> (lvl - 1)
+        m[:, lo:hi] = perm[:, None]
+        if lvl == levels:
+            m[:, :lo] = perm[:, None]
+    return m
+
+
+def strip_to_mallat(y: np.ndarray, n_shards: int, levels: int) -> np.ndarray:
+    """Apply the layout bridge on a gathered [H, W] strip result."""
+    H, W = y.shape[-2], y.shape[-1]
+    return np.take_along_axis(
+        y, strip_to_mallat_map(H, W, n_shards, levels), axis=-2
+    )
+
+
+def mallat_to_strip(y: np.ndarray, n_shards: int, levels: int) -> np.ndarray:
+    H, W = y.shape[-2], y.shape[-1]
+    m = strip_to_mallat_map(H, W, n_shards, levels)
+    out = np.empty_like(y)
+    np.put_along_axis(out, m, y, axis=-2)
+    return out
 
 
 # --------------------------------------------------- tile-parallel encode
@@ -225,8 +438,9 @@ def make_sharded_transform(mesh, levels: int = 5):
     return jax.jit(fn)
 
 
-def make_sharded_strip_dwt(mesh, levels: int):
-    """jit-compiled forward/inverse sharded-strip DWT pair (config 4)."""
+def make_sharded_strip_dwt(mesh, levels: int, irreversible: bool = False):
+    """jit-compiled forward/inverse sharded-strip DWT pair (config 4):
+    5/3 int32 or 9/7 float32 per ``irreversible``."""
     import jax
     from jax.sharding import PartitionSpec as P
     try:
@@ -235,14 +449,14 @@ def make_sharded_strip_dwt(mesh, levels: int):
         from jax.experimental.shard_map import shard_map
 
     n = mesh.shape["y"]
+    f = sharded_dwt97_forward if irreversible else sharded_dwt53_forward
+    g = sharded_dwt97_inverse if irreversible else sharded_dwt53_inverse
     fwd = shard_map(
-        functools.partial(sharded_dwt53_forward, levels=levels, axis_name="y",
-                          n_shards=n),
+        functools.partial(f, levels=levels, axis_name="y", n_shards=n),
         mesh=mesh, in_specs=(P("y", None),), out_specs=P("y", None),
     )
     inv = shard_map(
-        functools.partial(sharded_dwt53_inverse, levels=levels, axis_name="y",
-                          n_shards=n),
+        functools.partial(g, levels=levels, axis_name="y", n_shards=n),
         mesh=mesh, in_specs=(P("y", None),), out_specs=P("y", None),
     )
     return jax.jit(fwd), jax.jit(inv)

