@@ -389,6 +389,55 @@ def mallat_to_strip(y: np.ndarray, n_shards: int, levels: int) -> np.ndarray:
     return out
 
 
+def make_auto_sharded_dwt(mesh, rect, levels: int, irreversible: bool):
+    """GSPMD-partitioned multi-level DWT for arbitrary sizes and parity.
+
+    The hand-rolled strip kernels above pin one ppermute per lifting step
+    but require even, equally-divisible shards. For odd dimensions or
+    odd canvas origins (parity 1) the TPU-idiomatic route is to let the
+    XLA partitioner insert the halo exchanges itself: trace the general
+    host lifting (ops/dwt.py — full parity/odd-size handling) over a
+    Y-sharded global array. Output is already in codestream (Mallat)
+    layout — no bridge needed. Returns (forward, inverse) jitted fns."""
+    import functools as _ft
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import jax.numpy as jnp
+
+    from ..ops import dwt as dwt_ops
+
+    sh = NamedSharding(mesh, P("y", None))
+    n = mesh.shape["y"]
+    H = rect.height
+    pad = (-H) % n  # sharded dims must divide the mesh; the lifting only
+    # ever reads/writes [:h, :w], so trailing pad rows are inert
+
+    def fwd(x):
+        return dwt_ops.forward(jnp, x, rect, levels, irreversible)
+
+    def inv(y):
+        return dwt_ops.inverse(jnp, y, rect, levels, irreversible)
+
+    jfwd = jax.jit(fwd, in_shardings=sh, out_shardings=sh)
+    jinv = jax.jit(inv, in_shardings=sh, out_shardings=sh)
+
+    def _wrap(jfn):
+        def run(x):
+            x = np.asarray(x)
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad, x.shape[1]), x.dtype)], axis=0
+                )
+            out = jfn(x)
+            return out[:H] if pad else out
+
+        return run
+
+    return _wrap(jfwd), _wrap(jinv)
+
+
 # --------------------------------------------------- tile-parallel encode
 def make_sharded_transform(mesh, levels: int = 5):
     """jit-compiled tile-parallel encode transform: DC shift + RCT + DWT +

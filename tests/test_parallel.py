@@ -217,3 +217,30 @@ def test_sharded_strip_feeds_codeblock_gathering(rng):
     blob, _parts, _plens = encode_tile_to_blob(siz, tcp, pp, 0,
                                                coeffs=[coeffs])
     assert bytes(blob) in ref_stream  # tile body identical, headers shared
+
+
+def test_auto_sharded_dwt_odd_sizes_and_parity(rng):
+    """GSPMD-partitioned DWT handles odd dimensions and odd canvas
+    origins (parity 1) bit-exactly on the mesh — the cases the strip
+    kernels exclude by construction (VERDICT round-1 item 5)."""
+    from grok_tpu.parallel.mesh import make_auto_sharded_dwt
+
+    n = min(8, len(jax.devices()))
+    mesh = _mesh(n, "y")
+    for (H, W, x0, y0, LV) in ((171, 133, 0, 0, 3), (160, 96, 1, 1, 2),
+                               (97, 241, 3, 5, 4)):
+        rect = Rect(x0, y0, x0 + W, y0 + H)
+        x = rng.integers(-512, 512, size=(H, W)).astype(np.int32)
+        fwd, inv = make_auto_sharded_dwt(mesh, rect, LV, False)
+        got = np.asarray(fwd(x))
+        ref = dwt_ops.forward(np, x.copy(), rect, LV, False)
+        assert np.array_equal(got, ref), (H, W, x0, y0)
+        back = np.asarray(inv(got))
+        assert np.array_equal(back, x), (H, W, x0, y0)
+        # 9/7 on the same odd geometry
+        xf = (rng.standard_normal((H, W)) * 80).astype(np.float32)
+        fwd97, inv97 = make_auto_sharded_dwt(mesh, rect, LV, True)
+        got97 = np.asarray(fwd97(xf))
+        ref97 = dwt_ops.forward(np, xf.copy(), rect, LV, True)
+        assert np.allclose(got97, ref97, atol=1e-2), (H, W)
+        assert np.allclose(np.asarray(inv97(got97)), xf, atol=1e-2)
