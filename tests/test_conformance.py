@@ -30,7 +30,9 @@ MANIFEST = json.load(open(os.path.join(CORPUS, "manifest.json")))
 @pytest.mark.parametrize("entry", MANIFEST, ids=[e["name"] for e in MANIFEST])
 def test_golden_decode(entry):
     data = open(os.path.join(CORPUS, "streams", entry["name"]), "rb").read()
-    img = gk.decompress(data)
+    # optional decode-side parameters (layer truncation / reduce goldens)
+    dp = gk.DecompressParams(**entry.get("decode", {}))
+    img = gk.decompress(data, dp)
     assert len(img.components) == entry["ncomps"]
     if "pixels" in entry:
         # irreversible path: the reference's float pipeline rounds a few
