@@ -152,3 +152,63 @@ def test_ppt_grok_decodes(tmp_path):
     assert r.returncode == 0, r.stderr + r.stdout
     comps = [read_pgx(x) for x in sorted(glob.glob(str(tmp_path / "ppt_dec*.pgx")))]
     assert np.array_equal(comps[0], arr)
+
+
+def test_imf_profile_interop(tmp_path):
+    """IMF-profile streams interoperate both ways: the reference's -z 2K_R
+    stream decodes bit-exactly here, and our IMF stream (CLI -z parity)
+    decodes bit-exactly in the reference with the profile signalled."""
+    arr = natural_image(160, 240, nc=3)
+    src = str(tmp_path / "imf.ppm")
+    save_pnm(src, arr)
+
+    # reference -z 2K -> us
+    gj2k = str(tmp_path / "imf_ref.j2k")
+    r = grk_compress(["-i", src, "-o", gj2k, "-z", "2K_R,mainlevel=1"])
+    assert r.returncode == 0, r.stderr + r.stdout
+    out = gk.decompress(open(gj2k, "rb").read()).to_array()
+    assert np.array_equal(out, arr)
+    ps = gk.parse_codestream(open(gj2k, "rb").read())
+    ref_rsiz = ps.header.siz.rsiz
+
+    # us (CLI -z) -> reference
+    from grok_tpu.cli.compress import main as cmain
+
+    ours = str(tmp_path / "imf_ours.j2k")
+    assert cmain(["-i", src, "-o", ours, "-z", "2K_R,mainlevel=1"]) == 0
+    assert gk.parse_codestream(open(ours, "rb").read()).header.siz.rsiz == ref_rsiz
+    gdec = str(tmp_path / "imf_gdec.pgx")
+    r = grk_decompress(["-i", ours, "-o", gdec])
+    assert r.returncode == 0, r.stderr + r.stdout
+    comps = [read_pgx(f)
+             for f in sorted(glob.glob(str(tmp_path / "imf_gdec*.pgx")))]
+    for i in range(3):
+        assert np.array_equal(comps[i], arr[:, :, i]), i
+
+
+def test_broadcast_profile_interop(tmp_path):
+    """Broadcast-profile parity: our -U MULTI_R stream decodes bit-exactly
+    in the reference and signals the same Rsiz as the reference's -U."""
+    arr = natural_image(120, 200, nc=3)
+    src = str(tmp_path / "bc.ppm")
+    save_pnm(src, arr)
+
+    gj2k = str(tmp_path / "bc_ref.j2k")
+    r = grk_compress(["-i", src, "-o", gj2k, "-U", "MULTI_R,mainlevel=2"])
+    assert r.returncode == 0, r.stderr + r.stdout
+    out = gk.decompress(open(gj2k, "rb").read()).to_array()
+    assert np.array_equal(out, arr)
+    ref_rsiz = gk.parse_codestream(open(gj2k, "rb").read()).header.siz.rsiz
+
+    from grok_tpu.cli.compress import main as cmain
+
+    ours = str(tmp_path / "bc_ours.j2k")
+    assert cmain(["-i", src, "-o", ours, "-U", "MULTI_R,mainlevel=2"]) == 0
+    assert gk.parse_codestream(open(ours, "rb").read()).header.siz.rsiz == ref_rsiz
+    gdec = str(tmp_path / "bc_gdec.pgx")
+    r = grk_decompress(["-i", ours, "-o", gdec])
+    assert r.returncode == 0, r.stderr + r.stdout
+    comps = [read_pgx(f)
+             for f in sorted(glob.glob(str(tmp_path / "bc_gdec*.pgx")))]
+    for i in range(3):
+        assert np.array_equal(comps[i], arr[:, :, i]), i
