@@ -23,19 +23,31 @@ from grok_tpu.core.params import ProgressionOrder
 GRK = "/tmp/grok-build/bin"
 
 
-def grok_self_ok(src, args, td):
+def grok_self_ok(src, args, td, dargs=()):
     """Does the reference roundtrip its OWN stream for this config?"""
     j = os.path.join(td, "self.j2k")
     o = os.path.join(td, "self.png")
     if subprocess.run([f"{GRK}/grk_compress", "-i", src, "-o", j, *args],
                       capture_output=True).returncode:
         return None  # reference cannot encode this config at all
-    if subprocess.run([f"{GRK}/grk_decompress", "-i", j, "-o", o],
+    if subprocess.run([f"{GRK}/grk_decompress", "-i", j, "-o", o, *dargs],
                       capture_output=True).returncode:
         return False
+    if dargs:
+        return True  # decodes cleanly; pixel equality judged elsewhere
     a = np.asarray(PImage.open(src).convert("RGB"))
     b = np.asarray(PImage.open(o).convert("RGB"))
     return np.array_equal(a, b)
+
+
+def ref_decode(path, td, dargs=()):
+    """Reference decode -> array, or None on failure."""
+    out = os.path.join(td, "rd.png")
+    r = subprocess.run([f"{GRK}/grk_decompress", "-i", path, "-o", out,
+                        *dargs], capture_output=True)
+    if r.returncode:
+        return None
+    return np.asarray(PImage.open(out))
 
 
 def main():
@@ -64,28 +76,73 @@ def main():
             tw, th = int(rng.integers(32, 256)), int(rng.integers(32, 256))
             kw["tile_size"] = (tw, th)
             targs = ["-t", f"{tw},{th}"]
+        # new-feature axes: PLT index, quality layers, small precincts
+        nlayers = 1
+        if mode != 64 and rng.random() < 0.4:
+            nlayers = int(rng.integers(2, 4))
+            rates = sorted(
+                {float(int(r)) for r in rng.integers(2, 80, nlayers - 1)},
+                reverse=True,
+            ) + [1.0]
+            nlayers = len(rates)
+            kw["num_layers"] = nlayers
+            kw["layer_rates"] = rates
+            targs += ["-r", ",".join(str(int(r)) for r in rates)]
+        if rng.random() < 0.4:
+            kw["write_plt"] = True
+            targs += ["-L"]
+        if rng.random() < 0.3:
+            pe = int(rng.integers(5, 8))
+            kw["precinct_sizes"] = [(pe, pe)] * 33
+            targs += ["-c", f"[{1 << pe},{1 << pe}]"]
         margs = ["-n", str(nres), "-p", prog, "-M", str(mode if mode != 64 else 64),
                  *targs]
+        # decode-side variation: layer truncation / resolution reduction.
+        # Truncated decode of the SAME stream must match the reference's
+        # truncated decode bit-exactly (deterministic partial decode).
+        dargs = []
+        dkw = {}
+        lossless_cfg = nlayers == 1
+        if nlayers > 1 and rng.random() < 0.6:
+            ml = int(rng.integers(1, nlayers))
+            dargs = ["-l", str(ml)]
+            dkw = {"max_layers": ml}
+        elif nres > 1 and rng.random() < 0.3:
+            rd = int(rng.integers(1, nres))
+            dargs = ["-r", str(rd)]
+            dkw = {"reduce": rd}
+            lossless_cfg = False
         # ours -> reference
         im = gk.Image.from_array(arr.astype(np.int32))
         blob = gk.compress(im, gk.CompressParams(**kw))
         j2k = os.path.join(td, "o.j2k")
         open(j2k, "wb").write(bytes(blob))
-        out = os.path.join(td, "o.png")
-        r = subprocess.run([f"{GRK}/grk_decompress", "-i", j2k, "-o", out],
-                           capture_output=True)
-        ok1 = r.returncode == 0 and np.array_equal(np.asarray(PImage.open(out)), arr)
+        ours_trunc = gk.decompress(
+            bytes(blob), gk.DecompressParams(**dkw)
+        ).to_array()
+        ours_trunc = ours_trunc[:, :, 0] if nc == 1 else ours_trunc
+        rimg = ref_decode(j2k, td, dargs)
+        if rimg is not None and nc == 1 and rimg.ndim == 3:
+            rimg = rimg[:, :, 0]
+        ok1 = rimg is not None and np.array_equal(rimg, ours_trunc)
+        if ok1 and lossless_cfg and not dkw:
+            ok1 = np.array_equal(ours_trunc, arr)
         # reference -> ours
         j2r = os.path.join(td, "r.j2k")
         r2 = subprocess.run([f"{GRK}/grk_compress", "-i", src, "-o", j2r, *margs],
                             capture_output=True)
         ok2 = True
         if r2.returncode == 0:
-            dec = gk.decompress(open(j2r, "rb").read()).to_array()
-            ok2 = np.array_equal(dec[:, :, 0] if nc == 1 else dec, arr)
+            dec = gk.decompress(open(j2r, "rb").read(),
+                                gk.DecompressParams(**dkw)).to_array()
+            dec = dec[:, :, 0] if nc == 1 else dec
+            rref = ref_decode(j2r, td, dargs)
+            if rref is not None and nc == 1 and rref.ndim == 3:
+                rref = rref[:, :, 0]
+            ok2 = rref is not None and np.array_equal(dec, rref)
         if ok1 and ok2:
             continue
-        if grok_self_ok(src, margs, td) is False:
+        if grok_self_ok(src, margs, td, dargs) is False:
             ref_bug += 1
             print(f"trial {trial}: reference fails its OWN stream "
                   f"(tile={kw.get('tile_size')}, mode={mode:#x}) — not our bug")
@@ -93,7 +150,8 @@ def main():
             ours_fail += 1
             print(f"OUR FAILURE trial {trial}: h={h} w={w} nc={nc} nres={nres} "
                   f"mode={mode:#x} prog={prog} tile={kw.get('tile_size')} "
-                  f"ours->ref={ok1} ref->ours={ok2}")
+                  f"layers={nlayers} plt={kw.get('write_plt', False)} "
+                  f"dargs={dargs} ours->ref={ok1} ref->ours={ok2}")
     print(f"interop fuzz: {trials} configs, {ours_fail} our failures, "
           f"{ref_bug} reference-decoder bugs")
     return 1 if ours_fail else 0
