@@ -51,15 +51,18 @@ static int sys_enter(int fd, unsigned to_submit, unsigned min_complete,
                         flags, nullptr, 0);
 }
 
-// reap available completions into tokens[]; returns count
+// reap available completions into tokens[]; returns count. user_data
+// carries (expected_len << 32 | token): a short write (res != len) is an
+// error — silently accepting it would corrupt the stream.
 static int reap_ready(Ring* r, uint64_t* tokens, int max_tokens) {
     int n = 0;
     unsigned head = __atomic_load_n(r->cq_head, __ATOMIC_ACQUIRE);
     unsigned tail = __atomic_load_n(r->cq_tail, __ATOMIC_ACQUIRE);
     while (head != tail && n < max_tokens) {
         io_uring_cqe* cqe = &r->cqes[head & *r->cq_mask];
-        if (cqe->res < 0) r->errors++;
-        tokens[n++] = cqe->user_data;
+        if (cqe->res < 0 || (uint32_t)cqe->res != (uint32_t)(cqe->user_data >> 32))
+            r->errors++;
+        tokens[n++] = cqe->user_data & 0xFFFFFFFFULL;
         head++;
         r->inflight--;
     }
@@ -129,10 +132,13 @@ fail:
 }
 
 // Submit one positional write; buf must stay valid until its token is
-// reaped. Returns 0 ok, -1 submit error, -2 ring full (reap first).
+// reaped. token must fit 32 bits (the upper half carries the expected
+// length for short-write detection) and len must be < 4 GiB per chunk.
+// Returns 0 ok, -1 submit error, -2 ring full (reap first).
 int uring_writer_write(void* h, const void* buf, int64_t len, int64_t off,
                        uint64_t token) {
     Ring* r = (Ring*)h;
+    if (token > 0xFFFFFFFFULL || len > 0xFFFFFFFFLL) return -1;
     if (r->inflight >= r->entries) return -2;
     unsigned tail = *r->sq_tail;
     unsigned idx = tail & *r->sq_mask;

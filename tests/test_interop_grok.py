@@ -212,3 +212,24 @@ def test_broadcast_profile_interop(tmp_path):
              for f in sorted(glob.glob(str(tmp_path / "bc_gdec*.pgx")))]
     for i in range(3):
         assert np.array_equal(comps[i], arr[:, :, i]), i
+
+
+def test_one_pixel_tile_row_ht(tmp_path):
+    """1-pixel-high boundary tile rows with HT (a config whose encode the
+    reference gets wrong in its own roundtrip — docs/STATUS.md reference
+    bugs): ours must round-trip bit-exactly and the reference must decode
+    OUR stream bit-exactly."""
+    arr = natural_image(113, 352)
+    im = gk.Image.from_array(arr)
+    stream = bytes(gk.compress(im, gk.CompressParams(
+        num_resolutions=5, ht=True, tile_size=(165, 56),
+        progression=gk.ProgressionOrder.CPRL)))
+    out = gk.decompress(stream).to_array()[:, :, 0]
+    assert np.array_equal(out, arr)
+    p = tmp_path / "px1.j2k"
+    p.write_bytes(stream)
+    gdec = str(tmp_path / "px1_gdec.pgx")
+    r = grk_decompress(["-i", str(p), "-o", gdec])
+    assert r.returncode == 0, r.stderr + r.stdout
+    ref = read_pgx(sorted(glob.glob(str(tmp_path / "px1_gdec*.pgx")))[0])
+    assert np.array_equal(ref, arr)

@@ -133,13 +133,18 @@ def main():
                             capture_output=True)
         ok2 = True
         if r2.returncode == 0:
-            dec = gk.decompress(open(j2r, "rb").read(),
-                                gk.DecompressParams(**dkw)).to_array()
-            dec = dec[:, :, 0] if nc == 1 else dec
-            rref = ref_decode(j2r, td, dargs)
-            if rref is not None and nc == 1 and rref.ndim == 3:
-                rref = rref[:, :, 0]
-            ok2 = rref is not None and np.array_equal(dec, rref)
+            try:
+                dec = gk.decompress(open(j2r, "rb").read(),
+                                    gk.DecompressParams(**dkw)).to_array()
+                dec = dec[:, :, 0] if nc == 1 else dec
+                rref = ref_decode(j2r, td, dargs)
+                if rref is not None and nc == 1 and rref.ndim == 3:
+                    rref = rref[:, :, 0]
+                ok2 = rref is not None and np.array_equal(dec, rref)
+            except Exception as e:
+                print(f"trial {trial}: OUR DECODER RAISED on the reference "
+                      f"stream: {type(e).__name__}: {e}")
+                ok2 = False
         if ok1 and ok2:
             continue
         if grok_self_ok(src, margs, td, dargs) is False:
