@@ -149,7 +149,7 @@ int uring_writer_write(void* h, const void* buf, int64_t len, int64_t off,
     sqe->addr = (uint64_t)(uintptr_t)buf;
     sqe->len = (uint32_t)len;
     sqe->off = (uint64_t)off;
-    sqe->user_data = token;
+    sqe->user_data = ((uint64_t)len << 32) | token;
     r->sq_array[idx] = idx;
     __atomic_store_n(r->sq_tail, tail + 1, __ATOMIC_RELEASE);
     int ret = sys_enter(r->ring_fd, 1, 0, 0);
