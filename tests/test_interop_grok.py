@@ -233,3 +233,34 @@ def test_one_pixel_tile_row_ht(tmp_path):
     assert r.returncode == 0, r.stderr + r.stdout
     ref = read_pgx(sorted(glob.glob(str(tmp_path / "px1_gdec*.pgx")))[0])
     assert np.array_equal(ref, arr)
+
+
+def test_subsampled_component_encode(tmp_path):
+    """Encode-side component subsampling (420-style chroma): our stream
+    self-roundtrips and the reference decodes every component bit-exactly
+    (two components, so the reference's 3-comp sYCC guess stays out of
+    the comparison)."""
+    from grok_tpu.core.image import Component, Image
+
+    rng = np.random.default_rng(5)
+    H, W = 96, 128
+    img = Image(0, 0, W, H)
+    img.components.append(Component(dx=1, dy=1, prec=8))
+    img.components.append(Component(dx=2, dy=2, prec=8))
+    img.finalize()
+    img.alloc()
+    img.components[0].data[:] = rng.integers(0, 256, (H, W))
+    img.components[1].data[:] = rng.integers(0, 256, (H // 2, W // 2))
+    st = bytes(gk.compress(img, gk.CompressParams(num_resolutions=4, mct=0)))
+    out = gk.decompress(st)
+    for a, b in zip(out.components, img.components):
+        assert np.array_equal(a.data, b.data)
+    p = tmp_path / "sub.j2k"
+    p.write_bytes(st)
+    gdec = str(tmp_path / "sub_gdec.pgx")
+    r = grk_decompress(["-i", str(p), "-o", gdec])
+    assert r.returncode == 0, r.stderr + r.stdout
+    refs = [read_pgx(f)
+            for f in sorted(glob.glob(str(tmp_path / "sub_gdec*.pgx")))]
+    for r_, c in zip(refs, img.components):
+        assert np.array_equal(r_, c.data)
