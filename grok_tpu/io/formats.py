@@ -92,20 +92,27 @@ def write_pnm(path: str, image: Image) -> None:
 # ------------------------------------------------------------------- RAW
 def read_raw(path: str, w: int, h: int, nc: int, prec: int, signed: bool,
              big_endian: bool = True) -> Image:
+    """Raw sample dump, PLANAR component order (one full w x h plane per
+    component, the reference RAWFormat.cpp convention; .raw = big endian,
+    .rawl = little)."""
     nb = 1 if prec <= 8 else (2 if prec <= 16 else 4)
     kind = ("i" if signed else "u") + str(nb)
     dt = np.dtype((">" if big_endian else "<") + kind)
-    arr = np.fromfile(path, dtype=dt, count=h * w * nc).reshape(h, w, nc)
+    arr = np.fromfile(path, dtype=dt, count=h * w * nc).reshape(nc, h, w)
+    arr = np.moveaxis(arr, 0, -1)
     return Image.from_array(arr.astype(np.int32), prec=prec, signed=signed)
 
 
 def write_raw(path: str, image: Image, big_endian: bool = True) -> None:
-    arr = image.to_array()
+    """Planar component order (reference RAWFormat.cpp convention)."""
     prec = image.components[0].prec
     signed = image.components[0].signed
     nb = 1 if prec <= 8 else (2 if prec <= 16 else 4)
     kind = ("i" if signed else "u") + str(nb)
-    arr.astype(np.dtype((">" if big_endian else "<") + kind)).tofile(path)
+    dt = np.dtype((">" if big_endian else "<") + kind)
+    with open(path, "wb") as f:
+        for c in image.components:
+            f.write(c.data.astype(dt).tobytes())
 
 
 # -------------------------------------------------------------- dispatch

@@ -335,3 +335,29 @@ def test_cli_profile_and_timing_flags(tmp_path):
 
     # bad profile value: clean CLI error, not a traceback
     assert cmain(["-i", str(src), "-o", str(out), "-z", "3K"]) == 1
+
+
+def test_raw_planar_reference_convention(tmp_path):
+    """Multi-component raw files use PLANAR component order (reference
+    RAWFormat.cpp): a raw file we write must load identically in the
+    reference CLI and vice versa."""
+    from tests.conftest import grk_compress, have_grok
+
+    from grok_tpu.io.formats import read_raw, write_raw
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (40, 56, 3)).astype(np.int32)
+    img = gk.Image.from_array(arr)
+    p = tmp_path / "p.raw"
+    write_raw(str(p), img)
+    back = read_raw(str(p), 56, 40, 3, 8, False)
+    assert np.array_equal(back.to_array(), arr)
+    if not have_grok():
+        pytest.skip("reference binaries not available")
+    # the reference reads the same bytes into the same components
+    j2k = tmp_path / "p.j2k"
+    r = grk_compress(["-i", str(p), "-o", str(j2k), "-F", "56,40,3,8,u",
+                      "-Y", "0"])
+    assert r.returncode == 0, r.stderr + r.stdout
+    dec = gk.decompress(j2k.read_bytes()).to_array()
+    assert np.array_equal(dec, arr)
