@@ -6,11 +6,20 @@ detail). vs_baseline compares against the reference Grok binaries on the
 same machine and configs (ratio > 1 = faster than the reference); falls
 back to 1.0 when the reference isn't built.
 
-Env knobs: BENCH_W/BENCH_H (default 3840x2160), BENCH_GRAY=1 for grayscale.
+Measurement design for this host's heavy timing noise (the same code
+swings 1.5-2x minute to minute): ours and the reference are timed
+INTERLEAVED inside the same iteration loop (best-of-5 per side), so both
+sides sample the same load window; the reference's own `-v` codec-time
+report is used when available (codec-vs-codec, no subprocess/file-IO
+skew).
+
+Env knobs: BENCH_W/BENCH_H (default 3840x2160), BENCH_GRAY=1 for
+grayscale, BENCH_REPS (default 5).
 """
 
 import json
 import os
+import re
 import subprocess
 import tempfile
 import time
@@ -40,99 +49,85 @@ def _grk_bin():
     return None
 
 
-def bench_ours(arr, mp):
-    import grok_tpu as gk
-
-    im = gk.Image.from_array(arr)
-    res = {}
-    configs = {
-        "lossless53": gk.CompressParams(num_resolutions=6),
-        "ht_lossless": gk.CompressParams(num_resolutions=6, ht=True),
-        "lossy97_1bpp": gk.CompressParams(
-            num_resolutions=6, irreversible=True, num_layers=1, layer_rates=[8]
-        ),
-    }
-    for name, params in configs.items():
-        t_enc = t_dec = float("inf")
-        for _ in range(3):  # best-of-3: the host shows heavy timing noise
-            t0 = time.perf_counter()
-            stream = gk.compress(im, params)
-            t_enc = min(t_enc, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            out = gk.decompress(stream)
-            t_dec = min(t_dec, time.perf_counter() - t0)
-        ok = True
-        if "lossless" in name:
-            ref = arr if arr.ndim == 3 else arr[:, :, None]
-            ok = bool(np.array_equal(out.to_array(), ref))
-        res[name] = {
-            "enc_mps": round(mp / t_enc, 3),
-            "dec_mps": round(mp / t_dec, 3),
-            "bytes": len(stream),
-            "lossless_ok": ok,
-        }
-    return res
-
-
-def bench_grok(arr, mp):
-    grk = _grk_bin()
-    if grk is None:
-        return None
-    from PIL import Image as PImage
-
-    res = {}
-    with tempfile.TemporaryDirectory() as td:
-        src = os.path.join(td, "in.ppm" if arr.ndim == 3 else "in.pgm")
-        PImage.fromarray(arr.astype(np.uint8)).save(src)
-        for name, args in {
-            "lossless53": [],
-            "ht_lossless": ["-M", "64"],
-            "lossy97_1bpp": ["-r", "8"],
-        }.items():
-            j2k = os.path.join(td, f"{name}.j2k")
-            dec = os.path.join(td, f"{name}_dec.ppm")
-
-            def _run(cmd, marker, wall):
-                """Prefer the codec's own -v codec-time report (excludes
-                subprocess spawn + image file I/O) over wall clock, so the
-                comparison is codec-vs-codec; fall back to wall time."""
-                import re
-
-                t0 = time.perf_counter()
-                r = subprocess.run(cmd, capture_output=True, text=True)
-                t = time.perf_counter() - t0
-                m = re.search(marker + r" time: ([0-9.]+) ms", r.stdout + r.stderr)
-                if m:
-                    t = min(t, float(m.group(1)) / 1000.0)
-                return t
-
-            # best-of-3 for the reference too: this host's timing noise
-            # swings single samples by 1.5-2x in either direction
-            t_enc = min(_run(
-                [os.path.join(grk, "grk_compress"), "-i", src, "-o", j2k,
-                 "-v", *args],
-                "compress", None) for _ in range(3))
-            t_dec = min(_run(
-                [os.path.join(grk, "grk_decompress"), "-i", j2k, "-o", dec,
-                 "-v"],
-                "decompress", None) for _ in range(3))
-            res[name] = {
-                "enc_mps": round(mp / t_enc, 3),
-                "dec_mps": round(mp / t_dec, 3),
-                "bytes": os.path.getsize(j2k) if os.path.exists(j2k) else 0,
-            }
-    return res
+def _grk_run(cmd, marker):
+    """Prefer the codec's own -v codec-time report (excludes subprocess
+    spawn + image file I/O) over wall clock; fall back to wall time."""
+    t0 = time.perf_counter()
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    t = time.perf_counter() - t0
+    m = re.search(marker + r" time: ([0-9.]+) ms", r.stdout + r.stderr)
+    if m:
+        t = min(t, float(m.group(1)) / 1000.0)
+    return t
 
 
 def main():
+    import grok_tpu as gk
+
     w = int(os.environ.get("BENCH_W", "3840"))
     h = int(os.environ.get("BENCH_H", "2160"))
     nc = 1 if os.environ.get("BENCH_GRAY") else 3
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     arr = natural_image(h, w, nc)
     mp = h * w / 1e6
+    im = gk.Image.from_array(arr)
 
-    ours = bench_ours(arr, mp)
-    ref = bench_grok(arr, mp)
+    configs = {
+        "lossless53": (gk.CompressParams(num_resolutions=6), []),
+        "ht_lossless": (gk.CompressParams(num_resolutions=6, ht=True),
+                        ["-M", "64"]),
+        "lossy97_1bpp": (
+            gk.CompressParams(num_resolutions=6, irreversible=True,
+                              num_layers=1, layer_rates=[8]),
+            ["-r", "8"],
+        ),
+    }
+    grk = _grk_bin()
+    ours = {}
+    ref = {} if grk else None
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "in.ppm" if nc == 3 else "in.pgm")
+        if grk:
+            from PIL import Image as PImage
+
+            PImage.fromarray(arr.astype(np.uint8)).save(src)
+        for name, (params, gargs) in configs.items():
+            t_enc = t_dec = float("inf")
+            g_enc = g_dec = float("inf")
+            j2k = os.path.join(td, f"{name}.j2k")
+            dec = os.path.join(td, f"{name}_dec.ppm")
+            stream = gk.compress(im, params)  # warm (jit/native/page cache)
+            out = gk.decompress(stream)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                stream = gk.compress(im, params)
+                t_enc = min(t_enc, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                out = gk.decompress(stream)
+                t_dec = min(t_dec, time.perf_counter() - t0)
+                if grk:
+                    g_enc = min(g_enc, _grk_run(
+                        [os.path.join(grk, "grk_compress"), "-i", src,
+                         "-o", j2k, "-v", *gargs], "compress"))
+                    g_dec = min(g_dec, _grk_run(
+                        [os.path.join(grk, "grk_decompress"), "-i", j2k,
+                         "-o", dec, "-v"], "decompress"))
+            ok = True
+            if "lossless" in name:
+                want = arr if arr.ndim == 3 else arr[:, :, None]
+                ok = bool(np.array_equal(out.to_array(), want))
+            ours[name] = {
+                "enc_mps": round(mp / t_enc, 3),
+                "dec_mps": round(mp / t_dec, 3),
+                "bytes": len(stream),
+                "lossless_ok": ok,
+            }
+            if grk:
+                ref[name] = {
+                    "enc_mps": round(mp / g_enc, 3),
+                    "dec_mps": round(mp / g_dec, 3),
+                    "bytes": os.path.getsize(j2k) if os.path.exists(j2k) else 0,
+                }
 
     def agg(r):
         vals = []
