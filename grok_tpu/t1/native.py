@@ -192,6 +192,8 @@ def get_lib() -> ctypes.CDLL | None:
         lib.rct_dc_forward.argtypes = [i32p, i32p, i32p, i32p, i32p, i32p,
                                        i64, i32, i32, i32, i32]
         lib.rct_dc_forward.restype = ctypes.c_int
+        lib.minmax_i32.argtypes = [i32p, i64, i32p, i32]
+        lib.minmax_i32.restype = ctypes.c_int
         lib.rct_inverse_c.argtypes = [i32p, i32p, i32p, i32p, i32p, i32p,
                                       i64, i32]
         lib.rct_inverse_c.restype = ctypes.c_int
@@ -267,14 +269,22 @@ def _install_ht_tables(lib) -> None:
     lib.ht_install_tables(enc0, enc1, pack_dec(DEC_TBL[0]), pack_dec(DEC_TBL[1]))
 
 
+def _batch_maxmag(lib, coeffs) -> int:
+    """max |coeff| over the whole batch (native fused pass when possible)."""
+    if lib is not None and hasattr(lib, "minmax_i32"):
+        mm = np.zeros(2, dtype=np.int32)
+        lib.minmax_i32(coeffs.reshape(-1), coeffs.size, mm, 0)
+        return int(max(int(mm[1]), -int(mm[0])))
+    return int(max(coeffs.max(initial=0), -int(coeffs.min(initial=0))))
+
+
 def ht_encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0):
     from .ebcot_np import T1EncodeResult
 
     lib = get_lib()
     coeffs = np.ascontiguousarray(coeffs, dtype=np.int32)
     n, h, w = coeffs.shape
-    # temp-free |max|: np.abs on a multi-hundred-MB batch costs seconds
-    maxmag = int(max(coeffs.max(initial=0), -int(coeffs.min(initial=0))))
+    maxmag = _batch_maxmag(lib, coeffs)
     bytes_per_sample = (2 * maxmag).bit_length() // 8 + 2
     max_bytes = max(256, h * w * bytes_per_sample + (h * w) // 2 + 64)
     data = np.zeros((n, max_bytes), dtype=np.uint8)
@@ -346,8 +356,9 @@ def encode_cblks(
     )
 
     # worst-case magnitude bitplanes bound the buffer/pass sizes
-    # (temp-free |max|: np.abs on a multi-hundred-MB batch costs seconds)
-    maxmag = int(max(coeffs.max(initial=0), -int(coeffs.min(initial=0))))
+    # (one fused OMP min/max pass; numpy .max()+.min() costs two
+    # single-threaded sweeps of a multi-hundred-MB batch)
+    maxmag = _batch_maxmag(lib, coeffs)
     pmax = maxmag.bit_length()
     max_passes = max(3 * pmax - 2, 1)
     max_bytes = max(64, (pmax * h * w) // 4 + 128)

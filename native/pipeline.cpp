@@ -883,4 +883,28 @@ int scatter_rows_dequant(const int32_t* batch, int32_t BH, int32_t BW,
     return 0;
 }
 
+
+// fused one-pass min/max over an int32 batch (buffer-sizing prepass; a
+// numpy .max()+.min() costs two single-threaded sweeps of a multi-hundred
+// MB array)
+int minmax_i32(const int32_t* a, int64_t n, int32_t* out_minmax,
+               int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#endif
+    int32_t mn = 0, mx = 0;  // zero-initialized: matches max(initial=0)
+#ifdef _OPENMP
+#pragma omp parallel for reduction(min : mn) reduction(max : mx) \
+    schedule(static)
+#endif
+    for (int64_t i = 0; i < n; i++) {
+        int32_t v = a[i];
+        if (v < mn) mn = v;
+        if (v > mx) mx = v;
+    }
+    out_minmax[0] = mn;
+    out_minmax[1] = mx;
+    return 0;
+}
+
 }  // extern "C"
