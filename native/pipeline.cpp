@@ -383,15 +383,13 @@ int dwt53_forward(int32_t* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
 #endif
     LevelRect cur{x0, y0, x1, y1};
     int maxd = std::max(cur.h(), cur.w());
+    // one scratch allocation for every level (level 0 is the largest)
+    int32_t* scratch = new int32_t[(size_t)cur.h() * cur.w()];
     for (int lvl = 0; lvl < levels; lvl++) {
         int h = cur.h(), w = cur.w();
         if (h == 0 || w == 0) break;
         int py = (int)(cur.y0 & 1), px = (int)(cur.x0 & 1);
-        {
-            int32_t* scratch = new int32_t[(size_t)h * w];
-            f53_vert(arr, h, w, W, py, scratch);
-            delete[] scratch;
-        }
+        f53_vert(arr, h, w, W, py, scratch);
 #ifdef _OPENMP
 #pragma omp parallel
 #endif
@@ -405,6 +403,7 @@ int dwt53_forward(int32_t* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
         }
         cur = cur.half();
     }
+    delete[] scratch;
     return 0;
 }
 
@@ -417,6 +416,7 @@ int dwt53_inverse(int32_t* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
     rects[0] = {x0, y0, x1, y1};
     for (int i = 0; i < levels; i++) rects[i + 1] = rects[i].half();
     int maxd = std::max(rects[0].h(), rects[0].w());
+    int32_t* scratch = new int32_t[(size_t)rects[0].h() * rects[0].w()];
     for (int lvl = levels; lvl >= 1; lvl--) {
         LevelRect cur = rects[lvl - 1];
         int h = cur.h(), w = cur.w();
@@ -433,12 +433,9 @@ int dwt53_inverse(int32_t* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
             for (int y = 0; y < h; y++) i53_row(arr + (size_t)y * W, w, px, tmp);
             delete[] tmp;
         }
-        {
-            int32_t* scratch = new int32_t[(size_t)h * w];
-            i53_vert(arr, h, w, W, py, scratch);
-            delete[] scratch;
-        }
+        i53_vert(arr, h, w, W, py, scratch);
     }
+    delete[] scratch;
     return 0;
 }
 
@@ -449,15 +446,13 @@ int dwt97_forward(float* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
 #endif
     LevelRect cur{x0, y0, x1, y1};
     int maxd = std::max(cur.h(), cur.w());
+    // one scratch allocation for every level (level 0 is the largest)
+    float* scratch = new float[(size_t)cur.h() * cur.w()];
     for (int lvl = 0; lvl < levels; lvl++) {
         int h = cur.h(), w = cur.w();
         if (h == 0 || w == 0) break;
         int py = (int)(cur.y0 & 1), px = (int)(cur.x0 & 1);
-        {
-            float* scratch = new float[(size_t)h * w];
-            f97_vert(arr, h, w, W, py, scratch);
-            delete[] scratch;
-        }
+        f97_vert(arr, h, w, W, py, scratch);
 #ifdef _OPENMP
 #pragma omp parallel
 #endif
@@ -471,6 +466,7 @@ int dwt97_forward(float* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
         }
         cur = cur.half();
     }
+    delete[] scratch;
     return 0;
 }
 
@@ -483,6 +479,7 @@ int dwt97_inverse(float* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
     rects[0] = {x0, y0, x1, y1};
     for (int i = 0; i < levels; i++) rects[i + 1] = rects[i].half();
     int maxd = std::max(rects[0].h(), rects[0].w());
+    float* scratch = new float[(size_t)rects[0].h() * rects[0].w()];
     for (int lvl = levels; lvl >= 1; lvl--) {
         LevelRect cur = rects[lvl - 1];
         int h = cur.h(), w = cur.w();
@@ -499,12 +496,9 @@ int dwt97_inverse(float* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
             for (int y = 0; y < h; y++) i97_row(arr + (size_t)y * W, w, px, tmp);
             delete[] tmp;
         }
-        {
-            float* scratch = new float[(size_t)h * w];
-            i97_vert(arr, h, w, W, py, scratch);
-            delete[] scratch;
-        }
+        i97_vert(arr, h, w, W, py, scratch);
     }
+    delete[] scratch;
     return 0;
 }
 
