@@ -269,9 +269,13 @@ def _install_ht_tables(lib) -> None:
     lib.ht_install_tables(enc0, enc1, pack_dec(DEC_TBL[0]), pack_dec(DEC_TBL[1]))
 
 
-def _batch_maxmag(lib, coeffs) -> int:
-    """max |coeff| over the whole batch (native fused pass when possible)."""
-    if lib is not None and hasattr(lib, "minmax_i32"):
+def _batch_maxmag(coeffs) -> int:
+    """max |coeff| over the whole batch: one fused native OMP pass when the
+    main lib is available (numpy .max()+.min() costs two single-threaded
+    sweeps). Always uses get_lib() — a caller's T1 plugin library has no
+    bound argtypes for the helper symbols."""
+    lib = get_lib()
+    if lib is not None:
         mm = np.zeros(2, dtype=np.int32)
         lib.minmax_i32(coeffs.reshape(-1), coeffs.size, mm, 0)
         return int(max(int(mm[1]), -int(mm[0])))
@@ -284,7 +288,7 @@ def ht_encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0):
     lib = get_lib()
     coeffs = np.ascontiguousarray(coeffs, dtype=np.int32)
     n, h, w = coeffs.shape
-    maxmag = _batch_maxmag(lib, coeffs)
+    maxmag = _batch_maxmag(coeffs)
     bytes_per_sample = (2 * maxmag).bit_length() // 8 + 2
     max_bytes = max(256, h * w * bytes_per_sample + (h * w) // 2 + 64)
     data = np.zeros((n, max_bytes), dtype=np.uint8)
@@ -358,7 +362,7 @@ def encode_cblks(
     # worst-case magnitude bitplanes bound the buffer/pass sizes
     # (one fused OMP min/max pass; numpy .max()+.min() costs two
     # single-threaded sweeps of a multi-hundred-MB batch)
-    maxmag = _batch_maxmag(lib, coeffs)
+    maxmag = _batch_maxmag(coeffs)
     pmax = maxmag.bit_length()
     max_passes = max(3 * pmax - 2, 1)
     max_bytes = max(64, (pmax * h * w) // 4 + 128)
