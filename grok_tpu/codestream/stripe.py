@@ -105,25 +105,61 @@ class StripCompressor:
 
     # ------------------------------------------------------------- internal
     def _flush_complete_tile_rows(self, final: bool = False) -> None:
+        """Encode every tile whose rows have arrived. Tiles within a
+        completed row encode on a host thread pool (same overlap as the
+        one-shot tile-parallel path; output is appended in tile order so
+        the stream stays byte-identical)."""
         ntx = self.siz.num_tiles_x
         while self._next_tile < self.siz.num_tiles:
-            tb = self.siz.tile_bounds(self._next_tile)
-            if self._rows_seen < tb.y1 and not final:
+            # find how many consecutive tiles are ready
+            ready: list[int] = []
+            ti = self._next_tile
+            while ti < self.siz.num_tiles:
+                tb = self.siz.tile_bounds(ti)
+                if self._rows_seen < tb.y1 and not final:
+                    break
+                ready.append(ti)
+                ti += 1
+            if not ready:
                 return
-            comp_arrays = [
-                np.ascontiguousarray(
-                    self._buf[tb.y0 - self._buf_y0 : tb.y1 - self._buf_y0,
-                              tb.x0 : tb.x1, c]
+
+            def extract(ti2):
+                tb2 = self.siz.tile_bounds(ti2)
+                return [
+                    np.ascontiguousarray(
+                        self._buf[tb2.y0 - self._buf_y0 : tb2.y1 - self._buf_y0,
+                                  tb2.x0 : tb2.x1, c]
+                    )
+                    for c in range(self.ncomp)
+                ]
+
+            def enc_one(ti2):
+                return encode_tile_to_blob(
+                    self.siz, self.tcp, self.params, ti2, extract(ti2)
                 )
-                for c in range(self.ncomp)
-            ]
-            blob, part_lens, _plm = encode_tile_to_blob(
-                self.siz, self.tcp, self.params, self._next_tile, comp_arrays
-            )
-            self.out.write(blob)
-            self._tile_part_lengths.extend(part_lens)
-            self._next_tile += 1
+
+            if len(ready) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                from ..core.cpu import host_threads, set_tile_threads
+
+                nw = min(host_threads(self.params.num_threads), len(ready), 8)
+                per_tile = max(1, host_threads(self.params.num_threads) // nw)
+
+                def work(ti2):
+                    set_tile_threads(per_tile)
+                    return enc_one(ti2)
+
+                with ThreadPoolExecutor(max_workers=nw) as ex:
+                    results = list(ex.map(work, ready))
+            else:
+                results = [enc_one(ready[0])]
+            for blob, part_lens, _plm in results:
+                self.out.write(blob)
+                self._tile_part_lengths.extend(part_lens)
+            self._next_tile = ready[-1] + 1
+            # release rows of every fully-finished tile row
+            last_tb = self.siz.tile_bounds(self._next_tile - 1)
             if self._next_tile % ntx == 0:
-                # tile row finished: release its rows
-                self._buf = self._buf[tb.y1 - self._buf_y0 :]
-                self._buf_y0 = tb.y1
+                self._buf = self._buf[last_tb.y1 - self._buf_y0 :]
+                self._buf_y0 = last_tb.y1
