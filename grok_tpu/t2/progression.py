@@ -27,10 +27,13 @@ class PacketIndex:
 def _precinct_anchors(siz: Siz, geoms: list[TileCompGeom], tile_rect=None):
     """Yield (comp, res, prec_idx, canvas_x, canvas_y) for every precinct.
 
-    Position-based orders visit each direction's FIRST precinct at the tile
-    origin (T.800 B.12.1.3's "y == ty0" special case for tiles whose origin
-    is not aligned to the projected precinct grid); later precincts sit at
-    their true projected grid positions."""
+    Position-based orders visit each direction's FIRST precinct at the
+    tile origin ONLY when the projected resolution origin is not aligned
+    to the projected precinct grid — T.800 B.12.1.3's "y == ty0" special
+    case, the reference's `(try0 << shift) % (1 << (ppy + shift))` test
+    (t2/PacketIter.cpp next_cprl/pcrl/rpcl). When it IS aligned, the
+    first precinct sorts at its true (>= tile origin) grid position; all
+    later precincts always sit at their projected grid positions."""
     out = []
     for c, g in enumerate(geoms):
         dx, dy = siz.comps[c].dx, siz.comps[c].dy
@@ -41,17 +44,27 @@ def _precinct_anchors(siz: Siz, geoms: list[TileCompGeom], tile_rect=None):
                 continue
             px0 = (res.rect.x0 >> res.ppx) << res.ppx
             py0 = (res.rect.y0 >> res.ppy) << res.ppy
+            x_aligned = ((res.rect.x0 << shift) %
+                         (1 << (res.ppx + shift))) == 0
+            y_aligned = ((res.rect.y0 << shift) %
+                         (1 << (res.ppy + shift))) == 0
             for pj in range(res.prc_grid_h):
                 for pi in range(res.prc_grid_w):
                     p = pj * res.prc_grid_w + pi
                     cx = ((px0 + (pi << res.ppx)) << shift) * dx
                     cy = ((py0 + (pj << res.ppy)) << shift) * dy
-                    if tile_rect is not None:
-                        cx = tile_rect.x0 if pi == 0 else cx
-                        cy = tile_rect.y0 if pj == 0 else cy
-                    else:
-                        cx = max(cx, (res.rect.x0 << shift) * dx)
-                        cy = max(cy, (res.rect.y0 << shift) * dy)
+                    if pi == 0:
+                        if x_aligned:
+                            cx = (res.rect.x0 << shift) * dx
+                        else:
+                            cx = (tile_rect.x0 if tile_rect is not None
+                                  else min(cx, (res.rect.x0 << shift) * dx))
+                    if pj == 0:
+                        if y_aligned:
+                            cy = (res.rect.y0 << shift) * dy
+                        else:
+                            cy = (tile_rect.y0 if tile_rect is not None
+                                  else min(cy, (res.rect.y0 << shift) * dy))
                     out.append((c, res.r, p, cx, cy))
     return out
 

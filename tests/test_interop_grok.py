@@ -264,3 +264,42 @@ def test_subsampled_component_encode(tmp_path):
             for f in sorted(glob.glob(str(tmp_path / "sub_gdec*.pgx")))]
     for r_, c in zip(refs, img.components):
         assert np.array_equal(r_, c.data)
+
+
+def test_cprl_precinct_aligned_tile_origins(tmp_path):
+    """Position-progression packet order for tiles whose projected
+    resolution origin IS aligned to the precinct grid (T.800 B.12.1.3:
+    the y==ty0 special case must NOT fire then — fuzz trial 4242/182).
+    The reference's multi-tile CPRL stream with per-resolution precincts
+    must decode bit-exactly, and our stream must decode in the
+    reference."""
+    rng = np.random.default_rng(182)
+    arr = rng.integers(0, 256, (41, 273, 3)).astype(np.uint8)
+    src = str(tmp_path / "s.png")
+    from PIL import Image as PImage
+
+    PImage.fromarray(arr).save(src)
+    gj2k = str(tmp_path / "r.j2k")
+    r = grk_compress(["-i", src, "-o", gj2k, "-n", "5", "-p", "CPRL",
+                      "-t", "36,63", "-r", "29,1", "-c", "[64,64]"])
+    assert r.returncode == 0, r.stderr + r.stdout
+    out = gk.decompress(open(gj2k, "rb").read()).to_array()
+    assert np.array_equal(out, arr)
+
+    ours = bytes(gk.compress(
+        gk.Image.from_array(arr.astype(np.int32)),
+        gk.CompressParams(num_resolutions=5,
+                          progression=gk.ProgressionOrder.CPRL,
+                          tile_size=(36, 63), num_layers=2,
+                          layer_rates=[29, 1],
+                          precinct_sizes=[(6, 6)] * 33),
+    ))
+    p = tmp_path / "o.j2k"
+    p.write_bytes(ours)
+    gdec = str(tmp_path / "o_gdec.pgx")
+    r = grk_decompress(["-i", str(p), "-o", gdec])
+    assert r.returncode == 0, r.stderr + r.stdout
+    refs = [read_pgx(f)
+            for f in sorted(glob.glob(str(tmp_path / "o_gdec*.pgx")))]
+    for i in range(3):
+        assert np.array_equal(refs[i], arr[:, :, i]), i

@@ -147,7 +147,11 @@ def main():
                 ok2 = False
         if ok1 and ok2:
             continue
-        if grok_self_ok(src, margs, td, dargs) is False:
+        # attribution: the reference must pass BOTH its full-decode pixel
+        # self-check (a broken encode poisons every comparison, e.g. its
+        # degenerate-tile bugs) and the truncated-decode rc check
+        if (grok_self_ok(src, margs, td) is False
+                or (dargs and grok_self_ok(src, margs, td, dargs) is False)):
             ref_bug += 1
             print(f"trial {trial}: reference fails its OWN stream "
                   f"(tile={kw.get('tile_size')}, mode={mode:#x}) — not our bug")
