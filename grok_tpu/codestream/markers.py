@@ -307,10 +307,17 @@ def write_poc(tcp: Tcp, num_comps: int) -> bytes:
 
 
 def read_poc(c: Cursor, tcp: Tcp, num_comps: int) -> None:
+    """POC segments ACCUMULATE across the main and tile-part headers
+    (reference parity: CodeStreamDecompress::read_poc appends after
+    oldNumProgressions rather than replacing) — the reference encoder
+    relies on this: its tile-header POC copy carries a zeroed progression
+    field, harmless only because the main-header entries already cover
+    every packet. Exact duplicates are skipped so re-parsing a cached
+    tile header stays idempotent."""
     comp_bytes = 1 if num_comps <= 256 else 2
     entry = 5 + 2 * comp_bytes
     n = c.remaining() // entry
-    tcp.pocs = []
+    pocs = list(tcp.pocs)
     for _ in range(n):
         rs = c.u8()
         cs = c.u8() if comp_bytes == 1 else c.u16()
@@ -318,7 +325,10 @@ def read_poc(c: Cursor, tcp: Tcp, num_comps: int) -> None:
         re = c.u8()
         ce = c.u8() if comp_bytes == 1 else c.u16()
         order = ProgressionOrder(c.u8())
-        tcp.pocs.append(ProgressionChange(rs, cs, le, re, ce, order))
+        pc = ProgressionChange(rs, cs, le, re, ce, order)
+        if pc not in pocs:
+            pocs.append(pc)
+    tcp.pocs = pocs
 
 
 # ---------------------------------------------------------------- RGN

@@ -303,3 +303,22 @@ def test_cprl_precinct_aligned_tile_origins(tmp_path):
             for f in sorted(glob.glob(str(tmp_path / "o_gdec*.pgx")))]
     for i in range(3):
         assert np.array_equal(refs[i], arr[:, :, i]), i
+
+
+def test_tile_header_poc_accumulates(tmp_path):
+    """POC segments accumulate across main and tile-part headers
+    (reference read_poc appends; its encoder writes a zeroed-progression
+    tile copy that must stay inert — fuzz trial 7/39)."""
+    rng = np.random.default_rng(39)
+    arr = rng.integers(0, 256, (43, 43)).astype(np.uint8)
+    src = str(tmp_path / "s.png")
+    from PIL import Image as PImage
+
+    PImage.fromarray(arr).save(src)
+    gj2k = str(tmp_path / "p.j2k")
+    r = grk_compress(["-i", src, "-o", gj2k, "-n", "6", "-p", "PCRL",
+                      "-M", "5", "-r", "60,1", "-L", "-c", "[128,128]",
+                      "-P", "T0=0,0,2,5,1,RLCP/T0=5,0,2,6,1,RLCP"])
+    assert r.returncode == 0, r.stderr + r.stdout
+    out = gk.decompress(open(gj2k, "rb").read()).to_array().squeeze()
+    assert np.array_equal(out, arr)

@@ -95,6 +95,22 @@ def main():
             pe = int(rng.integers(5, 8))
             kw["precinct_sizes"] = [(pe, pe)] * 33
             targs += ["-c", f"[{1 << pe},{1 << pe}]"]
+        if rng.random() < 0.2 and nres >= 2 and "tile_size" not in kw:
+            # POC: two progression segments splitting the resolutions
+            # (single-tile: the reference needs the T0= form)
+            from grok_tpu.core.params import ProgressionChange
+
+            rsplit = int(rng.integers(1, nres))
+            p1 = str(rng.choice(["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"]))
+            p2 = str(rng.choice(["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"]))
+            kw["progression_changes"] = [
+                ProgressionChange(0, 0, nlayers, rsplit, nc,
+                                  ProgressionOrder[p1]),
+                ProgressionChange(rsplit, 0, nlayers, nres, nc,
+                                  ProgressionOrder[p2]),
+            ]
+            targs += ["-P", f"T0=0,0,{nlayers},{rsplit},{nc},{p1}"
+                            f"/T0={rsplit},0,{nlayers},{nres},{nc},{p2}"]
         margs = ["-n", str(nres), "-p", prog, "-M", str(mode if mode != 64 else 64),
                  *targs]
         # decode-side variation: layer truncation / resolution reduction.
