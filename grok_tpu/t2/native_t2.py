@@ -239,6 +239,17 @@ def decode_packets(lib, flat: FlatTileT2, body, max_layers, use_sop, use_eph,
             out_entry, out_np, out_nb, out_off, max_contrib, n_contrib,
             entry_numbps, end_pos,
         )
+        if rc == 3:
+            # the PLT lies about the packet spans (the reference encoder
+            # writes inconsistent PLTs on POC / multi-tile-part streams):
+            # reparse with headers only (unwanted packets parsed-and-dropped)
+            from ..core import logging as log
+
+            log.warn("PLT lengths disagree with packet headers at byte %d;"
+                     " ignoring the PLT index", int(end_pos[0]))
+            return decode_packets(lib, flat, body, max_layers, use_sop,
+                                  use_eph, packed_headers,
+                                  pkt_skip=pkt_skip)
         if rc == 0 or rc == 1:
             n = int(n_contrib[0])
             ent = out_entry[:n]

@@ -546,6 +546,7 @@ int t2_decode_packets(
         // keep pos and the PPT bit stream aligned); its contributions are
         // dropped below
         if (pos >= body_len && !use_ppt) break;  // truncated: rest empty
+        int64_t pkt_start = pos;
         if (use_sop && pos + 6 <= body_len && body[pos] == 0xFF &&
             body[pos + 1] == 0x91)
             pos += 6;
@@ -570,18 +571,18 @@ int t2_decode_packets(
                     if (!inc) continue;
                     if (!included[e]) {
                         int im = imsb[p].decode_value(bio, cb_cx[e], cb_cy[e]);
-                        if (im < 0) return 1;
+                        if (im < 0) { *n_contrib = nout; *end_pos = pos; if (n_skipped) *n_skipped = skipped; return 1; }
                         int nb = prc_numbps[p] - im;
-                        if (nb < 0) return 1;
+                        if (nb < 0) { *n_contrib = nout; *end_pos = pos; if (n_skipped) *n_skipped = skipped; return 1; }
                         entry_numbps[e] = nb;
                         included[e] = 1;
                     }
                     int npl = read_numpasses(bio);
                     while (bio.bit()) {
                         lblock[e]++;
-                        if (lblock[e] > 32) return 1;
+                        if (lblock[e] > 32) { *n_contrib = nout; *end_pos = pos; if (n_skipped) *n_skipped = skipped; return 1; }
                     }
-                    if (npasses_acc[e] + npl > 165) return 1;
+                    if (npasses_acc[e] + npl > 165) { *n_contrib = nout; *end_pos = pos; if (n_skipped) *n_skipped = skipped; return 1; }
                     int nseg = segment_splits(cb_style[e],
                                               (int)npasses_acc[e], npl,
                                               splits);
@@ -612,9 +613,9 @@ int t2_decode_packets(
         for (size_t ci = 0; ci < contrib.size(); ci += 3) {
             int64_t e = contrib[ci], npl = contrib[ci + 1],
                     nb = contrib[ci + 2];
-            if (pos + nb > body_len) return 1;  // body truncated
+            if (pos + nb > body_len) { *n_contrib = nout; *end_pos = pos; if (n_skipped) *n_skipped = skipped; return 1; }  // body truncated
             if (!drop) {
-                if (nout >= max_contrib) return 2;
+                if (nout >= max_contrib) { *n_contrib = nout; *end_pos = pos; if (n_skipped) *n_skipped = skipped; return 2; }
                 out_entry[nout] = (int32_t)e;
                 out_npasses[nout] = (int32_t)npl;
                 out_nbytes[nout] = nb;
@@ -622,6 +623,18 @@ int t2_decode_packets(
                 nout++;
             }
             pos += nb;
+        }
+        // verify the parsed span against the PLT record: the
+        // reference emits PLTs that do not match its own packet
+        // sequence on POC / multi-tile-part streams, so a skip jump
+        // based on them would desync — rc 3 tells the caller to
+        // reparse without PLT (caught on the FIRST wanted packet
+        // after any bad skip, before contributions are consumed)
+        if (plt_skip_ok && !use_ppt && pos - pkt_start != plt_lens[pk]) {
+            *n_contrib = 0;
+            *end_pos = pkt_start;
+            if (n_skipped) *n_skipped = skipped;
+            return 3;
         }
     }
     *n_contrib = nout;

@@ -322,3 +322,45 @@ def test_tile_header_poc_accumulates(tmp_path):
     assert r.returncode == 0, r.stderr + r.stdout
     out = gk.decompress(open(gj2k, "rb").read()).to_array().squeeze()
     assert np.array_equal(out, arr)
+
+
+def test_poc_stream_lying_plt_fallback(tmp_path):
+    """The reference writes PLT indices on POC / multi-tile-part streams
+    that do not match its own packet sequence (docs/STATUS.md). Our
+    decoder verifies parsed spans against the PLT and falls back to
+    header-only parsing: full decode stays bit-exact, and the truncated
+    decode keeps at least the reference's fidelity (its -l drops more
+    than the layer limit on such streams)."""
+    rng = np.random.default_rng(79)
+    arr = rng.integers(0, 256, (144, 344)).astype(np.uint8)
+    src = str(tmp_path / "s.png")
+    from PIL import Image as PImage
+
+    PImage.fromarray(arr).save(src)
+    gj2k = str(tmp_path / "p.j2k")
+    r = grk_compress(["-i", src, "-o", gj2k, "-n", "5", "-p", "CPRL",
+                      "-M", "1", "-r", "38,1", "-L", "-c", "[64,64]",
+                      "-P", "T0=0,0,2,2,1,PCRL/T0=2,0,2,5,1,LRCP"])
+    assert r.returncode == 0, r.stderr + r.stdout
+    data = open(gj2k, "rb").read()
+    warns = []
+    gk.set_warning_handler(lambda m: warns.append(m))
+    try:
+        full = gk.decompress(data).to_array().squeeze()
+        assert np.array_equal(full, arr)
+        l1 = gk.decompress(
+            data, gk.DecompressParams(max_layers=1)).to_array().squeeze()
+        assert any("PLT lengths disagree" in w for w in warns), warns
+    finally:
+        gk.set_warning_handler(None)
+    # fidelity: our truncation must be at least as good as the reference's
+    gdec = str(tmp_path / "l1.pgx")
+    r = grk_decompress(["-i", gj2k, "-o", gdec, "-l", "1"])
+    assert r.returncode == 0
+    ref = read_pgx(sorted(glob.glob(str(tmp_path / "l1*.pgx")))[0])
+
+    def psnr(x):
+        mse = ((x.astype(np.float64) - arr.astype(np.float64)) ** 2).mean()
+        return 1e9 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+    assert psnr(l1) >= psnr(ref) - 0.1
