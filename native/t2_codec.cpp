@@ -527,6 +527,12 @@ int t2_decode_packets(
     int32_t last_wanted = -1;
     for (int32_t pk = 0; pk < npk; pk++)
         if (!is_unwanted(pk)) last_wanted = pk;
+    bool any_skip = false;  // mid-stream unwanted packet => PLT jumps happen
+    for (int32_t pk = 0; pk < last_wanted && !any_skip; pk++)
+        if (is_unwanted(pk)) any_skip = true;
+    // the PLT is only consulted for skip jumps; with nothing to skip the
+    // span verification (and its reparse on a lying index) is pointless
+    const bool plt_verify = plt_skip_ok && any_skip;
     for (int32_t pk = 0; pk < npk; pk++) {
         int layer = pkt_layer[pk];
         if (pk > last_wanted) break;  // pure unwanted suffix: stop reading
@@ -630,7 +636,7 @@ int t2_decode_packets(
         // based on them would desync — rc 3 tells the caller to
         // reparse without PLT (caught on the FIRST wanted packet
         // after any bad skip, before contributions are consumed)
-        if (plt_skip_ok && !use_ppt && pos - pkt_start != plt_lens[pk]) {
+        if (plt_verify && !use_ppt && pos - pkt_start != plt_lens[pk]) {
             *n_contrib = 0;
             *end_pos = pkt_start;
             if (n_skipped) *n_skipped = skipped;
