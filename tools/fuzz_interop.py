@@ -24,9 +24,15 @@ GRK = "/tmp/grok-build/bin"
 
 
 def grok_self_ok(src, args, td, dargs=()):
-    """Does the reference roundtrip its OWN stream for this config?"""
+    """Does the reference roundtrip its OWN stream for this config?
+    Compares raw PGX component planes (the PNG writer path can mask
+    per-component diffs)."""
+    import glob as _glob
+
     j = os.path.join(td, "self.j2k")
-    o = os.path.join(td, "self.png")
+    for f in _glob.glob(os.path.join(td, "self*.pgx")):
+        os.unlink(f)
+    o = os.path.join(td, "self.pgx")
     if subprocess.run([f"{GRK}/grk_compress", "-i", src, "-o", j, *args],
                       capture_output=True).returncode:
         return None  # reference cannot encode this config at all
@@ -35,9 +41,17 @@ def grok_self_ok(src, args, td, dargs=()):
         return False
     if dargs:
         return True  # decodes cleanly; pixel equality judged elsewhere
-    a = np.asarray(PImage.open(src).convert("RGB"))
-    b = np.asarray(PImage.open(o).convert("RGB"))
-    return np.array_equal(a, b)
+    from tests.conftest import read_pgx
+
+    comps = [read_pgx(f)
+             for f in sorted(_glob.glob(os.path.join(td, "self*.pgx")))]
+    a = np.asarray(PImage.open(src))
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if len(comps) != a.shape[2]:
+        return False
+    return all(np.array_equal(comps[i], a[:, :, i])
+               for i in range(a.shape[2]))
 
 
 def ref_decode(path, td, dargs=()):
@@ -203,14 +217,22 @@ def main():
             continue
 
         def geometry_self_fails():
-            """The reference's tile-parity decode bug is CONTENT-dependent:
-            re-run its pixel self-check on the same geometry with a few
-            other contents before blaming ourselves."""
+            """The reference's tile-parity decode bug is CONTENT- and
+            RATE-dependent (a rate-layered encode can truncate exactly the
+            deep-level coefficients its decoder mishandles): probe the BARE
+            geometry (tiling + resolutions only) with a few contents. If
+            the reference cannot roundtrip its own lossless stream there,
+            the mismatch on ours is its decoder, not our stream."""
+            bare = ["-n", str(nres), *(
+                ["-t", f"{kw['tile_size'][0]},{kw['tile_size'][1]}"]
+                if "tile_size" in kw else [])]
             for s2 in (1, 2, 3):
                 r2_ = np.random.default_rng(s2)
                 a2 = r2_.integers(0, 256, arr.shape).astype(np.uint8)
                 s2p = os.path.join(td, "alt.png")
                 PImage.fromarray(a2).save(s2p)
+                if grok_self_ok(s2p, bare, td) is False:
+                    return True
                 if grok_self_ok(s2p, margs, td) is False:
                     return True
             return False
