@@ -237,34 +237,61 @@ struct MQEncoder {
     }
 };
 
+// Bit-reservoir MQ decoder. T.88's BYTEIN state machine is equivalent to
+// shifting an UNSTUFFED bit sequence (8 bits per byte, 7 after an 0xFF,
+// all-ones past the terminating marker) into the bottom of the 16-bit
+// decision window chigh = (C >> 16) mod 2^16: a byte inserted at C bits
+// 8-15 has its MSB one renorm shift away from the window, so each shift
+// performs chigh = (chigh << 1) | next_bit, and the init sequence
+// (C = B0 << 16; BYTEIN; C <<= 7) loads exactly the first 15 unstuffed
+// bits. A stuffed byte in 0x80-0x8F carries an encoder CARRY in bit 7
+// that BYTEIN adds at C bit 16 — i.e. +1 to the window applied lazily at
+// the first shift after the preceding 0xFF has fully entered the window
+// (renorm byteins fire at the START of the next shift, so decisions made
+// while CT==0 still see the no-carry window). Decisions (compare /
+// subtract qe) touch only chigh, so pre-unstuffing the segment once —
+// recording carry-event bit positions — and renormalizing by clz-many
+// bits at a time is bit-exact while removing the per-bit shift loop and
+// per-byte branches from the hot path. Validated lockstep against the
+// byte-machine on 10^8 random decisions (tools + tests/test_mq.py).
 struct MQDecoder {
-    uint32_t a = 0, c = 0;
-    int ct = 0;
-    const uint8_t* buf;
-    int64_t bp = 0, end = 0;
+    uint32_t a = 0, c = 0;  // c = the 16-bit chigh decision window
+    uint64_t res = 0;       // unstuffed bits, left-aligned (MSB = next bit)
+    int rb = 0;             // valid bits in res
+    uint8_t* ubuf = nullptr;   // caller-provided unstuff scratch
+    int64_t* evbuf = nullptr;  // caller-provided carry-event scratch
+    int64_t upos = 0, ulen = 0;
+    int64_t pos = 0;  // unstuffed bits delivered to the window so far
+    int ecnt = 0, ei = 0;
     uint8_t state[NUM_CTX];  // merged 2*s + mps
 
-    inline uint8_t byte_at(int64_t i) const {
-        return i < end ? buf[i] : 0xFF;
+    void refill() {
+        while (rb <= 56) {
+            uint32_t b = upos < ulen ? ubuf[upos++] : 0xFFu;
+            res |= (uint64_t)b << (56 - rb);
+            rb += 8;
+        }
     }
 
-    void bytein() {
-        uint8_t b = byte_at(bp);
-        uint8_t b1 = byte_at(bp + 1);
-        if (b == 0xFF) {
-            if (b1 > 0x8F) {
-                c += 0xFF00;
-                ct = 8;
-            } else {
-                bp++;
-                c += (uint32_t)b1 << 9;
-                ct = 7;
-            }
-        } else {
-            bp++;
-            c += (uint32_t)b1 << 8;
-            ct = 8;
+    inline uint32_t take(int n) {  // 1 <= n <= 16
+        if (rb < n) refill();
+        uint32_t v = (uint32_t)(res >> (64 - n));
+        res <<= n;
+        rb -= n;
+        return v;
+    }
+
+    inline void shift_in(int n) {
+        c = (c << n) | take(n);
+        int64_t np = pos + n;
+        if (__builtin_expect(ei < ecnt && evbuf[ei] < np, 0)) {
+            do {
+                c += 1u << (np - evbuf[ei]);
+                ei++;
+            } while (ei < ecnt && evbuf[ei] < np);
         }
+        pos = np;
+        c &= 0xFFFF;  // the byte-machine window is implicitly mod 2^16
     }
 
     void reset_ctx() {
@@ -276,13 +303,37 @@ struct MQDecoder {
 
     void init_registers(const uint8_t* b, int64_t len) {
         // re-prime on a new codeword segment; context states persist
-        buf = b;
-        end = len;
-        bp = 0;
-        c = (uint32_t)byte_at(0) << 16;
-        bytein();
-        c <<= 7;
-        ct -= 7;
+        int64_t nb = 0;
+        uint32_t acc = 0;
+        int ab = 0;
+        bool pf = false;
+        ecnt = 0;
+        for (int64_t i = 0; i < len; i++) {
+            uint32_t v = b[i];
+            if (pf) {
+                if (v > 0x8F) break;  // marker: rest of the stream is 1-bits
+                if (v & 0x80) evbuf[ecnt++] = nb * 8 + ab;  // carry event
+                acc = (acc << 7) | (v & 0x7F);
+                ab += 7;
+            } else {
+                acc = (acc << 8) | v;
+                ab += 8;
+            }
+            pf = v == 0xFF;
+            if (ab >= 8) {
+                ab -= 8;
+                ubuf[nb++] = (uint8_t)(acc >> ab);
+            }
+        }
+        if (ab) ubuf[nb++] = (uint8_t)((acc << (8 - ab)) | (0xFFu >> ab));
+        ulen = nb;
+        upos = 0;
+        res = 0;
+        rb = 0;
+        ei = 0;
+        pos = 0;
+        c = 0;
+        shift_in(15);
         a = 0x8000;
     }
 
@@ -292,12 +343,9 @@ struct MQDecoder {
     }
 
     inline void renorm() {
-        do {
-            if (ct == 0) bytein();
-            a <<= 1;
-            c <<= 1;
-            ct--;
-        } while ((a & 0x8000) == 0);
+        int n = __builtin_clz(a) - 16;  // a in [1, 0x7FFF] here
+        shift_in(n);
+        a <<= n;
     }
 
     // ---- raw (bypass) reading ------------------------------------------
@@ -331,7 +379,7 @@ struct MQDecoder {
         uint32_t qe = e.qe;
         int d;
         a -= qe;
-        if (__builtin_expect(((c >> 16) & 0xFFFF) < qe, 0)) {
+        if (__builtin_expect(c < qe, 0)) {
             // LPS subinterval
             if (a < qe) {
                 d = s & 1;
@@ -343,7 +391,7 @@ struct MQDecoder {
             a = qe;
             renorm();
         } else {
-            c -= (uint32_t)qe << 16;
+            c -= qe;
             if (__builtin_expect((a & 0x8000) == 0, 0)) {
                 if (a < qe) {
                     d = 1 - (s & 1);
@@ -1148,6 +1196,8 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
         uint64_t* words = new uint64_t[words_sz];
         uint32_t* mag = new uint32_t[(int64_t)H * W];
         uint64_t* colact = new uint64_t[2 * (smax + 1) + 2];
+        uint8_t* useg = new uint8_t[(size_t)max_bytes + 64];  // unstuff scratch
+        int64_t* uev = new int64_t[(size_t)max_bytes / 2 + 8];  // carry events
 
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
@@ -1187,6 +1237,8 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
             };
 
             MQDecoder mq;
+            mq.ubuf = useg;
+            mq.evbuf = uev;
             int64_t seg_off = 0;
             int seg_i = 0;
             bool in_raw = false;
@@ -1242,6 +1294,8 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
         delete[] words;
         delete[] mag;
         delete[] colact;
+        delete[] useg;
+        delete[] uev;
     }
     return 0;
 }
