@@ -34,3 +34,27 @@ def test_mq_empty_lane():
     enc.flush()
     lens = enc.lengths()
     assert lens[0] >= 1
+
+
+def test_mq_reservoir_vs_byte_machine(tmp_path):
+    """Native bit-reservoir MQ decoder lockstep against the T.88 byte
+    machine (tools/mq_dual_check.cpp) on random buffers + ctx scripts,
+    including 0xFF stuffing, 0x80-0x8F carry bytes and marker stops."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        import pytest
+
+        pytest.skip("no g++")
+    import os
+
+    src = os.path.join(os.path.dirname(__file__), "..", "tools",
+                       "mq_dual_check.cpp")
+    exe = tmp_path / "mqdual"
+    subprocess.run(["g++", "-O2", "-o", str(exe), src], check=True,
+                   timeout=120)
+    for seed in ("1", "7", "42"):
+        r = subprocess.run([str(exe), seed], capture_output=True, text=True,
+                           timeout=120)
+        assert r.returncode == 0, r.stdout
