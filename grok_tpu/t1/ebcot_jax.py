@@ -1025,7 +1025,8 @@ def _check_styles(styles):
         )
 
 
-def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0, styles=None):
+def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0,
+                 styles=None, want_dist: bool = True):
     """Backend-API entry: host numpy in/out, device lockstep inside."""
     _check_styles(styles)
     jax, jnp = _j()

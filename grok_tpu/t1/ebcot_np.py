@@ -236,6 +236,7 @@ def encode_cblks(
     orients: np.ndarray,
     max_bitplanes: int | None = None,
     styles: np.ndarray | None = None,
+    want_dist: bool = True,  # accepted for API parity; always computed here
 ) -> T1EncodeResult:
     """Encode a batch of codeblocks.
 

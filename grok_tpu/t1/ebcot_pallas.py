@@ -592,6 +592,7 @@ def encode_cblks(
     orients: np.ndarray,
     max_bitplanes: int | None = None,
     styles: np.ndarray | None = None,
+    want_dist: bool = True,  # accepted for API parity; always computed here
 ) -> T1EncodeResult:
     coeffs = np.asarray(coeffs, dtype=np.int64)
     n, h, w = coeffs.shape

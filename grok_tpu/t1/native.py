@@ -74,11 +74,20 @@ def bind_t1_abi(lib: ctypes.CDLL) -> None:
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+    class _f64p_or_null:
+        # out_pass_dist may be NULL: "skip distortion accounting" in the ABI
+        @staticmethod
+        def from_param(obj):
+            if obj is None:
+                return ctypes.c_void_p()
+            return f64p.from_param(obj)
+
     lib.t1_encode_cblks.argtypes = [
         i32p, i32p, i32p, i32p, i32p,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         u8p, ctypes.c_int64,
-        i64p, i32p, i32p, i64p, f64p,
+        i64p, i32p, i32p, i64p, _f64p_or_null,
         ctypes.c_int32, ctypes.c_int32,
     ]
     lib.t1_encode_cblks.restype = ctypes.c_int
@@ -346,6 +355,7 @@ def encode_cblks(
     orients: np.ndarray,
     num_threads: int = 0,
     styles: np.ndarray | None = None,
+    want_dist: bool = True,
     _lib: ctypes.CDLL | None = None,
 ) -> T1EncodeResult:
     lib = _lib if _lib is not None else get_lib()
@@ -373,11 +383,12 @@ def encode_cblks(
     npasses = np.zeros(n, dtype=np.int32)
     rates = np.zeros((n, max_passes), dtype=np.int64)
     dists = np.zeros((n, max_passes), dtype=np.float64)
+    dists_arg = dists if want_dist else None  # NULL = skip dist accounting
 
     lib.t1_encode_cblks(
         coeffs, heights32, widths32, orients32, styles32,
         n, h, w, data, max_bytes,
-        lengths, numbps, npasses, rates, dists,
+        lengths, numbps, npasses, rates, dists_arg,
         max_passes, _nthreads(num_threads),
     )
     if (lengths < 0).any():
@@ -390,7 +401,7 @@ def encode_cblks(
         lib.t1_encode_cblks(
             coeffs, heights32, widths32, orients32, styles32,
             n, h, w, data, max_bytes,
-            lengths, numbps, npasses, rates, dists,
+            lengths, numbps, npasses, rates, dists_arg,
             max_passes, _nthreads(num_threads),
         )
         if (lengths < 0).any():

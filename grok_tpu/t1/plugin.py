@@ -21,6 +21,8 @@ A conforming plugin exports::
                         int64_t* lengths, int32_t* numbps, int32_t* npasses,
                         int64_t* pass_rates, double* pass_dist,
                         int32_t max_passes, int32_t num_threads);
+    /* pass_dist may be NULL: skip distortion accounting (single-layer
+       untargeted encodes never read it) */
     int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
                         const int32_t* numbps, const int32_t* npasses,
                         const int32_t* heights, const int32_t* widths,
@@ -59,10 +61,11 @@ class PluginBackend:
             self.SUPPORTED_STYLES = 0x3F
 
     def encode_cblks(self, coeffs, heights, widths, orients,
-                     num_threads: int = 0, styles=None):
+                     num_threads: int = 0, styles=None, want_dist=True):
         return _native.encode_cblks(
             coeffs, heights, widths, orients,
-            num_threads=num_threads, styles=styles, _lib=self.lib,
+            num_threads=num_threads, styles=styles, want_dist=want_dist,
+            _lib=self.lib,
         )
 
     def decode_cblks(self, data, lengths, numbps, npasses, heights, widths,

@@ -409,8 +409,17 @@ class TileProcessor:
             else:
                 t1 = select_backend()
                 _check_styles_supported(styles, t1)
+                # pass distortions feed only the PCRD layer search; a
+                # single-layer untargeted encode takes every pass, so skip
+                # the per-event distortion accounting entirely (~6% of T1)
+                p = self.enc_params
+                need_dist = not (
+                    tcp.num_layers == 1
+                    and not getattr(p, "layer_rates", None)
+                    and not getattr(p, "layer_psnrs", None)
+                )
                 t1res = t1.encode_cblks(batch, heights, widths, orients,
-                                        styles=styles)
+                                        styles=styles, want_dist=need_dist)
 
         # ---- PCRD layer allocation (iterative: re-run with a tightened
         # budget if the emitted packets overshoot the rate target, mirroring

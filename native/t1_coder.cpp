@@ -631,6 +631,7 @@ struct BlockCtx2 {
 };
 
 // --------------------------------------------------------------- encoder
+template <bool WD>
 static void enc_spp(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
                     bool raw = false) {
     // Local copy: a non-escaping local cannot alias the magnitude/flag-word
@@ -674,7 +675,7 @@ static void enc_spp(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
                     B.mark_nbr(Wr, x1, k, neg);
                     B.colact_mark(y0 + k, x);
                     B.mark_full(w, s, x);
-                    *dist += dd_sig((int64_t)m, dc);
+                    if (WD) *dist += dd_sig((int64_t)m, dc);
                     live = cand & nbr4(B.vsc ? (w & ~W_VSC_SIGCUT) : w);
                 } else {
                     live &= live - 1;
@@ -704,6 +705,7 @@ static void enc_spp(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
     mq_io = mq;
 }
 
+template <bool WD>
 static void enc_mrp(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
                     bool raw = false) {
     MQEncoder mq = mq_io;  // local copy, see enc_spp
@@ -735,7 +737,7 @@ static void enc_mrp(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
                     mq.encode(bit, ctx);
                 }
                 w |= 1ULL << (22 + k);
-                *dist += dd_ref((int64_t)m, dc);
+                if (WD) *dist += dd_ref((int64_t)m, dc);
             }
             if (w != w0) Wr[x1] = w;
         };
@@ -756,6 +758,7 @@ static void enc_mrp(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
     mq_io = mq;
 }
 
+template <bool WD>
 static void enc_cup(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
                     bool segsym) {
     MQEncoder mq = mq_io;  // local copy, see enc_spp
@@ -811,7 +814,7 @@ static void enc_cup(BlockCtx2& B, MQEncoder& mq_io, int plane, double* dist,
                     B.mark_nbr(Wr, x1, k, neg);
                     B.colact_mark(y0 + k, x);
                     B.mark_full(w, s, x);
-                    *dist += dd_sig((int64_t)mg[k * B.mstride], dc);
+                    if (WD) *dist += dd_sig((int64_t)mg[k * B.mstride], dc);
                 }
             }
             if (w != w0) Wr[x1] = w;
@@ -1084,7 +1087,7 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
             out_npasses[b] = npasses;
             for (int i = 0; i < max_passes; i++) {
                 out_pass_rates[b * max_passes + i] = 0;
-                out_pass_dist[b * max_passes + i] = 0.0;
+                if (out_pass_dist) out_pass_dist[b * max_passes + i] = 0.0;
             }
             if (npasses == 0) {
                 out_lengths[b] = 0;
@@ -1127,7 +1130,7 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
                         r = in_raw ? mq.raw_safe_len()
                                    : mq.pos + (27 - mq.ct + 7) / 8;
                     out_pass_rates[b * max_passes + pass_i] = r;
-                    out_pass_dist[b * max_passes + pass_i] = dd;
+                    if (out_pass_dist) out_pass_dist[b * max_passes + pass_i] = dd;
                     pass_i++;
                     last_term = term;
                     if (reset) mq.reset_ctx();
@@ -1136,16 +1139,20 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
                         if (in_raw) mq.raw_start();
                     }
                 };
+                bool wd = out_pass_dist != nullptr;
                 if (plane < numbps - 1) {
                     d = 0;
-                    enc_spp(B, mq, plane, &d, in_raw);
+                    wd ? enc_spp<true>(B, mq, plane, &d, in_raw)
+                       : enc_spp<false>(B, mq, plane, &d, in_raw);
                     end_pass(d);
                     d = 0;
-                    enc_mrp(B, mq, plane, &d, in_raw);
+                    wd ? enc_mrp<true>(B, mq, plane, &d, in_raw)
+                       : enc_mrp<false>(B, mq, plane, &d, in_raw);
                     end_pass(d);
                 }
                 d = 0;
-                enc_cup(B, mq, plane, &d, segsym);
+                wd ? enc_cup<true>(B, mq, plane, &d, segsym)
+                   : enc_cup<false>(B, mq, plane, &d, segsym);
                 end_pass(d);
                 uint64_t* p = words + ws;
                 for (int64_t ii = 0; ii < (int64_t)S * ws; ii++)
