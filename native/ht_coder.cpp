@@ -133,9 +133,7 @@ static bool init_uvlc() {
 static bool uvlc_ready = init_uvlc();
 
 static inline int bitlen64(int64_t v) {
-    int n = 0;
-    while (v >> n) n++;
-    return n;
+    return v ? 64 - __builtin_clzll((uint64_t)v) : 0;
 }
 
 // Encode one codeblock; returns segment length, writes into out.
