@@ -93,8 +93,13 @@ def dequant_bands(src: np.ndarray, bands, num_threads: int = 0):
     lib = get_lib()
     if lib is None or src.dtype != np.int32 or not src.flags.c_contiguous:
         return None
-    out = np.zeros(src.shape, dtype=np.float32)
     oys, oxs, hs, ws, steps = _band_arrays(bands)
+    # the Mallat bands tile the packed array exactly on full decodes, so
+    # every element is written and the zero-fill (calloc + a page-fault
+    # sweep over ~100 MB at 4K) can be skipped
+    covered = int((hs.astype(np.int64) * ws.astype(np.int64)).sum())
+    alloc = np.empty if covered == src.size else np.zeros
+    out = alloc(src.shape, dtype=np.float32)
     lib.dequant_bands(src, out, src.shape[1], len(bands), oys, oxs, hs, ws,
                       steps, _nthreads(num_threads))
     return out

@@ -300,7 +300,8 @@ def ht_encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0):
     maxmag = _batch_maxmag(coeffs)
     bytes_per_sample = (2 * maxmag).bit_length() // 8 + 2
     max_bytes = max(256, h * w * bytes_per_sample + (h * w) // 2 + 64)
-    data = np.zeros((n, max_bytes), dtype=np.uint8)
+    # np.empty: consumers only read data[i, :lengths[i]], all coder-written
+    data = np.empty((n, max_bytes), dtype=np.uint8)
     lengths = np.zeros(n, dtype=np.int64)
     numbps = np.zeros(n, dtype=np.int32)
     dist = np.zeros(n, dtype=np.float64)
@@ -377,7 +378,8 @@ def encode_cblks(
     max_passes = max(3 * pmax - 2, 1)
     max_bytes = max(64, (pmax * h * w) // 4 + 128)
 
-    data = np.zeros((n, max_bytes), dtype=np.uint8)
+    # np.empty: consumers only read data[i, :lengths[i]], all coder-written
+    data = np.empty((n, max_bytes), dtype=np.uint8)
     lengths = np.zeros(n, dtype=np.int64)
     numbps = np.zeros(n, dtype=np.int32)
     npasses = np.zeros(n, dtype=np.int32)
@@ -396,7 +398,7 @@ def encode_cblks(
         # retry once with a provably sufficient worst-case bound
         # (< 2 coded bits/sample/pass after stuffing => pmax*h*w bytes)
         max_bytes = max(max_bytes * 4, pmax * h * w + 256)
-        data = np.zeros((n, max_bytes), dtype=np.uint8)
+        data = np.empty((n, max_bytes), dtype=np.uint8)
         lengths[:] = 0
         lib.t1_encode_cblks(
             coeffs, heights32, widths32, orients32, styles32,

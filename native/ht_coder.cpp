@@ -542,13 +542,19 @@ int ht_encode_cblks_c(const int32_t* coeffs, const int32_t* heights,
             const int32_t* src = coeffs + b * (int64_t)H * W;
             int64_t mx = 0;
             double d = 0;
-            for (int y = 0; y < h; y++)
-                for (int x = 0; x < w; x++) {
-                    int64_t v = src[y * W + x];
-                    int64_t a = v < 0 ? -v : v;
-                    if (a > mx) mx = a;
-                    d += (double)v * (double)v;
+            for (int y = 0; y < h; y++) {
+                const int32_t* row = src + (int64_t)y * W;
+                int32_t m32 = 0;
+                double dr = 0;
+                for (int x = 0; x < w; x++) {  // branch-free: auto-vectorizes
+                    int32_t v = row[x];
+                    int32_t a = v < 0 ? -v : v;
+                    m32 = a > m32 ? a : m32;
+                    dr += (double)v * (double)v;
                 }
+                if (m32 > mx) mx = m32;
+                d += dr;
+            }
             out_dist[b] = d;
             if (mx == 0 || h == 0 || w == 0) {
                 out_numbps[b] = 0;
