@@ -54,14 +54,42 @@ def grok_self_ok(src, args, td, dargs=()):
                for i in range(a.shape[2]))
 
 
-def ref_decode(path, td, dargs=()):
-    """Reference decode -> array, or None on failure."""
-    out = os.path.join(td, "rd.png")
+def ref_decode(path, td, dargs=(), pgx=False):
+    """Reference decode -> array, or None on failure. With pgx, read the
+    raw PGX plane (exact for any bit depth; single-component only)."""
+    if pgx:
+        import glob as _glob
+
+        for f in _glob.glob(os.path.join(td, "rd*.pgx")):
+            os.unlink(f)
+        out = os.path.join(td, "rd.pgx")
+    else:
+        out = os.path.join(td, "rd.png")
     r = subprocess.run([f"{GRK}/grk_decompress", "-i", path, "-o", out,
                         *dargs], capture_output=True)
     if r.returncode:
         return None
+    if pgx:
+        import glob as _glob
+
+        from tests.conftest import read_pgx
+
+        files = sorted(_glob.glob(os.path.join(td, "rd*.pgx")))
+        return read_pgx(files[0]) if len(files) == 1 else None
     return np.asarray(PImage.open(out))
+
+
+def save_input(arr, depth, td):
+    """8-bit: PNG. >8-bit grayscale: binary PGM (2-byte big-endian)."""
+    if depth == 8:
+        src = os.path.join(td, "s.png")
+        PImage.fromarray(arr).save(src)
+    else:
+        src = os.path.join(td, "s.pgm")
+        with open(src, "wb") as f:
+            f.write(f"P5\n{arr.shape[1]} {arr.shape[0]}\n{(1 << depth) - 1}\n".encode())
+            f.write(arr.astype(">u2").tobytes())
+    return src
 
 
 def main():
@@ -73,10 +101,12 @@ def main():
     for trial in range(trials):
         h = int(rng.integers(40, 400))
         w = int(rng.integers(40, 400))
-        nc = int(rng.choice([1, 3]))
-        arr = rng.integers(0, 256, (h, w, nc) if nc == 3 else (h, w)).astype(np.uint8)
-        src = os.path.join(td, "s.png")
-        PImage.fromarray(arr).save(src)
+        depth = int(rng.choice([8, 8, 8, 12, 16]))
+        nc = int(rng.choice([1, 3])) if depth == 8 else 1
+        arr = rng.integers(0, 1 << depth, (h, w, nc) if nc == 3 else (h, w))
+        arr = arr.astype(np.uint8 if depth == 8 else np.uint16)
+        src = save_input(arr, depth, td)
+        use_pgx = depth > 8  # exact >8-bit comparisons ride PGX planes
         nres = int(rng.integers(1, 7))
         mode = int(rng.choice([0, 1, 4, 5, 8, 0x15, 0x3F, 64]))
         prog = str(rng.choice(["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"]))
@@ -169,7 +199,7 @@ def main():
                 return False
             full = gk.decompress(open(path, "rb").read()).to_array()
             full = full[:, :, 0] if nc == 1 else full
-            theirs = ref_decode(path, td, dargs)
+            theirs = ref_decode(path, td, dargs, pgx=use_pgx)
             if theirs is None:
                 return False
             if nc == 1 and theirs.ndim == 3:
@@ -177,7 +207,7 @@ def main():
             return psnr(mine, full) >= psnr(theirs, full) - 0.1
 
         # ours -> reference
-        im = gk.Image.from_array(arr.astype(np.int32))
+        im = gk.Image.from_array(arr.astype(np.int32), prec=depth)
         blob = gk.compress(im, gk.CompressParams(**kw))
         j2k = os.path.join(td, "o.j2k")
         open(j2k, "wb").write(bytes(blob))
@@ -185,7 +215,7 @@ def main():
             bytes(blob), gk.DecompressParams(**dkw)
         ).to_array()
         ours_trunc = ours_trunc[:, :, 0] if nc == 1 else ours_trunc
-        rimg = ref_decode(j2k, td, dargs)
+        rimg = ref_decode(j2k, td, dargs, pgx=use_pgx)
         if rimg is not None and nc == 1 and rimg.ndim == 3:
             rimg = rimg[:, :, 0]
         ok1 = rimg is not None and np.array_equal(rimg, ours_trunc)
@@ -203,7 +233,7 @@ def main():
                 dec = gk.decompress(open(j2r, "rb").read(),
                                     gk.DecompressParams(**dkw)).to_array()
                 dec = dec[:, :, 0] if nc == 1 else dec
-                rref = ref_decode(j2r, td, dargs)
+                rref = ref_decode(j2r, td, dargs, pgx=use_pgx)
                 if rref is not None and nc == 1 and rref.ndim == 3:
                     rref = rref[:, :, 0]
                 ok2 = rref is not None and np.array_equal(dec, rref)
