@@ -354,20 +354,54 @@ struct VlcDec {
     }
 };
 
+// MagSgn reader over a pre-unstuffed LSB-first bit stream: one read per
+// significant sample, so the per-byte stuffing branches are hoisted into
+// a single up-front pass and refills become one 8-byte load. Past-end
+// bytes are all-ones in both formulations (0xFF feed), so grouping is
+// immaterial there.
 struct MsDec {
-    const uint8_t* data;
-    int len, pos = 0;
+    const uint8_t* u = nullptr;
+    int64_t ulen = 0, upos = 0;
     uint64_t tmp = 0;
     int bits = 0;
-    bool prev_ff = false;
+    void init(const uint8_t* data, int len, uint8_t* scratch) {
+        uint32_t acc = 0;
+        int ab = 0;
+        bool pf = false;
+        int64_t n = 0;
+        for (int i = 0; i < len; i++) {
+            uint32_t b = data[i];
+            int nb = pf ? 7 : 8;
+            pf = b == 0xFF;
+            acc |= (b & ((1u << nb) - 1)) << ab;
+            ab += nb;
+            if (ab >= 8) {
+                scratch[n++] = (uint8_t)acc;
+                acc >>= 8;
+                ab -= 8;
+            }
+        }
+        if (ab) scratch[n++] = (uint8_t)(acc | (0xFFu << ab));
+        u = scratch;
+        ulen = n;
+    }
     uint32_t read(int n) {
         if (n == 0) return 0;
-        while (bits < n) {
-            int b = pos < len ? data[pos++] : 0xFF;
-            int nbits = prev_ff ? 7 : 8;
-            prev_ff = b == 0xFF;
-            tmp |= (uint64_t)(b & ((1 << nbits) - 1)) << bits;
-            bits += nbits;
+        if (bits < n) {
+            int k = (64 - bits) >> 3;
+            uint64_t v;
+            if (upos + 8 <= ulen) {
+                std::memcpy(&v, u + upos, 8);
+                if (k < 8) v &= (1ull << (8 * k)) - 1;
+            } else {
+                v = 0;
+                for (int i = 0; i < k; i++)
+                    v |= (uint64_t)(upos + i < ulen ? u[upos + i] : 0xFF)
+                         << (8 * i);
+            }
+            tmp |= v << bits;
+            upos += k;
+            bits += 8 * k;
         }
         uint32_t v = (uint32_t)(tmp & ((1ull << n) - 1));
         tmp >>= n;
@@ -388,11 +422,12 @@ static int read_suffix(VlcDec& v, int p) {
 }
 
 static bool decode_block(const uint8_t* seg, int64_t seg_len, int h, int w,
-                         int32_t* out, int W_stride) {
+                         int32_t* out, int W_stride, uint8_t* ms_scratch) {
     if (seg_len < 2) return true;
     int scup = (seg[seg_len - 1] << 4) | (seg[seg_len - 2] & 0xF);
     if (scup < 2 || scup > seg_len) return false;
-    MsDec ms{seg, (int)(seg_len - scup)};
+    MsDec ms;
+    ms.init(seg, (int)(seg_len - scup), ms_scratch);
     MelDec mel{seg + seg_len - scup, scup};
     VlcDec vlc;
     vlc.init(seg + seg_len - scup, scup);
@@ -579,15 +614,22 @@ int ht_decode_cblks_c(const uint8_t* data, const int64_t* lengths,
     int rc = 0;
 #ifdef _OPENMP
     if (num_threads > 0) omp_set_num_threads(num_threads);
-#pragma omp parallel for schedule(dynamic)
+#pragma omp parallel
 #endif
-    for (int64_t b = 0; b < n; b++) {
-        int32_t* dst = out_coeffs + b * (int64_t)H * W;
-        std::memset(dst, 0, (int64_t)H * W * sizeof(int32_t));
-        if (npasses[b] <= 0 || lengths[b] <= 0) continue;
-        if (!ht::decode_block(data + b * max_bytes, lengths[b], heights[b],
-                              widths[b], dst, W))
-            rc = 1;
+    {
+        uint8_t* ms_scratch = new uint8_t[(size_t)max_bytes + 16];
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+        for (int64_t b = 0; b < n; b++) {
+            int32_t* dst = out_coeffs + b * (int64_t)H * W;
+            std::memset(dst, 0, (int64_t)H * W * sizeof(int32_t));
+            if (npasses[b] <= 0 || lengths[b] <= 0) continue;
+            if (!ht::decode_block(data + b * max_bytes, lengths[b],
+                                  heights[b], widths[b], dst, W, ms_scratch))
+                rc = 1;
+        }
+        delete[] ms_scratch;
     }
     return rc;
 }
