@@ -315,27 +315,59 @@ struct MelDec {
     }
 };
 
+// VLC reader over a pre-unstuffed LSB-first bit stream (the backward
+// byte walk with its stuffing state machine runs once up front; refills
+// become one 8-byte load). Past-beginning bytes are zeros in both
+// formulations. The init nibble's overlap bit (bit 3 when its low 3 bits
+// are 111) is masked; encoders emit 0 there, matching the byte-machine's
+// OR on valid streams.
 struct VlcDec {
-    const uint8_t* data;
-    int pos;
+    const uint8_t* u = nullptr;
+    int64_t ulen = 0, upos = 0;
     uint64_t tmp = 0;
     int bits = 0;
-    bool unstuff;
-    void init(const uint8_t* d, int len) {
-        data = d;
-        pos = len - 2;
-        int b = pos >= 0 ? d[pos--] : 0;
-        tmp = (uint64_t)(b >> 4);
-        bits = 4 - (((tmp & 7) == 7) ? 1 : 0);
-        unstuff = (b | 0xF) > 0x8F;
+    void init(const uint8_t* d, int len, uint8_t* scratch) {
+        int64_t n = 0;
+        int pos = len - 2;
+        uint32_t b = pos >= 0 ? d[pos--] : 0;
+        uint32_t nib = b >> 4;
+        int ab = 4 - (((nib & 7) == 7) ? 1 : 0);
+        uint32_t acc = nib & ((1u << ab) - 1);
+        bool unstuff = (b | 0xF) > 0x8F;
+        while (pos >= 0) {
+            uint32_t c = d[pos--];
+            int nb = (unstuff && (c & 0x7F) == 0x7F) ? 7 : 8;
+            unstuff = c > 0x8F;
+            acc |= (c & ((1u << nb) - 1)) << ab;
+            ab += nb;
+            if (ab >= 8) {
+                scratch[n++] = (uint8_t)acc;
+                acc >>= 8;
+                ab -= 8;
+            }
+        }
+        if (ab) scratch[n++] = (uint8_t)acc;  // high bits zero (past-start)
+        u = scratch;
+        ulen = n;
+        upos = 0;
+        tmp = 0;
+        bits = 0;
     }
-    void fill(int need) {
-        while (bits < need) {
-            int b = pos >= 0 ? data[pos--] : 0;
-            int nbits = (unstuff && (b & 0x7F) == 0x7F) ? 7 : 8;
-            unstuff = b > 0x8F;
-            tmp |= (uint64_t)(b & ((1 << nbits) - 1)) << bits;
-            bits += nbits;
+    inline void fill(int need) {
+        if (bits < need) {
+            int k = (64 - bits) >> 3;
+            uint64_t v;
+            if (upos + 8 <= ulen) {
+                std::memcpy(&v, u + upos, 8);
+                if (k < 8) v &= (1ull << (8 * k)) - 1;
+            } else {
+                v = 0;
+                for (int i = 0; i < k && upos + i < ulen; i++)
+                    v |= (uint64_t)u[upos + i] << (8 * i);
+            }
+            tmp |= v << bits;
+            upos += k;
+            bits += 8 * k;
         }
     }
     int peek(int n) {
@@ -430,7 +462,7 @@ static bool decode_block(const uint8_t* seg, int64_t seg_len, int h, int w,
     ms.init(seg, (int)(seg_len - scup), ms_scratch);
     MelDec mel{seg + seg_len - scup, scup};
     VlcDec vlc;
-    vlc.init(seg + seg_len - scup, scup);
+    vlc.init(seg + seg_len - scup, scup, ms_scratch + (seg_len - scup) + 8);
 
     int nqw = (w + 1) / 2;
     int nqr = (h + 1) / 2;
@@ -617,7 +649,7 @@ int ht_decode_cblks_c(const uint8_t* data, const int64_t* lengths,
 #pragma omp parallel
 #endif
     {
-        uint8_t* ms_scratch = new uint8_t[(size_t)max_bytes + 16];
+        uint8_t* ms_scratch = new uint8_t[(size_t)max_bytes + 32];
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic)
 #endif
