@@ -52,60 +52,93 @@ struct MelEnc {
     }
 };
 
+// VLC emitter with a 64-bit staging register. Capacity rule of the byte
+// machine: a byte following one > 0x8F holds 7 bits unless those 7 bits
+// are not all-ones, in which case bit 7 is usable too (only the value
+// 0xFF must never appear) — i.e. emit low-7 = 0x7F as a 7-bit byte,
+// anything else as 8 bits.
 struct VlcEnc {
     uint8_t buf[8192];  // buf[0] is the 0xFF sentinel; grows upward
     int n = 1;
-    int tmp = 0xF, used = 4;
+    uint64_t tmp = 0xF;
+    int bits = 4;
     bool last_gt_8f = true;
     VlcEnc() { buf[0] = 0xFF; }
-    void encode(int cwd, int len) {
-        while (len > 0) {
-            int avail = 8 - (last_gt_8f ? 1 : 0) - used;
-            int t = std::min(avail, len);
-            tmp |= (cwd & ((1 << t) - 1)) << used;
-            used += t;
-            avail -= t;
-            len -= t;
-            cwd >>= t;
-            if (avail == 0) {
-                if (last_gt_8f && tmp != 0x7F) {
-                    last_gt_8f = false;
-                    continue;
-                }
-                buf[n++] = (uint8_t)tmp;
-                last_gt_8f = tmp > 0x8F;
-                tmp = 0;
-                used = 0;
+    inline void encode(int cwd, int len) {
+        tmp |= (uint64_t)(uint32_t)cwd << bits;
+        bits += len;
+        if (bits >= 32) drain();
+    }
+    void drain() {
+        while (bits >= 8) {
+            uint32_t low7 = (uint32_t)(tmp & 0x7F);
+            if (last_gt_8f && low7 == 0x7F) {
+                buf[n++] = 0x7F;
+                last_gt_8f = false;
+                tmp >>= 7;
+                bits -= 7;
+            } else {
+                uint8_t b = (uint8_t)(tmp & 0xFF);
+                buf[n++] = b;
+                last_gt_8f = b > 0x8F;
+                tmp >>= 8;
+                bits -= 8;
             }
         }
+    }
+    void finalize() {
+        // the byte machine emits a pending 0x7F at exactly 7 bits when
+        // the previous byte was > 0x8F; the staged drain stops below 8
+        drain();
+        if (bits == 7 && last_gt_8f && (tmp & 0x7F) == 0x7F) {
+            buf[n++] = 0x7F;
+            last_gt_8f = false;
+            tmp = 0;
+            bits = 0;
+        }
+    }
+    // byte-machine-compatible views of the pending byte (assembly reads)
+    int pending_used() const { return bits; }
+    uint32_t pending_tmp() const {
+        return (uint32_t)(tmp & ((1u << (bits < 8 ? bits : 8)) - 1));
     }
 };
 
+// MagSgn emitter with a 64-bit staging register: one shift-or per coded
+// sample, stuffing resolved byte-at-a-time only when the register drains
+// (a 7-bit byte after an 0xFF has its top bit 0, so masking to capacity
+// reproduces the byte machine exactly).
 struct MsEnc {
     uint8_t* buf;
-    int pos = 0, max_bits = 8, used = 0;
-    uint32_t tmp = 0;
-    void encode(uint32_t cwd, int len) {
-        while (len > 0) {
-            int t = std::min(max_bits - used, len);
-            tmp |= (cwd & ((1u << t) - 1)) << used;
-            used += t;
-            cwd >>= t;
-            len -= t;
-            if (used >= max_bits) {
-                buf[pos++] = (uint8_t)tmp;
-                max_bits = tmp == 0xFF ? 7 : 8;
-                tmp = 0;
-                used = 0;
-            }
+    int pos = 0;
+    uint64_t tmp = 0;
+    int bits = 0;
+    bool prev_ff = false;
+    inline void encode(uint32_t cwd, int len) {
+        tmp |= (uint64_t)cwd << bits;
+        bits += len;
+        if (bits >= 32) drain();
+    }
+    void drain() {
+        for (;;) {
+            int nb = prev_ff ? 7 : 8;
+            if (bits < nb) break;
+            uint8_t b = (uint8_t)(tmp & ((1u << nb) - 1));
+            buf[pos++] = b;
+            prev_ff = b == 0xFF;  // unreachable for 7-bit bytes (top bit 0)
+            tmp >>= nb;
+            bits -= nb;
         }
     }
     void terminate() {
-        if (used) {
-            int t = max_bits - used;
-            tmp |= (0xFFu & ((1u << t) - 1)) << used;
-            if (tmp != 0xFF) buf[pos++] = (uint8_t)tmp;
-        } else if (max_bits == 7) {
+        drain();
+        int nb = prev_ff ? 7 : 8;
+        if (bits) {
+            // pad the final partial byte to capacity with 1-bits
+            uint32_t b = (uint32_t)(tmp & ((1u << bits) - 1)) |
+                         (((1u << nb) - 1) & ~((1u << bits) - 1));
+            if (b != 0xFF) buf[pos++] = (uint8_t)b;
+        } else if (prev_ff) {
             pos--;  // drop the trailing 0xFF
         }
     }
@@ -239,16 +272,19 @@ static int64_t encode_block(const int32_t* coeffs, int W_stride, int h, int w,
 
     // terminate mel+vlc (with possible fuse byte)
     if (mel.run > 0) mel.bit(1);
+    vlc.finalize();
+    int vused = vlc.pending_used();
+    uint32_t vtmp = vlc.pending_tmp();
     int mel_tmp = (mel.tmp << mel.rem) & 0xFF;
     int mel_mask = (0xFF << mel.rem) & 0xFF;
-    int vlc_mask = vlc.used ? (0xFF >> (8 - vlc.used)) : 0;
+    int vlc_mask = vused ? (0xFF >> (8 - vused)) : 0;
     int vlc_extra = 0;  // pending vlc byte emitted separately
     int fuse_byte = -1;
     if ((mel_mask | vlc_mask) != 0) {
-        int fuse = mel_tmp | vlc.tmp;
-        if (((((fuse ^ mel_tmp) & mel_mask) | ((fuse ^ vlc.tmp) & vlc_mask)) == 0) &&
+        uint32_t fuse = mel_tmp | vtmp;
+        if (((((fuse ^ mel_tmp) & mel_mask) | ((fuse ^ vtmp) & vlc_mask)) == 0) &&
             fuse != 0xFF && vlc.n > 1) {
-            fuse_byte = fuse;
+            fuse_byte = (int)fuse;
         } else {
             fuse_byte = mel_tmp;
             vlc_extra = 1;
@@ -263,7 +299,7 @@ static int64_t encode_block(const int32_t* coeffs, int W_stride, int h, int w,
     std::memcpy(out + p, mel.buf, mel.pos);
     p += mel.pos;
     if (fuse_byte >= 0) out[p++] = (uint8_t)fuse_byte;
-    if (vlc_extra) out[p++] = (uint8_t)vlc.tmp;
+    if (vlc_extra) out[p++] = (uint8_t)vtmp;
     for (int i = vlc.n - 1; i >= 0; i--) out[p++] = vlc.buf[i];
     int scup = (int)(p - ms.pos);
     out[p - 1] = (uint8_t)((scup >> 4) & 0xFF);
