@@ -135,6 +135,13 @@ def read_siz(c: Cursor) -> Siz:
         raise CodestreamError("SIZ: zero tile size")
     if siz.tile_x0 > siz.x0 or siz.tile_y0 > siz.y0:
         raise CodestreamError("SIZ: tile origin beyond image origin")
+    # T.800 A.5.1 / A.4.2: SOT's Isot is 16-bit, so a grid of more than
+    # 65535 tiles is structurally undecodable (also a decode-bomb guard:
+    # a corrupt SIZ must not send the decoder over a ~10^5-tile grid)
+    ntx = (siz.x1 - siz.tile_x0 + siz.tile_w - 1) // siz.tile_w
+    nty = (siz.y1 - siz.tile_y0 + siz.tile_h - 1) // siz.tile_h
+    if ntx * nty > 65535:
+        raise CodestreamError(f"SIZ: tile grid {ntx}x{nty} exceeds 65535 tiles")
     for _ in range(ncomp):
         ssiz, dx, dy = c.u8(), c.u8(), c.u8()
         if dx == 0 or dy == 0:

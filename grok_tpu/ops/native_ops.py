@@ -33,6 +33,11 @@ def dwt_forward(arr: np.ndarray, rect, num_levels: int, irreversible: bool,
     lib = get_lib()
     if lib is None or arr.ndim != 2 or not arr.flags.c_contiguous:
         return None
+    if rect.x1 <= rect.x0 or rect.y1 <= rect.y0:
+        return arr  # empty canvas rect (corrupt geometry): nothing to do
+    if not (0 <= num_levels <= 38) or rect.height > arr.shape[0] or (
+            rect.width > arr.shape[1]):
+        return None  # defer to the numpy path's typed validation
     if irreversible:
         if arr.dtype != np.float32:
             return None
@@ -51,6 +56,11 @@ def dwt_inverse(arr: np.ndarray, rect, num_levels: int, irreversible: bool,
     lib = get_lib()
     if lib is None or arr.ndim != 2 or not arr.flags.c_contiguous:
         return None
+    if rect.x1 <= rect.x0 or rect.y1 <= rect.y0:
+        return arr  # empty canvas rect (corrupt geometry): nothing to do
+    if not (0 <= num_levels <= 38) or rect.height > arr.shape[0] or (
+            rect.width > arr.shape[1]):
+        return None  # defer to the numpy path's typed validation
     if irreversible:
         if arr.dtype != np.float32:
             return None

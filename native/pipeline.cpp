@@ -381,6 +381,9 @@ int dwt53_forward(int32_t* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
 #ifdef _OPENMP
     if (num_threads > 0) omp_set_num_threads(num_threads);
 #endif
+    if (x1 <= x0 || y1 <= y0 || levels < 0 || levels > 38 ||
+        x1 - x0 > 0x7FFFFFFF || y1 - y0 > 0x7FFFFFFF)
+        return -1;  // corrupt geometry/headers: refuse
     LevelRect cur{x0, y0, x1, y1};
     int maxd = std::max(cur.h(), cur.w());
     // one scratch allocation for every level (level 0 is the largest)
@@ -412,6 +415,9 @@ int dwt53_inverse(int32_t* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
 #ifdef _OPENMP
     if (num_threads > 0) omp_set_num_threads(num_threads);
 #endif
+    if (x1 <= x0 || y1 <= y0 || levels < 0 || levels > 38 ||
+        x1 - x0 > 0x7FFFFFFF || y1 - y0 > 0x7FFFFFFF)
+        return -1;  // corrupt geometry/headers: refuse
     LevelRect rects[40];
     rects[0] = {x0, y0, x1, y1};
     for (int i = 0; i < levels; i++) rects[i + 1] = rects[i].half();
@@ -444,6 +450,9 @@ int dwt97_forward(float* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
 #ifdef _OPENMP
     if (num_threads > 0) omp_set_num_threads(num_threads);
 #endif
+    if (x1 <= x0 || y1 <= y0 || levels < 0 || levels > 38 ||
+        x1 - x0 > 0x7FFFFFFF || y1 - y0 > 0x7FFFFFFF)
+        return -1;  // corrupt geometry/headers: refuse
     LevelRect cur{x0, y0, x1, y1};
     int maxd = std::max(cur.h(), cur.w());
     // one scratch allocation for every level (level 0 is the largest)
@@ -475,6 +484,9 @@ int dwt97_inverse(float* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
 #ifdef _OPENMP
     if (num_threads > 0) omp_set_num_threads(num_threads);
 #endif
+    if (x1 <= x0 || y1 <= y0 || levels < 0 || levels > 38 ||
+        x1 - x0 > 0x7FFFFFFF || y1 - y0 > 0x7FFFFFFF)
+        return -1;  // corrupt geometry/headers: refuse
     LevelRect rects[40];
     rects[0] = {x0, y0, x1, y1};
     for (int i = 0; i < levels; i++) rects[i + 1] = rects[i].half();
