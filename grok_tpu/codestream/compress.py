@@ -38,6 +38,10 @@ def build_siz(image: Image, params: CompressParams) -> Siz:
         siz.tile_w, siz.tile_h = params.tile_size
     for c in image.components:
         siz.comps.append(SizComponent(dx=c.dx, dy=c.dy, prec=c.prec, signed=c.signed))
+    if siz.num_tiles > 65535:
+        raise ParameterError(
+            f"tile grid {siz.num_tiles_x}x{siz.num_tiles_y} exceeds the "
+            "65535-tile limit (T.800: SOT's Isot is 16-bit)")
     return siz
 
 
@@ -167,12 +171,6 @@ def compress(image: Image, params: CompressParams | None = None,
 
         apply_profile(params, image)
     siz = build_siz(image, params)
-    if siz.num_tiles > 65535:
-        from ..core.errors import ParameterError
-
-        raise ParameterError(
-            f"tile grid {siz.num_tiles_x}x{siz.num_tiles_y} exceeds the "
-            "65535-tile limit (T.800: SOT's Isot is 16-bit)")
     tcp = build_tcp(image, params)
 
     # validate resolution count against smallest tile-component

@@ -43,8 +43,11 @@ _OUT = os.path.join(_NATIVE_DIR, "libgrok_tpu_native.so")
 def _build() -> str | None:
     srcs = [os.path.abspath(s) for s in _SRCS]
     out = os.path.abspath(_OUT)
+    import glob as _glob
+
+    deps = srcs + _glob.glob(os.path.join(_NATIVE_DIR, "*.h"))
     if os.path.exists(out) and all(
-        os.path.getmtime(out) >= os.path.getmtime(s) for s in srcs
+        os.path.getmtime(out) >= os.path.getmtime(s) for s in deps
     ):
         return out
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", "-std=c++17",

@@ -62,9 +62,11 @@ class PluginBackend:
 
     def encode_cblks(self, coeffs, heights, widths, orients,
                      num_threads: int = 0, styles=None, want_dist=True):
+        # external plugins built against the original ABI may write
+        # pass_dist unconditionally: always hand them a valid buffer
         return _native.encode_cblks(
             coeffs, heights, widths, orients,
-            num_threads=num_threads, styles=styles, want_dist=want_dist,
+            num_threads=num_threads, styles=styles, want_dist=True,
             _lib=self.lib,
         )
 

@@ -647,15 +647,15 @@ int ht_encode_cblks_c(const int32_t* coeffs, const int32_t* heights,
             double d = 0;
             for (int y = 0; y < h; y++) {
                 const int32_t* row = src + (int64_t)y * W;
-                int32_t m32 = 0;
+                uint32_t m32 = 0;  // unsigned: |INT32_MIN| is representable
                 double dr = 0;
                 for (int x = 0; x < w; x++) {  // branch-free: auto-vectorizes
                     int32_t v = row[x];
-                    int32_t a = v < 0 ? -v : v;
+                    uint32_t a = v < 0 ? 0u - (uint32_t)v : (uint32_t)v;
                     m32 = a > m32 ? a : m32;
                     dr += (double)v * (double)v;
                 }
-                if (m32 > mx) mx = m32;
+                if ((int64_t)m32 > mx) mx = m32;
                 d += dr;
             }
             out_dist[b] = d;

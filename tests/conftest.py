@@ -47,6 +47,20 @@ def grk_decompress(args: list[str]) -> subprocess.CompletedProcess:
     )
 
 
+def golden_md5(planes) -> str:
+    """The corpus golden digest: md5 over each component plane as
+    contiguous int32 bytes + str(shape), in component order. One recipe,
+    shared by tests/test_conformance.py and tools/gen_corpus.py."""
+    import hashlib
+
+    h = hashlib.md5()
+    for a in planes:
+        a = np.ascontiguousarray(np.asarray(a).astype(np.int32))
+        h.update(a.tobytes())
+        h.update(str(a.shape).encode())
+    return h.hexdigest()
+
+
 def read_pgx(fn: str) -> np.ndarray:
     with open(fn, "rb") as f:
         hdr = f.readline().decode().split()

@@ -44,12 +44,10 @@ def test_golden_decode(entry):
             d = np.abs(c.data.astype(np.int64) - r.astype(np.int64))
             assert d.max() <= tol, (entry["name"], i, int(d.max()))
         return
-    h = hashlib.md5()
-    for c in img.components:
-        a = np.ascontiguousarray(c.data.astype(np.int32))
-        h.update(a.tobytes())
-        h.update(str(a.shape).encode())
-    assert h.hexdigest() == entry["md5"], entry["name"]
+    from tests.conftest import golden_md5
+
+    assert golden_md5([c.data for c in img.components]) == entry["md5"], (
+        entry["name"])
 
 
 @pytest.mark.parametrize(

@@ -12,7 +12,6 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/gen_corpus.py
 """
 
 import glob
-import hashlib
 import json
 import os
 import subprocess
@@ -26,7 +25,7 @@ sys.path.insert(0, REPO)
 CORPUS = os.path.join(REPO, "tests", "corpus")
 GRK = "/tmp/grok-build/bin"
 
-from tests.conftest import read_pgx  # noqa: E402
+from tests.conftest import golden_md5, read_pgx  # noqa: E402
 
 # (name, input spec, encode args, decode params, tolerance)
 # input spec: ("rgb8"|"gray8"|"gray16", h, w)
@@ -51,7 +50,9 @@ NEW = [
 
 def make_input(spec, td):
     kind, h, w = spec
-    r = np.random.default_rng(hash(kind) % 2**32 + h + w)
+    import zlib
+
+    r = np.random.default_rng(zlib.crc32(kind.encode()) + h + w)
     yy, xx = np.mgrid[0:h, 0:w]
     base = 0.5 + 0.3 * np.sin(xx / 17) * np.cos(yy / 23)
     if kind == "rgb8":
@@ -85,24 +86,14 @@ def ref_decode_md5(j2k, td, ncomps):
     files = sorted(glob.glob(os.path.join(td, "dec*.pgx")))
     if len(files) != ncomps:
         return None
-    h = hashlib.md5()
-    for f in files:
-        a = np.ascontiguousarray(read_pgx(f).astype(np.int32))
-        h.update(a.tobytes())
-        h.update(str(a.shape).encode())
-    return h.hexdigest()
+    return golden_md5([read_pgx(f) for f in files])
 
 
 def ours_md5(data, decode_kwargs):
     import grok_tpu as gk
 
     img = gk.decompress(data, gk.DecompressParams(**(decode_kwargs or {})))
-    h = hashlib.md5()
-    for c in img.components:
-        a = np.ascontiguousarray(c.data.astype(np.int32))
-        h.update(a.tobytes())
-        h.update(str(a.shape).encode())
-    return h.hexdigest(), len(img.components)
+    return golden_md5([c.data for c in img.components]), len(img.components)
 
 
 def main():

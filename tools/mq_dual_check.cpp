@@ -5,11 +5,15 @@
 #include <cstdio>
 #include <cstdlib>
 
-struct MQTables {
+#include "../native/mq_decoder.h"
+
+using New = mqshared::MQDecoder;  // the PRODUCTION decoder, not a copy
+
+struct RefTables {
     uint16_t qe[47];
     uint8_t nmps[47], nlps[47], sw[47];
 };
-static const MQTables MQT = {
+static const RefTables MQT = {
     {0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401, 0x4801,
      0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401, 0x5101, 0x4801,
      0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201, 0x1C01, 0x1801, 0x1601,
@@ -25,14 +29,14 @@ static const MQTables MQT = {
     {1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0,
      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0},
 };
-constexpr int NUM_CTX = 19;
-struct MqMergedState { uint16_t qe; uint8_t nmps, nlps; };
-struct MqMerged {
-    MqMergedState st[94];
-    MqMerged() {
+constexpr int NUM_CTX = mqshared::NUM_CTX;
+struct RefMergedState { uint16_t qe; uint8_t nmps, nlps; };
+struct RefMerged {
+    RefMergedState st[94];
+    RefMerged() {
         for (int sidx = 0; sidx < 47; sidx++)
             for (int mps = 0; mps < 2; mps++) {
-                MqMergedState& e = st[2 * sidx + mps];
+                RefMergedState& e = st[2 * sidx + mps];
                 e.qe = MQT.qe[sidx];
                 e.nmps = (uint8_t)(2 * MQT.nmps[sidx] + mps);
                 int nm = MQT.sw[sidx] ? 1 - mps : mps;
@@ -40,7 +44,7 @@ struct MqMerged {
             }
     }
 };
-static const MqMerged MQM;
+static const RefMerged MQM;
 
 struct Ref {  // the original byte-machine decoder
     uint32_t a = 0, c = 0;
@@ -58,6 +62,9 @@ struct Ref {  // the original byte-machine decoder
     }
     void init(const uint8_t* b, int64_t len) {
         std::memset(state, 0, sizeof(state));
+        state[mqshared::CTX_ZC0] = 2 * 4;   // T.800 initial states,
+        state[mqshared::CTX_RL] = 2 * 3;    // matching MQDecoder::reset_ctx
+        state[mqshared::CTX_UNI] = 2 * 46;
         buf = b; end = len; bp = 0;
         c = (uint32_t)byte_at(0) << 16;
         bytein();
@@ -68,7 +75,7 @@ struct Ref {  // the original byte-machine decoder
     }
     int decode(int ctx) {
         uint8_t s = state[ctx];
-        const MqMergedState& e = MQM.st[s];
+        const RefMergedState& e = MQM.st[s];
         uint32_t qe = e.qe; int d;
         a -= qe;
         if (((c >> 16) & 0xFFFF) < qe) {
@@ -77,86 +84,6 @@ struct Ref {  // the original byte-machine decoder
             a = qe; renorm();
         } else {
             c -= qe << 16;
-            if (!(a & 0x8000)) {
-                if (a < qe) { d = 1 - (s & 1); state[ctx] = e.nlps; }
-                else { d = s & 1; state[ctx] = e.nmps; }
-                renorm();
-            } else d = s & 1;
-        }
-        return d;
-    }
-};
-
-struct New {  // bit-reservoir window decoder
-    uint32_t a = 0, c = 0;
-    uint64_t res = 0;
-    int rb = 0;
-    uint8_t* ubuf;
-    int64_t upos = 0, ulen = 0;
-    int64_t pos = 0;          // total bits delivered to the window
-    int64_t evbuf[4096];
-    const int64_t* ev = nullptr;
-    int ecnt = 0, ei = 0;
-    uint8_t state[NUM_CTX];
-    void refill() {
-        while (rb <= 56) {
-            uint32_t b = upos < ulen ? ubuf[upos++] : 0xFFu;
-            res |= (uint64_t)b << (56 - rb);
-            rb += 8;
-        }
-    }
-    uint32_t take(int n) {
-        if (rb < n) refill();
-        uint32_t v = (uint32_t)(res >> (64 - n));
-        res <<= n; rb -= n;
-        return v;
-    }
-    inline void shift_in(int n) {
-        c = (c << n) | take(n);
-        int64_t np = pos + n;
-        while (ei < ecnt && ev[ei] < np) {
-            c += 1u << (np - ev[ei]);
-            ei++;
-        }
-        pos = np;
-        c &= 0xFFFF;
-    }
-    void init(const uint8_t* b, int64_t len) {
-        std::memset(state, 0, sizeof(state));
-        int64_t nb = 0; uint32_t acc = 0; int ab = 0; bool pf = false;
-        ecnt = 0;
-        for (int64_t i = 0; i < len; i++) {
-            uint32_t v = b[i];
-            if (pf) {
-                if (v > 0x8F) break;
-                if (v & 0x80) evbuf[ecnt++] = nb * 8 + ab;  // carry event
-                acc = (acc << 7) | (v & 0x7F); ab += 7;
-            } else { acc = (acc << 8) | v; ab += 8; }
-            pf = v == 0xFF;
-            if (ab >= 8) { ab -= 8; ubuf[nb++] = (uint8_t)(acc >> ab); }
-        }
-        if (ab) ubuf[nb++] = (uint8_t)((acc << (8 - ab)) | (0xFFu >> ab));
-        ulen = nb; upos = 0; res = 0; rb = 0;
-        ev = evbuf; ei = 0; pos = 0; c = 0;
-        shift_in(15);
-        a = 0x8000;
-    }
-    void renorm() {
-        int n = __builtin_clz(a) - 16;
-        shift_in(n);
-        a <<= n;
-    }
-    int decode(int ctx) {
-        uint8_t s = state[ctx];
-        const MqMergedState& e = MQM.st[s];
-        uint32_t qe = e.qe; int d;
-        a -= qe;
-        if (c < qe) {
-            if (a < qe) { d = s & 1; state[ctx] = e.nmps; }
-            else { d = 1 - (s & 1); state[ctx] = e.nlps; }
-            a = qe; renorm();
-        } else {
-            c -= qe;
             if (!(a & 0x8000)) {
                 if (a < qe) { d = 1 - (s & 1); state[ctx] = e.nlps; }
                 else { d = s & 1; state[ctx] = e.nmps; }
@@ -179,7 +106,11 @@ int main(int argc, char** argv) {
             buf[i] = r < 20 ? 0xFF : (uint8_t)(rand() & (r < 40 ? 0x8F : 0xFF));
         }
         Ref R; R.init(buf, len);
-        New N; N.ubuf = scratch; N.init(buf, len);
+        static int64_t evscratch[4096];
+        New N;
+        N.ubuf = scratch;
+        N.evbuf = evscratch;
+        N.init(buf, len);
         for (int i = 0; i < 5000; i++) {
             int ctx = rand() % NUM_CTX;
             int dr = R.decode(ctx);
