@@ -60,6 +60,22 @@ struct MqMerged {
 static const MqMerged MQM;
 constexpr int CTX_ZC0 = 0, CTX_SC0 = 9, CTX_MR0 = 14, CTX_RL = 17, CTX_UNI = 18;
 
+// one-load state records: qe(0-15) | mps(16) | nmps idx(17-23) | nlps
+// idx(24-30). The per-context state holds the WHOLE record, so a decision
+// needs a single L1 load (the old u8-index + record pair was two dependent
+// loads on the critical path); transitions store REC[next] off the path.
+struct MqRecords {
+    uint32_t rec[94];
+    MqRecords() {
+        for (int i = 0; i < 94; i++) {
+            const MqMergedState& e = MQM.st[i];
+            rec[i] = (uint32_t)e.qe | ((uint32_t)(i & 1) << 16) |
+                     ((uint32_t)e.nmps << 17) | ((uint32_t)e.nlps << 24);
+        }
+    }
+};
+static const MqRecords MQR;
+
 // Bit-reservoir MQ decoder. T.88's BYTEIN state machine is equivalent to
 // shifting an UNSTUFFED bit sequence (8 bits per byte, 7 after an 0xFF,
 // all-ones past the terminating marker) into the bottom of the 16-bit
@@ -86,7 +102,7 @@ struct MQDecoder {
     int64_t upos = 0, ulen = 0;
     int64_t pos = 0;  // unstuffed bits delivered to the window so far
     int ecnt = 0, ei = 0;
-    uint8_t state[NUM_CTX];  // merged 2*s + mps
+    uint32_t state[NUM_CTX];  // MqRecords entries (see MQR)
 
     void refill() {
         while (rb <= 56) {
@@ -118,10 +134,10 @@ struct MQDecoder {
     }
 
     void reset_ctx() {
-        std::memset(state, 0, sizeof(state));
-        state[CTX_ZC0] = 2 * 4;
-        state[CTX_RL] = 2 * 3;
-        state[CTX_UNI] = 2 * 46;
+        for (int i = 0; i < NUM_CTX; i++) state[i] = MQR.rec[0];
+        state[CTX_ZC0] = MQR.rec[2 * 4];
+        state[CTX_RL] = MQR.rec[2 * 3];
+        state[CTX_UNI] = MQR.rec[2 * 46];
     }
 
     void init_registers(const uint8_t* b, int64_t len) {
@@ -197,19 +213,19 @@ struct MQDecoder {
     }
 
     __attribute__((always_inline)) inline int decode(int ctx) {
-        uint8_t s = state[ctx];
-        const MqMergedState& e = MQM.st[s];
-        uint32_t qe = e.qe;
+        uint32_t s = state[ctx];
+        uint32_t qe = s & 0xFFFF;
+        int mps = (int)((s >> 16) & 1);
         int d;
         a -= qe;
         if (__builtin_expect(c < qe, 0)) {
             // LPS subinterval
             if (a < qe) {
-                d = s & 1;
-                state[ctx] = e.nmps;
+                d = mps;
+                state[ctx] = MQR.rec[(s >> 17) & 0x7F];
             } else {
-                d = 1 - (s & 1);
-                state[ctx] = e.nlps;
+                d = mps ^ 1;
+                state[ctx] = MQR.rec[(s >> 24) & 0x7F];
             }
             a = qe;
             renorm();
@@ -217,15 +233,15 @@ struct MQDecoder {
             c -= qe;
             if (__builtin_expect((a & 0x8000) == 0, 0)) {
                 if (a < qe) {
-                    d = 1 - (s & 1);
-                    state[ctx] = e.nlps;
+                    d = mps ^ 1;
+                    state[ctx] = MQR.rec[(s >> 24) & 0x7F];
                 } else {
-                    d = s & 1;
-                    state[ctx] = e.nmps;
+                    d = mps;
+                    state[ctx] = MQR.rec[(s >> 17) & 0x7F];
                 }
                 renorm();
             } else {
-                d = s & 1;
+                d = mps;
             }
         }
         return d;

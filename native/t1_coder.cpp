@@ -25,6 +25,7 @@ namespace {
 // tables + the bit-reservoir decoder live in mq_decoder.h (shared with the
 // lockstep oracle in tools/mq_dual_check.cpp)
 using mqshared::MQM;
+using mqshared::MQR;
 using mqshared::MQDecoder;
 using mqshared::MqMergedState;
 using mqshared::NUM_CTX;
@@ -45,13 +46,13 @@ struct MQEncoder {
     int64_t pos = 0;
     int64_t cap = INT64_MAX;  // buffer capacity; writes past it set overflow
     bool overflow = false;
-    uint8_t state[NUM_CTX];  // merged 2*s + mps
+    uint32_t state[NUM_CTX];  // MqRecords entries (one-load, see MQR)
 
     void reset_ctx() {
-        std::memset(state, 0, sizeof(state));
-        state[CTX_ZC0] = 2 * 4;
-        state[CTX_RL] = 2 * 3;
-        state[CTX_UNI] = 2 * 46;
+        for (int i = 0; i < NUM_CTX; i++) state[i] = MQR.rec[0];
+        state[CTX_ZC0] = MQR.rec[2 * 4];
+        state[CTX_RL] = MQR.rec[2 * 3];
+        state[CTX_UNI] = MQR.rec[2 * 46];
     }
 
     void init(uint8_t* b, int64_t capacity = INT64_MAX) {
@@ -109,17 +110,16 @@ struct MQEncoder {
     }
 
     inline void encode(int bit, int ctx) {
-        uint8_t s = state[ctx];
-        const MqMergedState& e = MQM.st[s];
-        uint32_t qe = e.qe;
-        if (__builtin_expect(bit == (s & 1), 1)) {
+        uint32_t s = state[ctx];
+        uint32_t qe = s & 0xFFFF;
+        if (__builtin_expect(bit == (int)((s >> 16) & 1), 1)) {
             a -= qe;
             if (__builtin_expect((a & 0x8000) == 0, 0)) {
                 if (a < qe)
                     a = qe;
                 else
                     c += qe;
-                state[ctx] = e.nmps;
+                state[ctx] = MQR.rec[(s >> 17) & 0x7F];
                 renorm();
             } else {
                 c += qe;
@@ -130,7 +130,7 @@ struct MQEncoder {
                 c += qe;
             else
                 a = qe;
-            state[ctx] = e.nlps;
+            state[ctx] = MQR.rec[(s >> 24) & 0x7F];
             renorm();
         }
     }
