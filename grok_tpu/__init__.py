@@ -24,7 +24,7 @@ from .core.params import (
 )
 from .core.logging import set_error_handler, set_info_handler, set_warning_handler
 from .codestream.compress import compress
-from .codestream.decompress import decompress, parse_codestream
+from .codestream.decompress import Decoder, decompress, parse_codestream
 
 __version__ = "0.1.0"
 
@@ -37,6 +37,7 @@ __all__ = [
     "ColorSpace",
     "QuantStyle",
     "compress",
+    "Decoder",
     "decompress",
     "parse_codestream",
     "set_error_handler",

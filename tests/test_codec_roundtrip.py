@@ -294,3 +294,26 @@ def test_numpy_native_stream_parity(style):
     for i in range(n):
         L = int(a.lengths[i])
         assert np.array_equal(a.data[i, :L], b.data[i, :L])
+
+
+def test_ht_16bit_tlm_random_tile_access():
+    """BASELINE driver config 3 shape: 16-bit HTJ2K with TLM/PLT random
+    tile access (scaled down from 4K for test time)."""
+    arr = natural_image(180, 260, prec=16)
+    im = gk.Image.from_array(arr, prec=16)
+    stream = gk.compress(
+        im,
+        gk.CompressParams(num_resolutions=4, ht=True, tile_size=(96, 96),
+                          write_tlm=True, write_plt=True),
+    )
+    full = gk.decompress(stream)
+    assert np.array_equal(full.components[0].data, arr)
+    from grok_tpu.codestream.decompress import Decoder as _Decoder
+
+    dec = _Decoder(stream)
+    assert dec.index.from_tlm
+    siz = dec.header.siz
+    for ti in reversed(range(siz.num_tiles)):
+        arrays = dec.decompress_tile(ti)
+        tb = siz.tile_bounds(ti)
+        assert np.array_equal(arrays[0], arr[tb.y0:tb.y1, tb.x0:tb.x1]), ti
