@@ -67,7 +67,7 @@ def main():
     w = int(os.environ.get("BENCH_W", "3840"))
     h = int(os.environ.get("BENCH_H", "2160"))
     nc = 1 if os.environ.get("BENCH_GRAY") else 3
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    reps = int(os.environ.get("BENCH_REPS", "7"))
     arr = natural_image(h, w, nc)
     mp = h * w / 1e6
     im = gk.Image.from_array(arr)
@@ -98,20 +98,35 @@ def main():
             dec = os.path.join(td, f"{name}_dec.ppm")
             stream = gk.compress(im, params)  # warm (jit/native/page cache)
             out = gk.decompress(stream)
-            for _ in range(reps):
+
+            def _ours():
+                nonlocal stream, out, t_enc, t_dec
                 t0 = time.perf_counter()
                 stream = gk.compress(im, params)
                 t_enc = min(t_enc, time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 out = gk.decompress(stream)
                 t_dec = min(t_dec, time.perf_counter() - t0)
-                if grk:
-                    g_enc = min(g_enc, _grk_run(
-                        [os.path.join(grk, "grk_compress"), "-i", src,
-                         "-o", j2k, "-v", *gargs], "compress"))
-                    g_dec = min(g_dec, _grk_run(
-                        [os.path.join(grk, "grk_decompress"), "-i", j2k,
-                         "-o", dec, "-v"], "decompress"))
+
+            def _theirs():
+                nonlocal g_enc, g_dec
+                g_enc = min(g_enc, _grk_run(
+                    [os.path.join(grk, "grk_compress"), "-i", src,
+                     "-o", j2k, "-v", *gargs], "compress"))
+                g_dec = min(g_dec, _grk_run(
+                    [os.path.join(grk, "grk_decompress"), "-i", j2k,
+                     "-o", dec, "-v"], "decompress"))
+
+            for it in range(reps):
+                # alternate sampling order: background-load drift within an
+                # iteration otherwise systematically favors one side
+                if grk and it % 2:
+                    _theirs()
+                    _ours()
+                else:
+                    _ours()
+                    if grk:
+                        _theirs()
             ok = True
             if "lossless" in name:
                 want = arr if arr.ndim == 3 else arr[:, :, None]
