@@ -45,6 +45,12 @@ NEW = [
      ["-d", "10,6", "-t", "64,64"], None, 0),
     ("ht_layers_tiles.j2k", ("rgb8", 140, 180),
      ["-M", "64", "-t", "96,96", "-L"], None, 0),
+    # JP2 container goldens (box parsing exercised against reference pixels)
+    ("rgb8_container.jp2", ("rgb8", 140, 180), [], None, 0),
+    ("gray16_container.jp2", ("gray16", 120, 150), [], None, 0),
+    # 4-component (CMYK TIFF input; no MCT on 4 comps)
+    ("cmyk8.j2k", ("cmyk8", 120, 160), [], None, 0),
+    ("cmyk8_tiles.j2k", ("cmyk8", 120, 160), ["-t", "64,64"], None, 0),
 ]
 
 
@@ -64,6 +70,15 @@ def make_input(spec, td):
         p = os.path.join(td, "in.png")
         Image.fromarray(arr).save(p)
         return p, 3
+    if kind == "cmyk8":
+        from PIL import Image
+
+        g = (np.clip(base + r.standard_normal((h, w)) * 0.05, 0, 1) * 255)
+        arr = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1),
+                        np.roll(g, 7, 0)], -1).astype(np.uint8)
+        p = os.path.join(td, "in.tif")
+        Image.fromarray(arr, mode="CMYK").save(p)
+        return p, 4
     depth = 16 if kind == "gray16" else 8
     mx = (1 << depth) - 1
     g = (np.clip(base + r.standard_normal((h, w)) * 0.05, 0, 1) * mx)
