@@ -75,13 +75,21 @@ def ref_decode(path, td, dargs=(), pgx=False):
         from tests.conftest import read_pgx
 
         files = sorted(_glob.glob(os.path.join(td, "rd*.pgx")))
-        return read_pgx(files[0]) if len(files) == 1 else None
+        if not files:
+            return None
+        planes = [read_pgx(f) for f in files]
+        return planes[0] if len(planes) == 1 else np.stack(planes, -1)
     return np.asarray(PImage.open(out))
 
 
-def save_input(arr, depth, td):
-    """8-bit: PNG. >8-bit grayscale: binary PGM (2-byte big-endian)."""
+def save_input(arr, depth, td, nc=3):
+    """8-bit: PNG (CMYK TIFF for 4 components). >8-bit grayscale: binary
+    PGM (2-byte big-endian)."""
     if depth == 8:
+        if nc == 4:
+            src = os.path.join(td, "s.tif")
+            PImage.fromarray(arr, mode="CMYK").save(src)
+            return src
         src = os.path.join(td, "s.png")
         PImage.fromarray(arr).save(src)
     else:
@@ -102,11 +110,11 @@ def main():
         h = int(rng.integers(40, 400))
         w = int(rng.integers(40, 400))
         depth = int(rng.choice([8, 8, 8, 12, 16]))
-        nc = int(rng.choice([1, 3])) if depth == 8 else 1
-        arr = rng.integers(0, 1 << depth, (h, w, nc) if nc == 3 else (h, w))
+        nc = int(rng.choice([1, 3, 3, 4])) if depth == 8 else 1
+        arr = rng.integers(0, 1 << depth, (h, w, nc) if nc > 1 else (h, w))
         arr = arr.astype(np.uint8 if depth == 8 else np.uint16)
-        src = save_input(arr, depth, td)
-        use_pgx = depth > 8  # exact >8-bit comparisons ride PGX planes
+        src = save_input(arr, depth, td, nc)
+        use_pgx = depth > 8 or nc == 4  # PGX: exact >8-bit / 4-comp planes
         nres = int(rng.integers(1, 7))
         mode = int(rng.choice([0, 1, 4, 5, 8, 0x15, 0x3F, 64]))
         prog = str(rng.choice(["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"]))
