@@ -82,6 +82,39 @@ def ref_decode(path, td, dargs=(), pgx=False):
     return np.asarray(PImage.open(out))
 
 
+def reduce_ground_truth(arr, depth, stream, rd):
+    """Mathematical LL_rd of the original (lossless 5/3, single tile,
+    origin 0): the arbiter for reduced-decode mismatches — the reference's
+    -r decode of POC streams can drop later progression segments (see
+    docs/STATUS.md reference bugs)."""
+    import grok_tpu as gk
+    from grok_tpu.core.rect import Rect
+    from grok_tpu.ops import dwt as dwt_ops
+    from grok_tpu.ops import mct as mct_ops
+
+    info = gk.parse_codestream(bytes(stream))
+    tcp = info.header.default_tcp
+    h, w = arr.shape[:2]
+    nc = 1 if arr.ndim == 2 else arr.shape[2]
+    off = 1 << (depth - 1)
+    comps = [(arr if nc == 1 else arr[:, :, i]).astype(np.int64) - off
+             for i in range(nc)]
+    if tcp.mct == 1 and nc >= 3:
+        comps[0], comps[1], comps[2] = mct_ops.rct_forward(
+            np, comps[0], comps[1], comps[2])
+    outs = []
+    for c in comps:
+        packed = dwt_ops.forward(np, c, Rect(0, 0, w, h), rd, False)
+        lh = (h + (1 << rd) - 1) >> rd
+        lw = (w + (1 << rd) - 1) >> rd
+        outs.append(packed[:lh, :lw])
+    if tcp.mct == 1 and nc >= 3:
+        outs[0], outs[1], outs[2] = mct_ops.rct_inverse(
+            np, outs[0], outs[1], outs[2])
+    res = [np.clip(o + off, 0, (1 << depth) - 1) for o in outs]
+    return res[0] if nc == 1 else np.stack(res, -1)
+
+
 def save_input(arr, depth, td, nc=3):
     """8-bit: PNG (CMYK TIFF for 4 components). >8-bit grayscale: binary
     PGM (2-byte big-endian)."""
@@ -226,8 +259,20 @@ def main():
         rimg = ref_decode(j2k, td, dargs, pgx=use_pgx)
         if rimg is not None and nc == 1 and rimg.ndim == 3:
             rimg = rimg[:, :, 0]
+        def reduce_quirk(mine, stream_bytes):
+            """Attribute a reduced-decode mismatch to the reference when
+            OUR output equals the mathematical LL_k (single-tile lossless
+            streams only: tiled reduce is a per-tile mosaic)."""
+            if "reduce" not in dkw or "tile_size" in kw:
+                return False
+            gt = reduce_ground_truth(arr, depth, stream_bytes,
+                                     dkw["reduce"])
+            return np.array_equal(mine, gt)
+
         ok1 = rimg is not None and np.array_equal(rimg, ours_trunc)
         if not ok1 and layer_trunc_quirk(j2k, ours_trunc):
+            ok1 = True
+        if not ok1 and reduce_quirk(ours_trunc, blob):
             ok1 = True
         if ok1 and lossless_cfg and not dkw:
             ok1 = np.array_equal(ours_trunc, arr)
@@ -246,6 +291,9 @@ def main():
                     rref = rref[:, :, 0]
                 ok2 = rref is not None and np.array_equal(dec, rref)
                 if not ok2 and layer_trunc_quirk(j2r, dec):
+                    ok2 = True
+                if not ok2 and reduce_quirk(
+                        dec, open(j2r, "rb").read()):
                     ok2 = True
             except Exception as e:
                 print(f"trial {trial}: OUR DECODER RAISED on the reference "
