@@ -94,6 +94,7 @@ def reduce_ground_truth(arr, depth, stream, rd):
 
     info = gk.parse_codestream(bytes(stream))
     tcp = info.header.default_tcp
+    siz = info.header.siz
     h, w = arr.shape[:2]
     nc = 1 if arr.ndim == 2 else arr.shape[2]
     off = 1 << (depth - 1)
@@ -102,12 +103,22 @@ def reduce_ground_truth(arr, depth, stream, rd):
     if tcp.mct == 1 and nc >= 3:
         comps[0], comps[1], comps[2] = mct_ops.rct_forward(
             np, comps[0], comps[1], comps[2])
-    outs = []
-    for c in comps:
-        packed = dwt_ops.forward(np, c, Rect(0, 0, w, h), rd, False)
-        lh = (h + (1 << rd) - 1) >> rd
-        lw = (w + (1 << rd) - 1) >> rd
-        outs.append(packed[:lh, :lw])
+    # per-tile transform: the reduced image is the per-tile LL_rd mosaic
+    # on the ceil-divided canvas (T.800 B.5; single tile == whole image)
+    gh = (h + (1 << rd) - 1) >> rd
+    gw = (w + (1 << rd) - 1) >> rd
+    outs = [np.zeros((gh, gw), dtype=np.int64) for _ in range(nc)]
+    for ti in range(siz.num_tiles):
+        tb = siz.tile_bounds(ti)
+        oy0 = (tb.y0 + (1 << rd) - 1) >> rd
+        ox0 = (tb.x0 + (1 << rd) - 1) >> rd
+        oy1 = (tb.y1 + (1 << rd) - 1) >> rd
+        ox1 = (tb.x1 + (1 << rd) - 1) >> rd
+        for i in range(nc):
+            sub = np.ascontiguousarray(comps[i][tb.y0:tb.y1, tb.x0:tb.x1])
+            packed = dwt_ops.forward(
+                np, sub, Rect(tb.x0, tb.y0, tb.x1, tb.y1), rd, False)
+            outs[i][oy0:oy1, ox0:ox1] = packed[: oy1 - oy0, : ox1 - ox0]
     if tcp.mct == 1 and nc >= 3:
         outs[0], outs[1], outs[2] = mct_ops.rct_inverse(
             np, outs[0], outs[1], outs[2])
@@ -263,7 +274,7 @@ def main():
             """Attribute a reduced-decode mismatch to the reference when
             OUR output equals the mathematical LL_k (single-tile lossless
             streams only: tiled reduce is a per-tile mosaic)."""
-            if "reduce" not in dkw or "tile_size" in kw:
+            if "reduce" not in dkw:
                 return False
             gt = reduce_ground_truth(arr, depth, stream_bytes,
                                      dkw["reduce"])
