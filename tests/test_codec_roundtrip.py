@@ -317,3 +317,28 @@ def test_ht_16bit_tlm_random_tile_access():
         arrays = dec.decompress_tile(ti)
         tb = siz.tile_bounds(ti)
         assert np.array_equal(arrays[0], arr[tb.y0:tb.y1, tb.x0:tb.x1]), ti
+
+
+def test_reduce_matches_independent_llk():
+    """Reduced decode equals the independently computed per-tile LL_k
+    mosaic (the arbiter tools/fuzz_interop.py uses to attribute the
+    reference's broken -r decodes)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "fuzz_interop",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "fuzz_interop.py"))
+    fz = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fz)
+    arr = natural_image(151, 207, nc=3).astype(np.uint8)
+    im = gk.Image.from_array(arr.astype(np.int32))
+    for tile in (None, (96, 80)):
+        p = gk.CompressParams(num_resolutions=4, tile_size=tile)
+        stream = gk.compress(im, p)
+        for rd in (1, 2, 3):
+            ours = gk.decompress(stream,
+                                 gk.DecompressParams(reduce=rd)).to_array()
+            gt = fz.reduce_ground_truth(arr, 8, stream, rd)
+            assert np.array_equal(ours, gt), (tile, rd)
