@@ -27,17 +27,26 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def _dwt_geometry(arr, rect, num_levels):
+    """Shared guard: "empty" = nothing to do (return arr unchanged),
+    "bad" = defer to the numpy path's typed validation, else "ok"."""
+    if rect.x1 <= rect.x0 or rect.y1 <= rect.y0:
+        return "empty"  # empty canvas rect (corrupt geometry)
+    if not (0 <= num_levels <= 38) or rect.height > arr.shape[0] or (
+            rect.width > arr.shape[1]):
+        return "bad"
+    return "ok"
+
+
 def dwt_forward(arr: np.ndarray, rect, num_levels: int, irreversible: bool,
                 num_threads: int = 0) -> np.ndarray | None:
     """In-place multi-level forward DWT; returns arr or None if unsupported."""
     lib = get_lib()
     if lib is None or arr.ndim != 2 or not arr.flags.c_contiguous:
         return None
-    if rect.x1 <= rect.x0 or rect.y1 <= rect.y0:
-        return arr  # empty canvas rect (corrupt geometry): nothing to do
-    if not (0 <= num_levels <= 38) or rect.height > arr.shape[0] or (
-            rect.width > arr.shape[1]):
-        return None  # defer to the numpy path's typed validation
+    g = _dwt_geometry(arr, rect, num_levels)
+    if g != "ok":
+        return arr if g == "empty" else None
     if irreversible:
         if arr.dtype != np.float32:
             return None
@@ -56,11 +65,9 @@ def dwt_inverse(arr: np.ndarray, rect, num_levels: int, irreversible: bool,
     lib = get_lib()
     if lib is None or arr.ndim != 2 or not arr.flags.c_contiguous:
         return None
-    if rect.x1 <= rect.x0 or rect.y1 <= rect.y0:
-        return arr  # empty canvas rect (corrupt geometry): nothing to do
-    if not (0 <= num_levels <= 38) or rect.height > arr.shape[0] or (
-            rect.width > arr.shape[1]):
-        return None  # defer to the numpy path's typed validation
+    g = _dwt_geometry(arr, rect, num_levels)
+    if g != "ok":
+        return arr if g == "empty" else None
     if irreversible:
         if arr.dtype != np.float32:
             return None

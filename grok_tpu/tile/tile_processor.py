@@ -417,15 +417,10 @@ class TileProcessor:
                 _check_styles_supported(styles, t1)
                 # pass distortions feed only the PCRD layer search; a
                 # single-layer untargeted encode takes every pass, so skip
-                # the per-event distortion accounting entirely (~6% of T1)
-                p = self.enc_params
-                need_dist = not (
-                    tcp.num_layers == 1
-                    and not getattr(p, "layer_rates", None)
-                    and not getattr(p, "layer_psnrs", None)
-                )
-                t1res = t1.encode_cblks(batch, heights, widths, orients,
-                                        styles=styles, want_dist=need_dist)
+                # the per-event distortion accounting entirely
+                t1res = t1.encode_cblks(
+                    batch, heights, widths, orients, styles=styles,
+                    want_dist=self._needs_pass_dist())
 
         # ---- PCRD layer allocation (iterative: re-run with a tightened
         # budget if the emitted packets overshoot the rate target, mirroring
@@ -546,6 +541,15 @@ class TileProcessor:
             targets.append(None if not ratio or ratio <= 1.0 else tile_bytes / float(ratio))
         return targets
 
+    def _needs_pass_dist(self) -> bool:
+        """Whether PCRD will read per-pass distortions: the single
+        predicate behind both the T1 want_dist request and the
+        _allocate_layers take-everything shortcut."""
+        p = self.enc_params
+        rates = getattr(p, "layer_rates", None) if p is not None else None
+        psnrs = getattr(p, "layer_psnrs", None) if p is not None else None
+        return not (self.tcp.num_layers == 1 and not rates and not psnrs)
+
     def _allocate_layers(self, refs, t1res, extra_margin: float = 0.0) -> np.ndarray:
         """PCRD: cumulative pass counts per layer [L, N] (parity:
         TileProcessor.cpp rateAllocate/pcrdBisectFeasible)."""
@@ -558,7 +562,7 @@ class TileProcessor:
         rates_cfg = getattr(p, "layer_rates", None) if p is not None else None
         psnrs_cfg = getattr(p, "layer_psnrs", None) if p is not None else None
 
-        if num_layers == 1 and not rates_cfg and not psnrs_cfg:
+        if not self._needs_pass_dist():
             return t1res.npasses[None, :].astype(np.int64)
         if psnrs_cfg and rates_cfg:
             raise ValueError("layer_rates and layer_psnrs are exclusive")

@@ -57,9 +57,9 @@ def grok_self_ok(src, args, td, dargs=()):
 def ref_decode(path, td, dargs=(), pgx=False):
     """Reference decode -> array, or None on failure. With pgx, read the
     raw PGX plane (exact for any bit depth; single-component only)."""
-    if pgx:
-        import glob as _glob
+    import glob as _glob
 
+    if pgx:
         for f in _glob.glob(os.path.join(td, "rd*.pgx")):
             os.unlink(f)
         out = os.path.join(td, "rd.pgx")
@@ -70,8 +70,6 @@ def ref_decode(path, td, dargs=(), pgx=False):
     if r.returncode:
         return None
     if pgx:
-        import glob as _glob
-
         from tests.conftest import read_pgx
 
         files = sorted(_glob.glob(os.path.join(td, "rd*.pgx")))
@@ -87,7 +85,6 @@ def reduce_ground_truth(arr, depth, stream, rd):
     origin 0): the arbiter for reduced-decode mismatches — the reference's
     -r decode of POC streams can drop later progression segments (see
     docs/STATUS.md reference bugs)."""
-    import grok_tpu as gk
     from grok_tpu.core.rect import Rect
     from grok_tpu.ops import dwt as dwt_ops
     from grok_tpu.ops import mct as mct_ops
