@@ -129,3 +129,28 @@ def test_jax_backend_end_to_end(rng):
             os.environ.pop("GROK_TPU_T1", None)
         else:
             os.environ["GROK_TPU_T1"] = old
+
+
+def test_want_dist_does_not_change_streams(rng):
+    """want_dist=False must only skip distortion accounting: streams,
+    lengths and pass rates stay byte-identical."""
+    from grok_tpu.t1 import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native lib")
+    n, h, w = 12, 32, 32
+    c = rng.laplace(0, 50, (n, h, w)).astype(np.int32)
+    hs = np.full(n, h)
+    ws = np.full(n, w)
+    os_ = (np.arange(n) % 4).astype(np.int64)
+    a = native.encode_cblks(c, hs, ws, os_, want_dist=True)
+    b = native.encode_cblks(c, hs, ws, os_, want_dist=False)
+    assert np.array_equal(a.lengths, b.lengths)
+    for i in range(n):  # buffers are np.empty: only [:length] is defined
+        ln = int(a.lengths[i])
+        assert np.array_equal(a.data[i, :ln], b.data[i, :ln]), i
+    assert np.array_equal(a.pass_rates, b.pass_rates)
+    assert (b.pass_dist == 0).all()
+    assert (a.pass_dist != 0).any()
