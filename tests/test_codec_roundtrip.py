@@ -342,3 +342,55 @@ def test_reduce_matches_independent_llk():
                                  gk.DecompressParams(reduce=rd)).to_array()
             gt = fz.reduce_ground_truth(arr, 8, stream, rd)
             assert np.array_equal(ours, gt), (tile, rd)
+
+
+def test_kitchen_sink_everything_at_once():
+    """Integration pin: tiles + POC + layers + PLT/TLM + PPT + SOP/EPH +
+    custom precincts + ROI + tile-part dividers + 12-bit depth in ONE
+    stream, exercised through full/reduced/windowed/truncated decode."""
+    from grok_tpu.core.params import ProgressionChange, ProgressionOrder
+
+    arr = natural_image(173, 241, prec=12)
+    im = gk.Image.from_array(arr, prec=12)
+    p = gk.CompressParams(
+        num_resolutions=4,
+        tile_size=(96, 112),
+        num_layers=2,
+        layer_rates=[12.0, 1.0],
+        write_tlm=True,
+        write_plt=True,
+        write_ppt=True,
+        use_sop=True,
+        use_eph=True,
+        precinct_sizes=[(6, 6)] * 33,
+        roi_comp=0,
+        roi_shift=4,
+        tp_divider="R",
+        progression=ProgressionOrder.RPCL,
+        progression_changes=[
+            ProgressionChange(0, 0, 2, 2, 1, ProgressionOrder.LRCP),
+            ProgressionChange(2, 0, 2, 4, 1, ProgressionOrder.CPRL),
+        ],
+    )
+    stream = gk.compress(im, p)
+    full = gk.decompress(stream)
+    assert np.array_equal(full.components[0].data, arr)  # layers are lossless-complete
+    # layer truncation decodes deterministically and reduces fidelity
+    l1 = gk.decompress(stream, gk.DecompressParams(max_layers=1))
+    assert l1.components[0].data.shape == arr.shape
+    # reduced decode equals the independent per-tile LL_k mosaic
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "fuzz_interop2",
+        _os.path.join(_os.path.dirname(__file__), "..", "tools",
+                      "fuzz_interop.py"))
+    fz = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fz)
+    r1 = gk.decompress(stream, gk.DecompressParams(reduce=1)).to_array()
+    gt = fz.reduce_ground_truth(arr, 12, stream, 1)
+    assert np.array_equal(r1[:, :, 0], gt)
+    # windowed decode crops exactly
+    wdec = gk.decompress(stream, gk.DecompressParams(window=(30, 40, 150, 120)))
+    assert np.array_equal(wdec.components[0].data, arr[40:120, 30:150])
