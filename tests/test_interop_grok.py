@@ -364,3 +364,31 @@ def test_poc_stream_lying_plt_fallback(tmp_path):
         return 1e9 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
 
     assert psnr(l1) >= psnr(ref) - 0.1
+
+
+def test_kitchen_sink_stream_ref_decodes(tmp_path):
+    """The maximal-feature stream (tiles + POC + layers + TLM/PLT/PPT +
+    SOP/EPH + precincts + ROI + tile-part dividers + 12-bit) decodes
+    bit-exactly in the reference."""
+    from grok_tpu.core.params import ProgressionChange, ProgressionOrder
+
+    arr = natural_image(173, 241, prec=12)
+    im = gk.Image.from_array(arr, prec=12)
+    p = gk.CompressParams(
+        num_resolutions=4, tile_size=(96, 112), num_layers=2,
+        layer_rates=[12.0, 1.0], write_tlm=True, write_plt=True,
+        write_ppt=True, use_sop=True, use_eph=True,
+        precinct_sizes=[(6, 6)] * 33, roi_comp=0, roi_shift=4,
+        tp_divider="R", progression=ProgressionOrder.RPCL,
+        progression_changes=[
+            ProgressionChange(0, 0, 2, 2, 1, ProgressionOrder.LRCP),
+            ProgressionChange(2, 0, 2, 4, 1, ProgressionOrder.CPRL),
+        ])
+    stream = gk.compress(im, p)
+    j2k = str(tmp_path / "sink.j2k")
+    open(j2k, "wb").write(stream)
+    out = str(tmp_path / "sink.pgx")
+    r = grk_decompress(["-i", j2k, "-o", out])
+    assert r.returncode == 0, r.stderr[-300:]
+    f = sorted(glob.glob(str(tmp_path / "sink*.pgx")))[0]
+    assert np.array_equal(read_pgx(f), arr)
