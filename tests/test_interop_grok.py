@@ -392,3 +392,28 @@ def test_kitchen_sink_stream_ref_decodes(tmp_path):
     assert r.returncode == 0, r.stderr[-300:]
     f = sorted(glob.glob(str(tmp_path / "sink*.pgx")))[0]
     assert np.array_equal(read_pgx(f), arr)
+
+
+def test_megapixel_tiled_plt_interop(tmp_path):
+    """Megapixel-scale geometry (the randomized fuzzer stays under
+    0.2 MP): tiled + TLM/PLT stream, bit-exact both directions."""
+    arr = natural_image(900, 1200, nc=3)
+    im = gk.Image.from_array(arr.astype(np.int32))
+    blob = gk.compress(im, gk.CompressParams(
+        num_resolutions=6, tile_size=(384, 512), write_plt=True,
+        write_tlm=True))
+    j2k = str(tmp_path / "mp.j2k")
+    open(j2k, "wb").write(bytes(blob))
+    out = str(tmp_path / "mp.pgx")
+    assert grk_decompress(["-i", j2k, "-o", out]).returncode == 0
+    planes = [read_pgx(f) for f in sorted(glob.glob(str(tmp_path / "mp*.pgx")))]
+    ref = np.stack(planes, -1)
+    assert np.array_equal(ref, arr)
+    # reference -> ours
+    src = str(tmp_path / "mp.ppm")
+    save_pnm(src, arr, 8)
+    j2r = str(tmp_path / "mpr.j2k")
+    assert grk_compress(["-i", src, "-o", j2r, "-t", "384,512",
+                         "-L"]).returncode == 0
+    dec = gk.decompress(open(j2r, "rb").read()).to_array()
+    assert np.array_equal(dec, arr)
