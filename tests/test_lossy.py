@@ -174,3 +174,40 @@ def test_rate_target_small_codeblocks(cblk):
                           cblk_width=cblk, cblk_height=cblk)
     blob = gk.compress(im, p)
     assert 0.5 * target < len(blob) <= 1.15 * target, (len(blob), target)
+
+
+def test_psnr_at_matched_rate_vs_reference(tmp_path):
+    """BASELINE target: lossy 9/7 PSNR >= the reference at equal bitrate
+    (its working rate-control path; both decoded by our decoder)."""
+    import os
+    import subprocess
+
+    import pytest
+
+    from tests.conftest import GRK_BIN, have_grok, natural_image, save_pnm
+
+    if not have_grok():
+        pytest.skip("reference grok not built")
+    arr = natural_image(512, 768, nc=3)
+    src = str(tmp_path / "in.ppm")
+    save_pnm(src, arr, 8)
+    im = gk.Image.from_array(arr.astype(np.int32))
+
+    def psnr(a, b):
+        mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+        return 10 * np.log10(255.0 ** 2 / mse)
+
+    for rate in (8, 24):
+        p = gk.CompressParams(num_resolutions=6, irreversible=True,
+                              num_layers=1, layer_rates=[float(rate)])
+        ours = gk.compress(im, p)
+        od = gk.decompress(ours).to_array()
+        rj = str(tmp_path / f"r{rate}.j2k")
+        subprocess.run([os.path.join(GRK_BIN, "grk_compress"), "-i", src,
+                        "-o", rj, "-r", str(rate)], capture_output=True)
+        rd = gk.decompress(open(rj, "rb").read()).to_array()
+        p_ours = psnr(arr, od.reshape(arr.shape))
+        p_ref = psnr(arr, rd.reshape(arr.shape))
+        # sizes must be comparable for the PSNR comparison to be fair
+        assert abs(len(ours) - os.path.getsize(rj)) < 0.03 * len(ours)
+        assert p_ours >= p_ref - 0.05, (rate, p_ours, p_ref)
