@@ -165,10 +165,18 @@ class Decoder:
         if tile_index >= siz.num_tiles:
             raise CodestreamError("tile index out of range")
         if tile_index not in self.index.spans:
-            # missing tile: all-zero components
-            tp = TileProcessor(siz, self.header.default_tcp.copy(), tile_index)
-            out = tp.decompress(memoryview(b""), self.params.max_layers,
-                                self.params.reduce, window=window)
+            if window is None:
+                # missing tile: fill directly with the value the empty
+                # pipeline would produce (inverse DC shift of all-zero
+                # coefficients) — running the full TileProcessor per empty
+                # tile lets a corrupt SIZ with a ~64k-tile grid decode-bomb
+                # the walk (observed via the mutation fuzzer)
+                out = self._missing_tile_arrays(tile_index)
+            else:
+                tp = TileProcessor(siz, self.header.default_tcp.copy(),
+                                   tile_index)
+                out = tp.decompress(memoryview(b""), self.params.max_layers,
+                                    self.params.reduce, window=window)
         else:
             # corrupt-tile tolerance (parity: m_corrupt_packet /
             # DecodeUnknownMarkerAtEndOfTileException handling): a broken
@@ -195,6 +203,25 @@ class Decoder:
             self.cache.put(tile_index, out)
         return out
 
+    def _missing_value(self, ci: int) -> int:
+        sc = self.header.siz.comps[ci]
+        return 0 if sc.signed else 1 << (sc.prec - 1)
+
+    def _missing_tile_arrays(self, tile_index: int):
+        """Per-component arrays for a tile with no tile-part data."""
+        siz = self.header.siz
+        r = self.params.reduce
+        tb = siz.tile_bounds(tile_index)
+        out = []
+        for ci, sc in enumerate(siz.comps):
+            x0 = ceil_div_pow2(ceil_div(tb.x0, sc.dx), r)
+            y0 = ceil_div_pow2(ceil_div(tb.y0, sc.dy), r)
+            x1 = ceil_div_pow2(ceil_div(tb.x1, sc.dx), r)
+            y1 = ceil_div_pow2(ceil_div(tb.y1, sc.dy), r)
+            out.append(np.full((max(0, y1 - y0), max(0, x1 - x0)),
+                               self._missing_value(ci), dtype=np.int32))
+        return out
+
     # ---------------------------------------------------------------- image
     def _make_image(self, region: Rect | None = None) -> Image:
         siz = self.header.siz
@@ -215,6 +242,13 @@ class Decoder:
             img.components.append(
                 Component(dx=sc.dx, dy=sc.dy, prec=sc.prec, signed=sc.signed)
             )
+        cap = self.params.max_pixels
+        if cap is not None:
+            img.finalize()
+            total = sum(c.w * c.h for c in img.components)
+            if total > cap:
+                raise CodestreamError(
+                    f"decode output {total} samples exceeds max_pixels={cap}")
         img.alloc()
         return img
 
@@ -233,6 +267,15 @@ class Decoder:
                 if window is None or not siz.tile_bounds(ti).intersect(window).empty()
             ]
         img = self._make_image(window)
+        # data-less tiles contribute only their fill value; pre-fill the
+        # canvas once and skip them (a corrupt SIZ can otherwise demand a
+        # ~64k-empty-tile walk — the decode-bomb family)
+        if any(ti not in self.index.spans for ti in tiles):
+            for ci, c in enumerate(img.components):
+                mv = self._missing_value(ci)
+                if mv:
+                    c.data.fill(mv)
+            tiles = [ti for ti in tiles if ti in self.index.spans]
         if window is None and len(tiles) > 1:
             # tile-parallel decode on host threads (reference parity:
             # decompressTiles thread pool); native calls release the GIL,

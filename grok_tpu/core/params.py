@@ -208,3 +208,7 @@ class DecompressParams:
     io_buffer_mb: int = 64
     tile_cache_all: bool = False  # cache decoded tiles for re-reads
     num_threads: int = 0  # 0 = auto; host tile-parallel decode pool
+    # refuse decodes whose output exceeds this many samples (summed over
+    # components, after reduce) — a decompression-bomb guard for untrusted
+    # inputs; None = unlimited (default: trust the stream)
+    max_pixels: int | None = None

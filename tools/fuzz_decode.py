@@ -57,7 +57,10 @@ def main() -> int:
                                 dtype=np.uint8).tobytes()
             base = base[:pos] + bytearray(blob) + base[pos:]
         try:
-            gk.decompress(bytes(base))
+            # bound honest-but-huge outputs (a corrupt SIZ can demand a
+            # multi-GB canvas, stalling the harness on linear fill work)
+            gk.decompress(bytes(base),
+                          gk.DecompressParams(max_pixels=1 << 26))
         except ALLOWED:
             pass
         except Exception as e:  # noqa: BLE001 — the whole point
