@@ -57,7 +57,9 @@ def test_golden_decode(entry):
 def test_corrupt_graceful(path):
     data = open(path, "rb").read()
     try:
-        img = gk.decompress(data)
+        # corrupt corpus == untrusted input: bound the output size the
+        # way a hardened caller would (also keeps bomb entries fast)
+        img = gk.decompress(data, gk.DecompressParams(max_pixels=1 << 26))
         # decoding may succeed with zero-filled/partial tiles; the result
         # must still be a well-formed image
         for c in img.components:
