@@ -160,6 +160,12 @@ def encode_packets(lib, flat: FlatTileT2, refs, t1res, cum_passes,
             out, out_cap, pkt_lens, hdr, hdr_cap, hdr_lens,
             total, total_h,
         )
+        if rc == -3:
+            from ..core.errors import GrokTpuError
+
+            raise GrokTpuError(
+                "T2 encode: non-monotone pass rates (T1 estimate repair "
+                "missing)")
         if rc == 0:
             if simulate:
                 return int(total[0]) + int(total_h[0])

@@ -44,6 +44,30 @@ def _band_origin_in_packed(geom: TileCompGeom, res_idx: int, orient: int):
     return ph, pw  # HH
 
 
+def _repair_pass_rates(t1res) -> None:
+    """Suffix-min monotone repair of conservative pass rates, in place.
+
+    Non-terminated passes carry a conservative padding estimate that can
+    exceed the NEXT terminated pass's exact length (the MQ flush emits
+    fewer bytes than the mid-stream bound), making the cumulative rates
+    locally decreasing. Any later rate is a valid byte bound for an
+    earlier pass (its bytes cover the earlier prefix), so clamping each
+    entry to the minimum of its suffix restores monotonicity without
+    weakening the decodable-prefix guarantee. T2 multi-segment length
+    signalling requires monotone rates (segment sizes are differences).
+    """
+    pr = t1res.pass_rates
+    if pr.size == 0:
+        return
+    npass = np.asarray(t1res.npasses)
+    cols = np.arange(pr.shape[1])
+    pad = cols[None, :] >= npass[:, None]
+    big = np.iinfo(pr.dtype).max
+    work = np.where(pad, big, pr)
+    work = np.minimum.accumulate(work[:, ::-1], axis=1)[:, ::-1]
+    t1res.pass_rates[...] = np.where(pad, pr, work)
+
+
 def _check_styles_supported(styles: np.ndarray, t1) -> None:
     """Reject codeblock styles the selected T1 backend cannot handle."""
     supported = getattr(t1, "SUPPORTED_STYLES", 0x3F)
@@ -421,6 +445,7 @@ class TileProcessor:
                 t1res = t1.encode_cblks(
                     batch, heights, widths, orients, styles=styles,
                     want_dist=self._needs_pass_dist())
+            _repair_pass_rates(t1res)
 
         # ---- PCRD layer allocation (iterative: re-run with a tightened
         # budget if the emitted packets overshoot the rate target, mirroring

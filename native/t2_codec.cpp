@@ -188,6 +188,7 @@ struct TagTree {
 };
 
 static inline int floor_log2(int64_t n) {
+    if (n <= 0) return 0;  // guard: n<0 would arithmetic-shift forever
     int r = -1;
     while (n) {
         n >>= 1;
@@ -400,6 +401,7 @@ int t2_encode_packets(
                         for (int si = 0; si < nseg; si++) {
                             pcur += splits[si];
                             int64_t cur = r[pcur - 1];
+                            if (cur < prev) return -3;  // non-monotone rates
                             seg_bytes[si] = cur - prev;
                             prev = cur;
                         }

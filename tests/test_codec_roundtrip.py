@@ -394,3 +394,19 @@ def test_kitchen_sink_everything_at_once():
     # windowed decode crops exactly
     wdec = gk.decompress(stream, gk.DecompressParams(window=(30, 40, 150, 120)))
     assert np.array_equal(wdec.components[0].data, arr[40:120, 30:150])
+
+
+def test_bypass_layers_16bit_rate_monotone():
+    """Regression: BYPASS multi-segment T2 with a layer boundary at a
+    non-terminated pass — the conservative T1 rate estimate could exceed
+    the next terminated pass's exact length (locally decreasing rates),
+    hanging the native T2 length signalling (fuzz seed 717273)."""
+    arr = natural_image(180, 140, prec=16)
+    im = gk.Image.from_array(arr, prec=16)
+    p = gk.CompressParams(num_resolutions=4, cblk_style=1, num_layers=2,
+                          layer_rates=[4.0, 1.0], write_plt=True,
+                          precinct_sizes=[(7, 7)] * 33)
+    stream = gk.compress(im, p)
+    assert np.array_equal(gk.decompress(stream).components[0].data, arr)
+    l1 = gk.decompress(stream, gk.DecompressParams(max_layers=1))
+    assert l1.components[0].data.shape == arr.shape
