@@ -48,6 +48,12 @@ NEW = [
     # JP2 container goldens (box parsing exercised against reference pixels)
     ("rgb8_container.jp2", ("rgb8", 140, 180), [], None, 0),
     ("gray16_container.jp2", ("gray16", 120, 150), [], None, 0),
+    # the fuzz-found T2 rate-monotonicity class: 16-bit BYPASS + layers
+    ("gray16_bypass_layers.j2k", ("gray16", 150, 200),
+     ["-M", "1", "-r", "4,1", "-L", "-c", "[128,128]", "-n", "4"], None, 0),
+    ("gray16_bypass_layers_l1.j2k", ("gray16", 150, 200),
+     ["-M", "1", "-r", "4,1", "-L", "-c", "[128,128]", "-n", "4"],
+     {"max_layers": 1}, 0),
     # 4-component (CMYK TIFF input; no MCT on 4 comps)
     ("cmyk8.j2k", ("cmyk8", 120, 160), [], None, 0),
     ("cmyk8_tiles.j2k", ("cmyk8", 120, 160), ["-t", "64,64"], None, 0),
@@ -90,12 +96,16 @@ def make_input(spec, td):
     return p, 1
 
 
-def ref_decode_md5(j2k, td, ncomps):
+def ref_decode_md5(j2k, td, ncomps, decode_kwargs=None):
+    dargs = []
+    for k, v in (decode_kwargs or {}).items():
+        dargs += {"max_layers": ["-l", str(v)],
+                  "reduce": ["-r", str(v)]}[k]
     for f in glob.glob(os.path.join(td, "dec*.pgx")):
         os.unlink(f)
     out = os.path.join(td, "dec.pgx")
-    r = subprocess.run([f"{GRK}/grk_decompress", "-i", j2k, "-o", out],
-                       capture_output=True)
+    r = subprocess.run([f"{GRK}/grk_decompress", "-i", j2k, "-o", out,
+                        *dargs], capture_output=True)
     if r.returncode:
         return None
     files = sorted(glob.glob(os.path.join(td, "dec*.pgx")))
@@ -127,7 +137,7 @@ def main():
                 print(f"SKIP {name}: reference cannot encode "
                       f"({r.stderr.decode()[-120:]})")
                 continue
-            md5 = ref_decode_md5(j2k, td, ncomps)
+            md5 = ref_decode_md5(j2k, td, ncomps, dec)
             if md5 is None:
                 print(f"SKIP {name}: reference cannot decode its own stream")
                 continue
