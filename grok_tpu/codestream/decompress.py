@@ -252,7 +252,13 @@ class Decoder:
         img.alloc()
         return img
 
-    def decompress(self) -> Image:
+    def decompress(self, tile_arrays_fn=None) -> Image:
+        """Decode the whole stream (or the params-selected subset).
+
+        ``tile_arrays_fn(ti)`` may supply pre-reconstructed per-component
+        arrays for a tile (the distributed mesh decode hook, mirroring
+        compress()'s tile_coeff_fn); tiles it returns None for take the
+        normal host path."""
         siz = self.header.siz
         window = None
         if self.params.window is not None:
@@ -288,6 +294,10 @@ class Decoder:
             per_tile = max(1, host_threads(self.params.num_threads) // nw)
 
             def work(ti):
+                if tile_arrays_fn is not None:
+                    pre = tile_arrays_fn(ti)
+                    if pre is not None:
+                        return pre
                 set_tile_threads(per_tile)
                 return self.decompress_tile(ti)
 
@@ -301,7 +311,11 @@ class Decoder:
                     arrays, rects = self.decompress_tile(ti, window)
                     self._paste_window(img, arrays, rects)
                 else:
-                    arrays = self.decompress_tile(ti)
+                    arrays = None
+                    if tile_arrays_fn is not None:
+                        arrays = tile_arrays_fn(ti)
+                    if arrays is None:
+                        arrays = self.decompress_tile(ti)
                     self._paste_tile(img, ti, arrays)
         if self.jp2_info is not None:
             from .jp2 import apply_palette

@@ -33,7 +33,8 @@ def _band_origin(geom, res_idx: int, orient: int):
     return prev.height, prev.width
 
 
-def make_forward_fn(geoms, tccps, siz_comps, mct: int):
+def make_forward_fn(geoms, tccps, siz_comps, mct: int,
+                    mct_enc_matrix=None):
     """Un-jitted forward transform fn(*comps) (see build_forward)."""
     import jax
     import jax.numpy as jnp
@@ -54,9 +55,22 @@ def make_forward_fn(geoms, tccps, siz_comps, mct: int):
     nls = [t.num_resolutions - 1 for t in tccps]
     rects = [g.rect for g in geoms]
 
+    enc_m = (np.asarray(mct_enc_matrix, dtype=np.float32)
+             if mct == 2 and mct_enc_matrix is not None else None)
+
     def f(*comps):
         shifted = [comps[c] - dcs[c] for c in range(ncomp)]
-        if mct == 1 and ncomp >= 3:
+        if mct == 2 and enc_m is not None:
+            # Part-2 array-based MCT (float path, parity:
+            # tile_processor custom_mct_forward) — a [N,N] matmul over
+            # the component axis, MXU-native
+            flat = jnp.stack(
+                [x.astype(jnp.float32) for x in shifted]
+            ).reshape(ncomp, -1)
+            mixed = jnp.asarray(enc_m) @ flat
+            shifted = [mixed[c].reshape(shifted[c].shape)
+                       for c in range(ncomp)]
+        elif mct == 1 and ncomp >= 3:
             if irrev:
                 r, g, b = (x.astype(jnp.float32) for x in shifted[:3])
                 y, cb, cr = mct_ops.ict_forward(jnp, r, g, b)
@@ -109,18 +123,20 @@ def _pin_device(fn):
     return wrapped
 
 
-def build_forward(geoms, tccps, siz_comps, mct: int):
+def build_forward(geoms, tccps, siz_comps, mct: int, mct_enc_matrix=None):
     """Returns jitted fn(*comps int32 [H,W]) -> tuple of packed int32 arrays.
 
     Band steps/ROI must already be applied to the geometry (apply_band_quant).
     """
     import jax
 
-    return _pin_device(jax.jit(make_forward_fn(geoms, tccps, siz_comps, mct)))
+    return _pin_device(jax.jit(make_forward_fn(
+        geoms, tccps, siz_comps, mct, mct_enc_matrix=mct_enc_matrix)))
 
 
-def build_inverse(geoms, tccps, siz_comps, mct: int, reduce: int = 0):
-    """Returns jitted fn(*staging int32 packed) -> tuple of final int32."""
+def make_inverse_fn(geoms, tccps, siz_comps, mct: int, reduce: int = 0,
+                    mct_dec_matrix=None, mct_offsets=None):
+    """Un-jitted inverse transform fn(*staging) (see build_inverse)."""
     import jax
     import jax.numpy as jnp
 
@@ -138,6 +154,8 @@ def build_inverse(geoms, tccps, siz_comps, mct: int, reduce: int = 0):
         band_specs.append((specs, tccp.roi_shift))
     nls = [max(t.num_resolutions - 1 - reduce, 0) for t in tccps]
     rects = [g.rect.ceil_div_pow2(reduce) if reduce else g.rect for g in geoms]
+    dec_m = (np.asarray(mct_dec_matrix, dtype=np.float32)
+             if mct == 2 and mct_dec_matrix is not None else None)
 
     def f(*staging):
         outs = []
@@ -164,7 +182,13 @@ def build_inverse(geoms, tccps, siz_comps, mct: int, reduce: int = 0):
                     )
                 a = deq
             outs.append(dwt_ops.inverse(jnp, a, rects[c], nls[c], irrev))
-        if mct == 1 and ncomp >= 3:
+        if mct == 2 and dec_m is not None:
+            flat = jnp.stack(
+                [o.astype(jnp.float32) for o in outs]
+            ).reshape(ncomp, -1)
+            mixed = jnp.asarray(dec_m) @ flat
+            outs = [mixed[c].reshape(outs[c].shape) for c in range(ncomp)]
+        elif mct == 1 and ncomp >= 3:
             if irrev:
                 r, g, b = mct_ops.ict_inverse(jnp, outs[0], outs[1], outs[2])
             else:
@@ -179,6 +203,8 @@ def build_inverse(geoms, tccps, siz_comps, mct: int, reduce: int = 0):
             hi = (1 << (prec - 1)) - 1 if signed else (1 << prec) - 1
             if irrev:
                 off = 0.0 if signed else float(1 << (prec - 1))
+                if mct == 2 and mct_offsets is not None:
+                    off = float(mct_offsets[c])
                 a = jnp.clip(
                     jnp.floor(a + jnp.float32(0.5 + off)), lo, hi
                 ).astype(jnp.int32)
@@ -187,7 +213,19 @@ def build_inverse(geoms, tccps, siz_comps, mct: int, reduce: int = 0):
             final.append(a.astype(jnp.int32))
         return tuple(final)
 
-    return _pin_device(jax.jit(f))
+    return f
+
+
+def build_inverse(geoms, tccps, siz_comps, mct: int, reduce: int = 0,
+                  mct_dec_matrix=None, mct_offsets=None):
+    """Returns jitted fn(*staging int32 packed) -> tuple of final int32."""
+    import jax
+
+    return _pin_device(
+        jax.jit(make_inverse_fn(geoms, tccps, siz_comps, mct, reduce,
+                                mct_dec_matrix=mct_dec_matrix,
+                                mct_offsets=mct_offsets))
+    )
 
 
 def device_enabled() -> bool:

@@ -138,6 +138,166 @@ def compress_distributed(image, params: CompressParams | None = None,
     return _compress(image, params, tile_coeff_fn=tile_coeff_fn)
 
 
+def _inverse_key(tcp):
+    """Hashable summary of everything the device inverse program depends
+    on — tiles with equal keys share one compiled shard_map program."""
+    mat = tcp.mct_dec_matrix
+    off = tcp.mct_offsets
+    return (
+        tcp.mct,
+        None if mat is None else np.asarray(mat, np.float64).tobytes(),
+        None if off is None else tuple(float(o) for o in off),
+        tuple(
+            (
+                t.num_resolutions,
+                t.irreversible,
+                t.roi_shift,
+                int(t.quant_style),
+                t.guard_bits,
+                tuple(t.step_exps),
+                tuple(t.step_mants),
+            )
+            for t in tcp.tccps
+        ),
+    )
+
+
+def decompress_distributed(data, params=None, mesh=None,
+                           device_irreversible: bool = False):
+    """Distributed decode over a tile mesh; byte-identical to decompress().
+
+    The mirror of :func:`compress_distributed` (P2): tile bodies are
+    entropy-decoded on the host pool into int32 staging planes
+    (``TileProcessor.decompress(staging_only=True)``), the staging planes of
+    the dominant same-geometry tile group are stacked per component and the
+    whole dequant -> ROI -> inverse-DWT -> inverse-MCT -> finish chain runs
+    as ONE jitted shard_map program over the mesh (the same program
+    ``jax_pipeline.build_inverse`` runs single-chip); the reconstructed
+    tiles ride the normal ordered paste. The reversible (5/3) chain is
+    bit-exact vs the host path, so the output Image equals
+    ``gk.decompress`` sample-for-sample. Irreversible (9/7) and Part-2
+    custom-MCT tiles keep the host inverse unless ``device_irreversible``
+    (XLA FMA fusion drifts the float path ±1 LSB from the host).
+
+    Tiles that fail entropy decode, differ in geometry/coding params, or
+    fall outside the dominant group take the per-tile host path inside the
+    same paste loop (identical output either way).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    from ..codestream.decompress import Decoder
+    from ..ops import jax_pipeline
+    from ..tile.tile_processor import TileProcessor
+
+    dec = Decoder(data, params)
+    p = dec.params
+    siz = dec.header.siz
+
+    arrays_of: dict[int, list[np.ndarray]] = {}
+    batch: list[int] = []
+    parsed: dict[int, tuple] = {}
+    if p.window is None and siz.num_tiles > 1:
+        groups: dict[tuple, list[int]] = {}
+        for ti in range(siz.num_tiles):
+            if ti in dec.index.spans:
+                tb = siz.tile_bounds(ti)
+                groups.setdefault((tb.width, tb.height), []).append(ti)
+        cand = max(groups.values(), key=len) if groups else []
+        key0 = None
+        for ti in cand:
+            try:
+                tcp, body, packed = dec._parse_tile_headers(ti)
+            except Exception:
+                continue  # corrupt headers: host path zero-fills it
+            k = _inverse_key(tcp)
+            if key0 is None:
+                key0 = k
+            if k == key0:
+                parsed[ti] = (tcp, body, packed)
+                batch.append(ti)
+        if batch:
+            tcp0 = parsed[batch[0]][0]
+            irrev = bool(tcp0.tccps[0].irreversible)
+            if (irrev or tcp0.mct == 2) and not device_irreversible:
+                batch = []
+        if len(batch) < 2:
+            batch = []
+
+    if batch:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..core.cpu import host_threads, set_tile_threads
+
+        tcp0 = parsed[batch[0]][0]
+        tps: dict[int, TileProcessor] = {}
+
+        nw = min(host_threads(p.num_threads), len(batch), 16)
+        per_tile = max(1, host_threads(p.num_threads) // nw)
+
+        def stage_one(ti):
+            set_tile_threads(per_tile if nw > 1 else 0)
+            tcp, body, packed = parsed[ti]
+            tp = TileProcessor(siz, tcp, ti)
+            try:
+                st = tp.decompress(
+                    body, p.max_layers, p.reduce, packed_headers=packed,
+                    plt=dec._plt.get(ti), staging_only=True,
+                )
+            except Exception:
+                return ti, None  # host path handles + zero-fills
+            tps[ti] = tp
+            return ti, st
+
+        if nw > 1:
+            with ThreadPoolExecutor(max_workers=nw) as ex:
+                staged = dict(ex.map(stage_one, batch))
+        else:
+            staged = dict(stage_one(ti) for ti in batch)
+        batch = [ti for ti in batch if staged.get(ti) is not None]
+
+    if len(batch) >= 2:
+        mesh = mesh or _make_mesh()
+        n_dev = mesh.shape["tile"]
+        tp0 = tps[batch[0]]  # band quant applied by its staging decode
+        tcp0 = parsed[batch[0]][0]
+        ncomp = siz.num_comps
+        inv_one = jax_pipeline.make_inverse_fn(
+            tp0.geoms, tcp0.tccps, siz.comps, tcp0.mct, p.reduce,
+            mct_dec_matrix=tcp0.mct_dec_matrix, mct_offsets=tcp0.mct_offsets,
+        )
+
+        def batched(*stacks):  # stacks[c]: [T_local, Hc, Wc]
+            return jax.vmap(lambda *planes: inv_one(*planes))(*stacks)
+
+        sharded = jax.jit(
+            shard_map(batched, mesh=mesh,
+                      in_specs=P("tile"), out_specs=P("tile"))
+        )
+        pad = (-len(batch)) % n_dev
+        stacks = []
+        for c in range(ncomp):
+            planes = [staged[ti][c] for ti in batch]
+            planes += [np.zeros_like(planes[0])] * pad
+            stacks.append(jnp.asarray(np.stack(planes, axis=0)))
+        outs = sharded(*stacks)
+        outs = [np.asarray(o) for o in outs]
+        for i, ti in enumerate(batch):
+            arrays_of[ti] = [
+                np.ascontiguousarray(outs[c][i]) for c in range(ncomp)
+            ]
+
+    if not arrays_of:
+        dec._move_tiles = True
+        return dec.decompress()
+    return dec.decompress(tile_arrays_fn=arrays_of.get)
+
+
 def compress_frames(images, params: CompressParams | None = None,
                     mesh=None, device_irreversible: bool = False
                     ) -> list[bytes]:

@@ -206,8 +206,16 @@ class TileProcessor:
                 apply_band_quant(self.geoms[c], tcp.tccps[c], self._comp_prec(c))
             fwd = getattr(self, "_dev_fwd", None)
             if fwd is None:
+                enc_m = None
+                if tcp.mct == 2:
+                    enc_m = (
+                        getattr(tcp, "_mct_enc_matrix", None)
+                        if getattr(tcp, "_mct_enc_matrix", None) is not None
+                        else np.linalg.inv(np.asarray(tcp.mct_dec_matrix))
+                    )
                 fwd = jax_pipeline.build_forward(
-                    self.geoms, tcp.tccps, siz.comps, tcp.mct
+                    self.geoms, tcp.tccps, siz.comps, tcp.mct,
+                    mct_enc_matrix=enc_m,
                 )
                 self._dev_fwd = fwd
             import jax.numpy as jnp
@@ -1063,7 +1071,7 @@ class TileProcessor:
     def decompress(
         self, body: memoryview, max_layers: int = 0, reduce: int = 0,
         packed_headers: bytes | None = None, window: Rect | None = None,
-        plt: list[int] | None = None,
+        plt: list[int] | None = None, staging_only: bool = False,
     ):
         """Decode a tile body into per-component arrays.
 
@@ -1122,6 +1130,7 @@ class TileProcessor:
             irrev
             and lib is not None
             and window is None
+            and not staging_only
             and not jax_pipeline.device_enabled()
             # opt-in: on this host the memcpy scatter + vectorized dequant
             # pass is as fast as the fused scalar loop; other memory systems
@@ -1163,13 +1172,22 @@ class TileProcessor:
                 cbh, cbw, staging,
             )
 
+        if staging_only:
+            # distributed decode hook: hand the raw int32 staging planes
+            # (post-T1, pre-ROI/dequant/inverse-DWT) to the caller — the
+            # mesh-sharded inverse chain (parallel/distributed.py) runs
+            # the exact same device program build_inverse would
+            return [np.ascontiguousarray(s, dtype=np.int32) for s in staging]
+
         # ---- device-resident inverse chain (GROK_TPU_DEVICE=jax)
         if jax_pipeline.device_enabled():
             key = ("_dev_inv", reduce)
             inv = getattr(self, "_dev_inv_cache", {}).get(reduce)
             if inv is None:
                 inv = jax_pipeline.build_inverse(
-                    self.geoms, tcp.tccps, siz.comps, tcp.mct, reduce
+                    self.geoms, tcp.tccps, siz.comps, tcp.mct, reduce,
+                    mct_dec_matrix=tcp.mct_dec_matrix,
+                    mct_offsets=tcp.mct_offsets,
                 )
                 if not hasattr(self, "_dev_inv_cache"):
                     self._dev_inv_cache = {}

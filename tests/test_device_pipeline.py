@@ -50,6 +50,27 @@ def test_device_rgb_mct_roundtrip():
     assert np.array_equal(host_dec, dev_dec)
 
 
+def test_device_custom_mct():
+    """Part-2 custom-MCT must ride the device transform chain too (the
+    [N,N] component matmul is MXU-native): device encode/decode of an
+    mct=2 stream matches the host path within the float-chain ±1 LSB."""
+    arr = natural_image(80, 96, 3)
+    M = [[0.6, 0.3, 0.1], [-0.3, 0.5, -0.2], [0.1, -0.4, 0.5]]
+    im = gk.Image.from_array(arr)
+    p = gk.CompressParams(num_resolutions=3, mct_matrix=M, irreversible=True)
+    stream = gk.compress(im, p)
+    host_enc, dev_enc, host_dec, dev_dec = _host_then_device(im, p, stream)
+    assert np.abs(host_dec.astype(int) - dev_dec.astype(int)).max() <= 1
+    # device-encoded stream must decode (on host) as faithfully as the
+    # host-encoded one — guards against the matrix silently not being
+    # applied on the device (signalled mct=2 would then garble decode)
+    host_err = np.abs(gk.decompress(host_enc).to_array().astype(int)
+                      - arr.astype(int)).max()
+    dev_err = np.abs(gk.decompress(dev_enc).to_array().astype(int)
+                     - arr.astype(int)).max()
+    assert dev_err <= host_err + 1
+
+
 def test_device_irreversible_within_one_lsb():
     arr = natural_image(80, 96, 3)
     im = gk.Image.from_array(arr)

@@ -100,6 +100,45 @@ def test_distributed_encode_byte_identical(rng):
     assert dist2 == ref2
 
 
+def test_distributed_decode_bit_identical(rng):
+    """Mesh-sharded decode (P2 mirror of config 4): host entropy decode
+    per tile, dequant/inverse-DWT/MCT/finish as one shard_map program over
+    the tile mesh — output identical to the host decoder, including
+    rate-allocated layers, TLM, reduce, ROI and uneven edge tiles."""
+    import grok_tpu as gk
+    from grok_tpu.parallel.distributed import decompress_distributed
+    from tests.conftest import natural_image
+
+    arr = natural_image(150, 170, 3)
+    p = gk.CompressParams(num_resolutions=3, tile_size=(64, 64),
+                          num_layers=2, layer_rates=[4.0, 0.0],
+                          write_tlm=True)
+    st = gk.compress(gk.Image.from_array(arr), p)
+    assert np.array_equal(decompress_distributed(st).to_array(),
+                          gk.decompress(st).to_array())
+    dp = gk.DecompressParams(reduce=1)
+    assert np.array_equal(
+        decompress_distributed(st, gk.DecompressParams(reduce=1)).to_array(),
+        gk.decompress(st, dp).to_array())
+
+    # ROI + odd geometry
+    arr3 = natural_image(96, 161, 1)
+    p3 = gk.CompressParams(num_resolutions=3, tile_size=(48, 48), roi_shift=4)
+    st3 = gk.compress(gk.Image.from_array(arr3), p3)
+    assert np.array_equal(decompress_distributed(st3).to_array(),
+                          gk.decompress(st3).to_array())
+
+    # irreversible: host-inverse fallback stays exact; the opt-in device
+    # float chain is the documented ±1 LSB class
+    p2 = gk.CompressParams(num_resolutions=3, tile_size=(64, 64),
+                           irreversible=True)
+    st2 = gk.compress(gk.Image.from_array(arr), p2)
+    ref2 = gk.decompress(st2).to_array()
+    assert np.array_equal(decompress_distributed(st2).to_array(), ref2)
+    dev = decompress_distributed(st2, device_irreversible=True).to_array()
+    assert np.abs(dev.astype(int) - ref2.astype(int)).max() <= 1
+
+
 def test_frame_parallel_cinema_batch(rng):
     """BASELINE config 5: Cinema DCI rate-capped frames as a
     frame-parallel batch — every frame byte-identical to the one-shot
