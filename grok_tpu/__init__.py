@@ -23,8 +23,9 @@ from .core.params import (
     QuantStyle,
 )
 from .core.logging import set_error_handler, set_info_handler, set_warning_handler
-from .codestream.compress import compress
+from .codestream.compress import TileEncoder, compress
 from .codestream.decompress import Decoder, decompress, parse_codestream
+from .codestream.stripe import StripCompressor
 
 __version__ = "0.1.0"
 
@@ -37,6 +38,8 @@ __all__ = [
     "ColorSpace",
     "QuantStyle",
     "compress",
+    "TileEncoder",
+    "StripCompressor",
     "Decoder",
     "decompress",
     "parse_codestream",

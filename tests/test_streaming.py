@@ -125,6 +125,11 @@ def test_tile_encoder_out_of_order():
     ref = bytes(gk.compress(img, params()))
     from grok_tpu.codestream.compress import TileEncoder
 
+    assert gk.TileEncoder is TileEncoder  # exported at package root
+    from grok_tpu.codestream.stripe import StripCompressor as _SC
+
+    assert gk.StripCompressor is _SC
+
     buf = io.BytesIO()
     te = TileEncoder(buf, img, params())
     for ti in reversed(range(te.siz.num_tiles)):
