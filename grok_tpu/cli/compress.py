@@ -87,6 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="load a T1 block-coder plugin shared library")
     p.add_argument("-G", "--device_id", type=int,
                    help="device index for the jax device pipeline")
+    p.add_argument("--keep_palette", action="store_true",
+                   help="encode palettized inputs as index + pclr/cmap JP2 "
+                        "boxes instead of expanding to RGB (.jp2 output only)")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
 
@@ -214,6 +217,9 @@ def _profile_opts(val: str):
 def run_one(in_file: str, out_file: str, params: CompressParams, verbose: bool,
             args=None) -> None:
     raw_kw = {}
+    if (args is not None and getattr(args, "keep_palette", False)
+            and out_file.lower().endswith(".jp2")):
+        raw_kw["keep_palette"] = True
     if args is not None and getattr(args, "raw", None):
         f = args.raw.split(",")  # w,h,ncomp,prec,{s,u}
         raw_kw = dict(w=int(f[0]), h=int(f[1]), nc=int(f[2]),

@@ -62,11 +62,16 @@ def wrap_jp2(codestream: bytes, image: Image) -> bytes:
         jp2h += _box(b"bpcc", bytes((p - 1) | (0x80 if s else 0) for p, s in zip(precs, signs)))
     cs = image.color_space
     if cs == ColorSpace.UNKNOWN:
-        cs = ColorSpace.GRAY if nc == 1 else ColorSpace.SRGB
+        # colr describes the POST-palette channels: a 1-component palettized
+        # image with a 3-column table is sRGB, not grayscale
+        ncol = len(image.palette[1]) if getattr(image, "palette", None) else nc
+        cs = ColorSpace.GRAY if ncol == 1 else ColorSpace.SRGB
     if image.icc_profile:
         jp2h += _box(b"colr", struct.pack(">BBB", 2, 0, 0) + image.icc_profile)
     else:
         jp2h += _box(b"colr", struct.pack(">BBBI", 1, 0, 0, _CS_ENUM.get(cs, 17)))
+    if getattr(image, "palette", None):
+        jp2h += palette_boxes(image.palette)
     if getattr(image, "channel_defs", None):
         cdef = struct.pack(">H", len(image.channel_defs))
         for (cn, typ, asoc) in image.channel_defs:
@@ -91,6 +96,24 @@ def wrap_jp2(codestream: bytes, image: Image) -> bytes:
         out += _box(b"uuid", uid + payload)
     out += _box(b"jp2c", codestream)
     return bytes(out)
+
+
+def palette_boxes(palette: tuple) -> bytes:
+    """Serialize pclr + cmap boxes (T.800 I.5.3.4/I.5.3.5; reference:
+    FileFormatCompress.cpp write_palette_clr / write_component_mapping)."""
+    table, depths, cmap = palette
+    ne = len(table)
+    npc = len(depths)
+    pclr = struct.pack(">HB", ne, npc)
+    pclr += bytes((d - 1) & 0x7F for d in depths)  # Bi: unsigned, depth-1
+    for row in table:
+        for j, d in enumerate(depths):
+            nb = (d + 7) // 8
+            pclr += int(row[j]).to_bytes(nb, "big")
+    out = _box(b"pclr", pclr)
+    cmap_payload = b"".join(
+        struct.pack(">HBB", c, m, p) for (c, m, p) in cmap)
+    return out + _box(b"cmap", cmap_payload)
 
 
 def _res_payload(vr: float, hr: float) -> bytes:

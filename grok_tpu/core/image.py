@@ -49,6 +49,11 @@ class Image:
     capture_resolution: tuple[float, float] | None = None
     channel_defs: list | None = None  # (channel, type, association)
     uuid_boxes: list | None = None  # [(16-byte uuid, payload)]
+    # palettized image: (table int32 [entries, pal_comps], per-column bit
+    # depths, cmap entries [(codestream comp, mapping type, pal column)]).
+    # When set, the codestream carries index components and JP2 wrapping
+    # writes pclr/cmap (reference: FileFormatCompress.cpp write_palette_clr)
+    palette: tuple | None = None
     display_resolution: tuple[float, float] | None = None
     exif: bytes | None = None  # raw EXIF payload (JpgTiffExif->JP2 uuid box)
 

@@ -128,6 +128,23 @@ def load_image(path: str, **raw_kw) -> Image:
 
     pil = PImage.open(path)
     if pil.mode == "P":
+        # keep_palette: carry the palette through as a 1-component index
+        # image + pclr/cmap metadata instead of expanding to RGB (the
+        # reference keeps TIFF palettes this way, TIFFFormat.cpp:1201-1211)
+        if raw_kw.get("keep_palette") and "transparency" not in pil.info:
+            idx = np.asarray(pil).astype(np.int32)
+            pal = pil.getpalette()
+            table = np.asarray(pal, dtype=np.int32).reshape(-1, 3)
+            table = table[: int(idx.max()) + 1] if len(table) else table
+            # minimal index precision: smaller codestream, and the
+            # reference decoder rejects prec > num_entries
+            prec = max(1, int(len(table) - 1).bit_length())
+            img = Image.from_array(idx, prec=prec)
+            img.palette = (table, [8, 8, 8], [(0, 1, 0), (0, 1, 1), (0, 1, 2)])
+            from ..core.params import ColorSpace
+
+            img.color_space = ColorSpace.SRGB
+            return img
         pil = pil.convert("RGB")
     arr = np.asarray(pil)
     if arr.ndim == 3 and arr.shape[2] == 4:

@@ -41,6 +41,12 @@ _OUT = os.path.join(_NATIVE_DIR, "libgrok_tpu_native.so")
 
 
 def _build() -> str | None:
+    # GROK_TPU_NATIVE_LIB: load this prebuilt .so instead of building —
+    # the hook the sanitizer lane (tools/sanitize_check.sh) uses to run
+    # the suite against an ASan/UBSan-instrumented native layer.
+    override = os.environ.get("GROK_TPU_NATIVE_LIB")
+    if override:
+        return override if os.path.exists(override) else None
     srcs = [os.path.abspath(s) for s in _SRCS]
     out = os.path.abspath(_OUT)
     import glob as _glob
@@ -50,10 +56,11 @@ def _build() -> str | None:
         os.path.getmtime(out) >= os.path.getmtime(s) for s in deps
     ):
         return out
+    extra = os.environ.get("GROK_TPU_NATIVE_CFLAGS", "").split()
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", "-std=c++17",
            "-ffp-contract=off",  # keep float op-for-op identical to numpy
            "-march=native",  # built at runtime on the machine that runs it
-           "-o", out, *srcs]
+           *extra, "-o", out, *srcs]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=240)
     except (OSError, subprocess.TimeoutExpired):

@@ -33,11 +33,21 @@ const float IK97 = (float)(1.0 / 1.230174104914001);
 
 static inline int sn_of(int n, int P) { return P == 0 ? (n + 1) / 2 : n / 2; }
 
+// Wraparound-defined int32 ops for the 5/3 lifting: corrupt streams can
+// carry near-INT32_MAX coefficients, and signed overflow is UB. numpy's
+// int32 arithmetic wraps, so wrapping keeps native/host bit-identical.
+static inline int32_t wadd(int32_t a, int32_t b) {
+    return (int32_t)((uint32_t)a + (uint32_t)b);
+}
+static inline int32_t wsub(int32_t a, int32_t b) {
+    return (int32_t)((uint32_t)a - (uint32_t)b);
+}
+
 // ------------------------------------------------------------- 5/3 rows
 static void f53_row(int32_t* row, int n, int P, int32_t* tmp) {
     if (n <= 0) return;
     if (n == 1) {
-        if (P) row[0] *= 2;
+        if (P) row[0] = wadd(row[0], row[0]);
         return;
     }
     int sn = sn_of(n, P), dn = n - sn;
@@ -47,14 +57,14 @@ static void f53_row(int32_t* row, int n, int P, int32_t* tmp) {
     for (int j = 0; j < dn; j++) d[j] = row[2 * j + 1 - P];
     if (P == 0) {
         for (int j = 0; j < dn; j++)
-            d[j] -= (s[j] + s[j + 1 < sn ? j + 1 : sn - 1]) >> 1;
+            d[j] = wsub(d[j], wadd(s[j], s[j + 1 < sn ? j + 1 : sn - 1]) >> 1);
         for (int i = 0; i < sn; i++)
-            s[i] += (d[i > 0 ? i - 1 : 0] + d[i < dn - 1 ? i : dn - 1] + 2) >> 2;
+            s[i] = wadd(s[i], wadd(wadd(d[i > 0 ? i - 1 : 0], d[i < dn - 1 ? i : dn - 1]), 2) >> 2);
     } else {
         for (int j = 0; j < dn; j++)
-            d[j] -= (s[j > 0 ? j - 1 : 0] + s[j < sn - 1 ? j : sn - 1]) >> 1;
+            d[j] = wsub(d[j], wadd(s[j > 0 ? j - 1 : 0], s[j < sn - 1 ? j : sn - 1]) >> 1);
         for (int i = 0; i < sn; i++)
-            s[i] += (d[i] + d[i + 1 < dn ? i + 1 : dn - 1] + 2) >> 2;
+            s[i] = wadd(s[i], wadd(wadd(d[i], d[i + 1 < dn ? i + 1 : dn - 1]), 2) >> 2);
     }
     std::memcpy(row, tmp, (size_t)n * sizeof(int32_t));
 }
@@ -71,14 +81,14 @@ static void i53_row(int32_t* row, int n, int P, int32_t* tmp) {
     std::memcpy(tmp, row, (size_t)n * sizeof(int32_t));
     if (P == 0) {
         for (int i = 0; i < sn; i++)
-            s[i] -= (d[i > 0 ? i - 1 : 0] + d[i < dn - 1 ? i : dn - 1] + 2) >> 2;
+            s[i] = wsub(s[i], wadd(wadd(d[i > 0 ? i - 1 : 0], d[i < dn - 1 ? i : dn - 1]), 2) >> 2);
         for (int j = 0; j < dn; j++)
-            d[j] += (s[j] + s[j + 1 < sn ? j + 1 : sn - 1]) >> 1;
+            d[j] = wadd(d[j], wadd(s[j], s[j + 1 < sn ? j + 1 : sn - 1]) >> 1);
     } else {
         for (int i = 0; i < sn; i++)
-            s[i] -= (d[i] + d[i + 1 < dn ? i + 1 : dn - 1] + 2) >> 2;
+            s[i] = wsub(s[i], wadd(wadd(d[i], d[i + 1 < dn ? i + 1 : dn - 1]), 2) >> 2);
         for (int j = 0; j < dn; j++)
-            d[j] += (s[j > 0 ? j - 1 : 0] + s[j < sn - 1 ? j : sn - 1]) >> 1;
+            d[j] = wadd(d[j], wadd(s[j > 0 ? j - 1 : 0], s[j < sn - 1 ? j : sn - 1]) >> 1);
     }
     for (int i = 0; i < sn; i++) row[2 * i + P] = s[i];
     for (int j = 0; j < dn; j++) row[2 * j + 1 - P] = d[j];
@@ -280,16 +290,17 @@ static void f53_vert(int32_t* a, int h, int w, int stride, int P,
                      int32_t* scratch) {
     if (h == 1) {
         if (P)
-            for (int x = 0; x < w; x++) a[x] *= 2;
+            for (int x = 0; x < w; x++) a[x] = wadd(a[x], a[x]);
         return;
     }
     vert_lift<int32_t>(
         a, h, w, stride, P,
         [](int32_t* d, const int32_t* l, const int32_t* r, int n) {
-            for (int x = 0; x < n; x++) d[x] -= (l[x] + r[x]) >> 1;
+            for (int x = 0; x < n; x++) d[x] = wsub(d[x], wadd(l[x], r[x]) >> 1);
         },
         [](int32_t* s, const int32_t* l, const int32_t* r, int n) {
-            for (int x = 0; x < n; x++) s[x] += (l[x] + r[x] + 2) >> 2;
+            for (int x = 0; x < n; x++)
+                s[x] = wadd(s[x], wadd(wadd(l[x], r[x]), 2) >> 2);
         });
     deinterleave_rows(a, h, w, stride, P, scratch);
 }
@@ -304,10 +315,11 @@ static void i53_vert(int32_t* a, int h, int w, int stride, int P,
     vert_lift_packed<int32_t>(
         a, h, w, stride, P,
         [](int32_t* s, const int32_t* l, const int32_t* r, int n) {
-            for (int x = 0; x < n; x++) s[x] -= (l[x] + r[x] + 2) >> 2;
+            for (int x = 0; x < n; x++)
+                s[x] = wsub(s[x], wadd(wadd(l[x], r[x]), 2) >> 2);
         },
         [](int32_t* d, const int32_t* l, const int32_t* r, int n) {
-            for (int x = 0; x < n; x++) d[x] += (l[x] + r[x]) >> 1;
+            for (int x = 0; x < n; x++) d[x] = wadd(d[x], wadd(l[x], r[x]) >> 1);
         });
     interleave_rows(a, h, w, stride, P, scratch);
 }

@@ -361,3 +361,65 @@ def test_raw_planar_reference_convention(tmp_path):
     assert r.returncode == 0, r.stderr + r.stdout
     dec = gk.decompress(j2k.read_bytes()).to_array()
     assert np.array_equal(dec, arr)
+
+
+def test_palette_write_roundtrip(tmp_path):
+    """Palettized PNG -> index codestream + pclr/cmap JP2 boxes -> decode
+    expands through the palette. Write-path parity with the reference's
+    FileFormatCompress.cpp:196-265 (it keeps TIFF palettes the same way)."""
+    from PIL import Image as PImage
+
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, 16, (48, 64), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    p = PImage.fromarray(idx, mode="P")
+    p.putpalette(pal.flatten().tolist())
+    src = tmp_path / "in.png"
+    p.save(src)
+
+    img = load_image(str(src), keep_palette=True)
+    assert img.num_comps == 1 and img.palette is not None
+    stream = gk.compress(img, gk.CompressParams(num_resolutions=4))
+    jp2 = wrap_jp2(stream, img)
+    assert b"pclr" in jp2 and b"cmap" in jp2
+
+    # our decode expands through the palette
+    out = gk.decompress(jp2)
+    rgb = np.stack([c.data for c in out.components], -1)
+    assert np.array_equal(rgb, pal[idx].astype(np.int32))
+
+    # round-trip the palette metadata itself
+    info = unwrap_jp2(jp2)
+    table, depths, cmap = info.palette
+    assert np.array_equal(np.asarray(table), pal.astype(np.int32))
+    assert depths == [8, 8, 8]
+    assert cmap == [(0, 1, 0), (0, 1, 1), (0, 1, 2)]
+
+
+@pytest.mark.skipif(not have_grok(), reason="reference binaries not found")
+def test_palette_write_reference_interop(tmp_path):
+    """The reference decoder must expand our palettized JP2 identically."""
+    from PIL import Image as PImage
+
+    rng = np.random.default_rng(12)
+    idx = rng.integers(0, 7, (40, 56), dtype=np.uint8)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    p = PImage.fromarray(idx, mode="P")
+    p.putpalette(pal.flatten().tolist())
+    src = tmp_path / "in.png"
+    p.save(src)
+
+    jp2_path = tmp_path / "out.jp2"
+    r = subprocess.run(
+        [sys.executable, "-m", "grok_tpu.cli.compress", "-i", str(src),
+         "-o", str(jp2_path), "--keep_palette"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    ref_out = tmp_path / "ref.ppm"
+    from tests.conftest import grk_decompress
+
+    r = grk_decompress(["-i", str(jp2_path), "-o", str(ref_out)])
+    assert r.returncode == 0, r.stderr
+    ref = np.asarray(PImage.open(ref_out)).astype(np.int32)
+    assert np.array_equal(ref, pal[idx].astype(np.int32))
