@@ -67,7 +67,8 @@ def read_pgx(fn: str) -> np.ndarray:
         w, h = int(hdr[-2]), int(hdr[-1])
         depth = int(hdr[-3].lstrip("+-"))
         signed = "-" in hdr[-3] or hdr[2].startswith("-")
-        dt = ">u2" if depth > 8 else "u1"
+        kind = "i" if signed else "u"
+        dt = f">{kind}2" if depth > 8 else f"{kind}1"
         return np.frombuffer(f.read(), dtype=dt).reshape(h, w).astype(np.int32)
 
 
