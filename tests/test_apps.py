@@ -423,3 +423,51 @@ def test_palette_write_reference_interop(tmp_path):
     assert r.returncode == 0, r.stderr
     ref = np.asarray(PImage.open(ref_out)).astype(np.int32)
     assert np.array_equal(ref, pal[idx].astype(np.int32))
+
+
+@pytest.mark.skipif(not have_grok(), reason="reference binaries not found")
+@pytest.mark.parametrize("cfg", ["plain", "tiled_layers", "precincts", "ht"])
+def test_dump_parity_with_reference(cfg, tmp_path, rng):
+    """Our dump reports the same codec-state facts as grk_dump (per-comp
+    coding params, stepsizes, marker index) — checked semantically by
+    tools/compare_dumps.py, the compare_dump_files analogue."""
+    import subprocess as sp
+
+    arr = natural_image(96, 128, nc=3)
+    im = gk.Image.from_array(arr)
+    kw = {"plain": dict(num_resolutions=4),
+          "tiled_layers": dict(num_resolutions=3, tile_size=(64, 64),
+                               write_tlm=True, num_layers=2,
+                               layer_rates=[8.0, 1.0]),
+          "precincts": dict(num_resolutions=3,
+                            precinct_sizes=[(6, 6)] * 33, use_sop=True),
+          "ht": dict(num_resolutions=4, ht=True)}[cfg]
+    stream = gk.compress(im, gk.CompressParams(**kw))
+    j2k = tmp_path / "s.j2k"
+    j2k.write_bytes(stream)
+
+    ref = sp.run([f"{GRK_BIN}/grk_dump", "-i", str(j2k)],
+                 capture_output=True, text=True)
+    assert ref.returncode == 0
+    (tmp_path / "ref.txt").write_text(ref.stdout + ref.stderr)
+    ours = sp.run([sys.executable, "-m", "grok_tpu.cli.dump", "-i", str(j2k)],
+                  capture_output=True, text=True)
+    assert ours.returncode == 0, ours.stderr
+    (tmp_path / "ours.txt").write_text(ours.stdout)
+
+    r = sp.run([sys.executable, "tools/compare_dumps.py",
+                "-b", str(tmp_path / "ref.txt"), "-t", str(tmp_path / "ours.txt")],
+               capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout
+
+    # the diff tool must also FAIL on genuinely different streams
+    stream2 = gk.compress(im, gk.CompressParams(num_resolutions=2))
+    j2k2 = tmp_path / "s2.j2k"
+    j2k2.write_bytes(stream2)
+    other = sp.run([sys.executable, "-m", "grok_tpu.cli.dump", "-i", str(j2k2)],
+                   capture_output=True, text=True)
+    (tmp_path / "other.txt").write_text(other.stdout)
+    r = sp.run([sys.executable, "tools/compare_dumps.py",
+                "-b", str(tmp_path / "ref.txt"), "-t", str(tmp_path / "other.txt")],
+               capture_output=True, text=True)
+    assert r.returncode == 1
