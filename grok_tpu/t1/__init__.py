@@ -39,7 +39,24 @@ def unregister_backend(name: str) -> None:
 
 
 def select_backend(name: str | None = None):
-    """Returns a module exposing encode_cblks/decode_cblks."""
+    """Returns a module exposing encode_cblks/decode_cblks.
+
+    GROK_TPU_T1_DEBUG=1 wraps the selection in DebugVerifyBackend: every
+    batch is bit-checked against the numpy reference coder (the analogue
+    of the reference's GRK_PLUGIN_STATE_DEBUG plugin-vs-host mode)."""
+    backend = _select(name)
+    if os.environ.get("GROK_TPU_T1_DEBUG"):
+        from . import ebcot_np
+        from .debug import DebugVerifyBackend
+
+        if backend is not ebcot_np and not isinstance(
+                backend, DebugVerifyBackend):
+            label = name or os.environ.get("GROK_TPU_T1", "auto")
+            return DebugVerifyBackend(backend, label)
+    return backend
+
+
+def _select(name: str | None = None):
     name = name or os.environ.get("GROK_TPU_T1", "auto")
     if name not in _REGISTRY and os.environ.get("GROK_TPU_T1_PLUGIN"):
         from . import plugin

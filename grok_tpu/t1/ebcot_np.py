@@ -237,6 +237,7 @@ def encode_cblks(
     max_bitplanes: int | None = None,
     styles: np.ndarray | None = None,
     want_dist: bool = True,  # accepted for API parity; always computed here
+    cxd_capture: list | None = None,  # t1/debug.py CxD stream sink
 ) -> T1EncodeResult:
     """Encode a batch of codeblocks.
 
@@ -258,6 +259,7 @@ def encode_cblks(
     st = _State(mag, sgn, heights, widths, orients, styles)
     max_bytes = max(64, (pmax * h * w) // 4 + 128)
     mq = MQEncoder(n, max_bytes)
+    mq.cxd_capture = cxd_capture
 
     pass_rates = np.zeros((n, max(max_passes, 1)), dtype=np.int64)
     pass_dist = np.zeros((n, max(max_passes, 1)), dtype=np.float64)

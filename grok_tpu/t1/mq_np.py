@@ -87,6 +87,10 @@ class MQEncoder:
         self.pos = np.zeros(n, dtype=np.int64)  # index of current byte B
         self.ctx_state, self.ctx_mps = initial_ctx_states(n)
         self._lanes = np.arange(n)
+        # debug hook: when set to a list, every decision appends
+        # (ctx, d, mask) — the grk_plugin_debug_mqc contextStream analogue
+        # consumed by t1/debug.py (reference: plugin_interface.h:33-51)
+        self.cxd_capture: list | None = None
 
     def reset_ctx(self, mask: np.ndarray) -> None:
         """Per-lane context reset (RESET codeblock style)."""
@@ -139,6 +143,11 @@ class MQEncoder:
         """Encode one decision per masked lane. bit/ctx are [N] arrays."""
         if not mask.any():
             return
+        if self.cxd_capture is not None:
+            self.cxd_capture.append(
+                (np.broadcast_to(ctx, (self.n,)).copy(),
+                 np.broadcast_to(bit, (self.n,)).astype(np.uint8).copy(),
+                 mask.copy()))
         lanes = self._lanes
         state = self.ctx_state[lanes, ctx]
         mps = self.ctx_mps[lanes, ctx]
