@@ -79,6 +79,16 @@ def _select(name: str | None = None):
         from . import ebcot_pallas
 
         return ebcot_pallas
+    if name == "ht-device":
+        # device (TPU) HT cleanup coder; Part-1 styles stay on the default
+        # host coder, the HT path (ht.encode_cblks) routes to ht_jax
+        from . import native
+
+        if native.available():
+            return native
+        from . import ebcot_np
+
+        return ebcot_np
     if name not in ("auto", "numpy", "native"):
         raise ValueError(f"unknown T1 backend {name!r} "
                          f"(registered: {sorted(_REGISTRY)})")

@@ -634,15 +634,27 @@ def decode_cleanup(seg: bytes, h: int, w: int) -> np.ndarray:
 
 # ========================================================== batch interface
 def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0,
-                 refine: bool = False):
+                 refine: bool = False, device: bool | None = None):
     """Batch API matching the Part-1 T1 backends.
 
     With ``refine``, blocks whose magnitudes span >= 2 bitplanes are coded
     as 3-pass HT sets (cleanup @ plane 1 + SigProp/MagRef @ plane 0), giving
-    PCRD truncation points at the cleanup boundary."""
+    PCRD truncation points at the cleanup boundary.
+
+    ``device`` selects the accelerator (jax/XLA) cleanup coder; defaults to
+    the GROK_TPU_T1=ht-device env switch."""
+    import os
+
     from .ebcot_np import T1EncodeResult
     from . import native as _native
 
+    if device is None:
+        device = os.environ.get("GROK_TPU_T1") == "ht-device"
+    if device and not refine:
+        from . import ht_jax
+
+        return ht_jax.encode_cblks(coeffs, heights, widths, orients,
+                                   num_threads, refine)
     if refine:
         return _encode_cblks_refine(coeffs, heights, widths, orients)
     if _native.available():

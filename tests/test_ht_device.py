@@ -1,0 +1,153 @@
+"""Device (jax) HT cleanup encoder vs the scalar host oracle.
+
+Byte-identity of every codeword segment across block sizes, precisions,
+sparsity patterns and ragged (odd h/w) edge blocks; plus the backend API
+(T1EncodeResult parity with ht.encode_cblks)."""
+
+import numpy as np
+import pytest
+
+from grok_tpu.t1 import ht, ht_jax
+
+
+def _blocks(rng, n, bh, bw, mag, density=0.5, signed=True):
+    c = rng.integers(0, mag + 1, size=(n, bh, bw))
+    mask = rng.random((n, bh, bw)) < density
+    c = c * mask
+    if signed:
+        c = np.where(rng.random((n, bh, bw)) < 0.5, -c, c)
+    return c.astype(np.int64)
+
+
+def _check_identical(coeffs, heights, widths):
+    segs = ht_jax.encode_cleanup_batch(
+        coeffs.astype(np.int32), heights, widths)
+    for i in range(coeffs.shape[0]):
+        hi, wi = int(heights[i]), int(widths[i])
+        blk = coeffs[i, :hi, :wi]
+        if hi == 0 or wi == 0 or np.abs(blk).max(initial=0) == 0:
+            assert segs[i] == b""
+            continue
+        ref = ht.encode_cleanup(coeffs[i], hi, wi)
+        assert segs[i] == ref, (
+            f"block {i} ({hi}x{wi}): device {segs[i][:40].hex()}... "
+            f"!= host {ref[:40].hex()}...")
+
+
+@pytest.mark.parametrize("bh,bw", [(64, 64), (32, 32), (16, 16), (4, 4),
+                                   (8, 32), (64, 4)])
+def test_device_matches_host_sizes(bh, bw):
+    rng = np.random.default_rng(7)
+    coeffs = _blocks(rng, 24, bh, bw, mag=200)
+    heights = np.full(24, bh, dtype=np.int64)
+    widths = np.full(24, bw, dtype=np.int64)
+    _check_identical(coeffs, heights, widths)
+
+
+def test_device_matches_host_ragged_edges():
+    rng = np.random.default_rng(11)
+    bh = bw = 64
+    n = 40
+    coeffs = _blocks(rng, n, bh, bw, mag=500, density=0.7)
+    heights = rng.integers(1, bh + 1, size=n).astype(np.int64)
+    widths = rng.integers(1, bw + 1, size=n).astype(np.int64)
+    heights[0], widths[0] = 1, 1
+    heights[1], widths[1] = 64, 1
+    heights[2], widths[2] = 1, 64
+    heights[3], widths[3] = 63, 63
+    heights[4], widths[4] = 3, 5
+    for i in range(n):
+        coeffs[i, heights[i]:, :] = 0
+        coeffs[i, :, widths[i]:] = 0
+    _check_identical(coeffs, heights, widths)
+
+
+@pytest.mark.parametrize("mag,density", [
+    (1, 0.5), (1, 0.02), (3, 0.9), (65000, 0.6), ((1 << 23) - 1, 0.3),
+    (255, 1.0), (10, 0.001),
+])
+def test_device_matches_host_distributions(mag, density):
+    rng = np.random.default_rng(mag * 31 + 1)
+    coeffs = _blocks(rng, 16, 64, 64, mag=mag, density=density)
+    heights = np.full(16, 64, dtype=np.int64)
+    widths = np.full(16, 64, dtype=np.int64)
+    _check_identical(coeffs, heights, widths)
+
+
+def test_device_all_zero_and_mixed():
+    rng = np.random.default_rng(3)
+    coeffs = _blocks(rng, 8, 32, 32, mag=100)
+    coeffs[2] = 0
+    coeffs[5] = 0
+    heights = np.full(8, 32, dtype=np.int64)
+    widths = np.full(8, 32, dtype=np.int64)
+    _check_identical(coeffs, heights, widths)
+
+
+def test_stuffing_stress():
+    """Dense all-ones-ish content maximizes 0xFF / >0x8F stuffing events."""
+    rng = np.random.default_rng(5)
+    coeffs = np.full((6, 64, 64), -((1 << 20) - 1), dtype=np.int64)
+    coeffs[1] = (1 << 15) - 1
+    coeffs[2] = rng.choice([-((1 << 12) - 1), (1 << 12) - 1],
+                           size=(64, 64))
+    coeffs[3, ::2] = 0
+    coeffs[4, :, ::3] = 0
+    heights = np.full(6, 64, dtype=np.int64)
+    widths = np.full(6, 64, dtype=np.int64)
+    _check_identical(coeffs, heights, widths)
+
+
+def test_backend_result_parity():
+    rng = np.random.default_rng(17)
+    coeffs = _blocks(rng, 12, 64, 64, mag=300)
+    coeffs[3] = 0
+    heights = np.full(12, 64, dtype=np.int64)
+    widths = np.full(12, 64, dtype=np.int64)
+    widths[5] = 17
+    heights[6] = 9
+    for i in range(12):
+        coeffs[i, heights[i]:, :] = 0
+        coeffs[i, :, widths[i]:] = 0
+    orients = np.zeros(12, dtype=np.int64)
+    rd = ht_jax.encode_cblks(coeffs, heights, widths, orients)
+    rh = ht.encode_cblks(coeffs, heights, widths, orients, device=False)
+    assert np.array_equal(rd.lengths, rh.lengths)
+    assert np.array_equal(rd.numbps, rh.numbps)
+    assert np.array_equal(rd.npasses, rh.npasses)
+    for i in range(12):
+        li = int(rd.lengths[i])
+        assert bytes(rd.data[i, :li]) == bytes(rh.data[i, :li])
+    assert np.allclose(rd.pass_dist, rh.pass_dist)
+
+
+def test_full_codec_stream_identical(monkeypatch, tmp_path):
+    """GROK_TPU_T1=ht-device produces the identical codestream to the host
+    HT coder through the full compress pipeline."""
+    import grok_tpu as gk
+    from grok_tpu.core.image import Image
+
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 256, size=(96, 160, 3), dtype=np.uint8)
+    params = gk.CompressParams(num_resolutions=4, ht=True)
+
+    monkeypatch.delenv("GROK_TPU_T1", raising=False)
+    ref = gk.compress(Image.from_array(arr), params)
+    monkeypatch.setenv("GROK_TPU_T1", "ht-device")
+    dev = gk.compress(Image.from_array(arr), params)
+    assert dev == ref
+    dec = gk.decompress(dev)
+    got = np.stack([c.data for c in dec.components], axis=-1)
+    assert np.array_equal(got, arr)
+
+
+def test_roundtrip_through_host_decoder():
+    rng = np.random.default_rng(23)
+    coeffs = _blocks(rng, 10, 64, 64, mag=1000, density=0.4)
+    heights = np.full(10, 64, dtype=np.int64)
+    widths = np.full(10, 64, dtype=np.int64)
+    segs = ht_jax.encode_cleanup_batch(
+        coeffs.astype(np.int32), heights, widths)
+    for i in range(10):
+        got = ht.decode_cleanup(segs[i], 64, 64)
+        assert np.array_equal(got, coeffs[i])
