@@ -743,12 +743,25 @@ def _encode_cblks_refine(coeffs, heights, widths, orients):
 
 
 def decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
-                 block_h, block_w, num_threads: int = 0, seg_lengths=None):
+                 block_h, block_w, num_threads: int = 0, seg_lengths=None,
+                 device: bool | None = None):
+    import os
+
     from . import native as _native
 
     numbps = np.asarray(numbps, dtype=np.int64)
     npasses = np.asarray(npasses, dtype=np.int64)
     multi = (np.asarray(numbps) > 1) | (np.asarray(npasses) > 1)
+    if device is None:
+        device = os.environ.get("GROK_TPU_T1") == "ht-device"
+    if device and not multi.any():
+        from . import ht_jax_dec
+
+        out = ht_jax_dec.decode_cleanup_batch(
+            np.asarray(data), lengths, heights, widths, block_h, block_w)
+        zero = (np.asarray(npasses) <= 0) | (np.asarray(lengths) <= 0)
+        out[zero] = 0
+        return out, np.asarray(numbps, dtype=np.int64).copy()
     if _native.available() and not multi.any():
         return _native.ht_decode_cblks(
             data, lengths, numbps, npasses, heights, widths, orients,

@@ -411,9 +411,14 @@ def _encode_device(coeffs, heights, widths, bh, bw, caps):
         [mel_l, (run_f > 0).astype(jnp.int32)[:, None]], axis=1)
     mel_words, mel_total = _pack_bits(mel_v, mel_l, caps["mel_words"])
 
-    ms_b = _stuff_bytes(ms_words, ms_total, caps["ms_bytes"], "ms")
-    mel_b = _stuff_bytes(mel_words, mel_total, caps["mel_bytes"], "mel")
-    vlc_b = _stuff_bytes(vlc_words, vlc_total, caps["vlc_bytes"], "vlc")
+    def as_u8(stuffed):
+        # bytes ride the host link as uint8, not uint32 lanes (4x less D2H)
+        out, n_emit, partial, rem, fprev = stuffed
+        return out.astype(jnp.uint8), n_emit, partial, rem, fprev
+
+    ms_b = as_u8(_stuff_bytes(ms_words, ms_total, caps["ms_bytes"], "ms"))
+    mel_b = as_u8(_stuff_bytes(mel_words, mel_total, caps["mel_bytes"], "mel"))
+    vlc_b = as_u8(_stuff_bytes(vlc_words, vlc_total, caps["vlc_bytes"], "vlc"))
 
     dist = jnp.sum(
         (coeffs * jnp.where(valid, 1, 0)).astype(jnp.float32) ** 2,
@@ -572,8 +577,10 @@ def encode_cblks(coeffs, heights, widths, orients, num_threads: int = 0,
 
 def decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
                  block_h, block_w, num_threads: int = 0, seg_lengths=None):
+    """Device HT decode for cleanup-only batches (ht_jax_dec); 3-pass HT
+    sets decode via the host refinement path."""
     from . import ht as _host
 
     return _host.decode_cblks(data, lengths, numbps, npasses, heights,
                               widths, orients, block_h, block_w,
-                              num_threads, seg_lengths)
+                              num_threads, seg_lengths, device=True)

@@ -151,3 +151,129 @@ def test_roundtrip_through_host_decoder():
     for i in range(10):
         got = ht.decode_cleanup(segs[i], 64, 64)
         assert np.array_equal(got, coeffs[i])
+
+
+# ===================================================== device decode path
+# (ht_jax_dec: batched FBCOT cleanup decode on XLA; parity target
+#  /root/reference/src/lib/jp2/t1/t1_ht/coding/ojph_block_decoder.cpp)
+
+from grok_tpu.t1 import ht_jax_dec
+
+
+def _batch_segs(coeffs, heights, widths):
+    segs = []
+    for i in range(coeffs.shape[0]):
+        hi, wi = int(heights[i]), int(widths[i])
+        blk = coeffs[i, :hi, :wi]
+        segs.append(ht.encode_cleanup(coeffs[i], hi, wi)
+                    if hi and wi and np.abs(blk).max(initial=0) else b"")
+    L = max(max((len(s) for s in segs), default=0), 2)
+    data = np.zeros((len(segs), L), np.uint8)
+    lens = np.zeros(len(segs), np.int64)
+    for i, s in enumerate(segs):
+        data[i, : len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    return segs, data, lens
+
+
+def _check_decode_identical(coeffs, heights, widths, bh, bw):
+    segs, data, lens = _batch_segs(coeffs, heights, widths)
+    out = ht_jax_dec.decode_cleanup_batch(data, lens, heights, widths,
+                                          bh, bw)
+    for i in range(coeffs.shape[0]):
+        hi, wi = int(heights[i]), int(widths[i])
+        ref = np.zeros((bh, bw), np.int64)
+        if lens[i] >= 2:
+            ref[:hi, :wi] = ht.decode_cleanup(segs[i], hi, wi)
+        assert np.array_equal(out[i], ref), f"lane {i} ({hi}x{wi})"
+
+
+@pytest.mark.parametrize("bh,bw", [(64, 64), (32, 32), (16, 16), (4, 4),
+                                   (8, 32), (64, 4)])
+def test_decode_matches_host_sizes(bh, bw):
+    rng = np.random.default_rng(101)
+    coeffs = _blocks(rng, 12, bh, bw, mag=200)
+    heights = np.full(12, bh, dtype=np.int64)
+    widths = np.full(12, bw, dtype=np.int64)
+    _check_decode_identical(coeffs, heights, widths, bh, bw)
+
+
+def test_decode_matches_host_ragged_edges():
+    rng = np.random.default_rng(103)
+    n, bh, bw = 24, 64, 64
+    coeffs = _blocks(rng, n, bh, bw, mag=500, density=0.7)
+    heights = rng.integers(1, bh + 1, size=n).astype(np.int64)
+    widths = rng.integers(1, bw + 1, size=n).astype(np.int64)
+    heights[0], widths[0] = 1, 1
+    heights[1], widths[1] = 64, 1
+    heights[2], widths[2] = 1, 64
+    heights[3], widths[3] = 63, 63
+    heights[4], widths[4] = 3, 5
+    for i in range(n):
+        coeffs[i, heights[i]:, :] = 0
+        coeffs[i, :, widths[i]:] = 0
+    _check_decode_identical(coeffs, heights, widths, bh, bw)
+
+
+@pytest.mark.parametrize("mag,density", [
+    (1, 0.5), (1, 0.02), (3, 0.9), (65000, 0.6), ((1 << 23) - 1, 0.3),
+    (255, 1.0), (10, 0.001),
+])
+def test_decode_matches_host_distributions(mag, density):
+    rng = np.random.default_rng(mag * 37 + 5)
+    coeffs = _blocks(rng, 8, 64, 64, mag=mag, density=density)
+    heights = np.full(8, 64, dtype=np.int64)
+    widths = np.full(8, 64, dtype=np.int64)
+    _check_decode_identical(coeffs, heights, widths, 64, 64)
+
+
+def test_decode_host_fallback_on_wide_magnitudes():
+    """Magnitudes needing >30 MagSgn bits flag the lane for host redo; the
+    result must still equal the scalar oracle."""
+    coeffs = np.zeros((3, 32, 32), np.int64)
+    coeffs[0, :4, :4] = (1 << 29) + 12345
+    coeffs[1, 2, 2] = -(1 << 30)
+    coeffs[2, :, :] = 77  # normal lane rides the device
+    heights = np.full(3, 32, dtype=np.int64)
+    widths = np.full(3, 32, dtype=np.int64)
+    _check_decode_identical(coeffs, heights, widths, 32, 32)
+
+
+def test_decode_cblks_device_api():
+    rng = np.random.default_rng(107)
+    n = 9
+    coeffs = _blocks(rng, n, 64, 64, mag=900, density=0.4)
+    coeffs[4] = 0
+    heights = np.full(n, 64, dtype=np.int64)
+    widths = np.full(n, 64, dtype=np.int64)
+    orients = np.zeros(n, dtype=np.int64)
+    enc = ht.encode_cblks(coeffs, heights, widths, orients, device=False)
+    out_d, planes_d = ht.decode_cblks(
+        enc.data, enc.lengths, enc.numbps, enc.npasses, heights, widths,
+        orients, 64, 64, device=True)
+    out_h, planes_h = ht.decode_cblks(
+        enc.data, enc.lengths, enc.numbps, enc.npasses, heights, widths,
+        orients, 64, 64, device=False)
+    assert np.array_equal(out_d, out_h)
+    assert np.array_equal(planes_d, planes_h)
+    assert np.array_equal(out_d, coeffs)
+
+
+def test_decode_garbage_segments_match_host():
+    """Random bytes: device decode (with host redo on flagged lanes) must
+    reproduce the host decoder's output bit-for-bit."""
+    rng = np.random.default_rng(109)
+    n, L = 16, 400
+    data = rng.integers(0, 256, size=(n, L), dtype=np.uint8)
+    lens = rng.integers(2, L + 1, size=n).astype(np.int64)
+    heights = np.full(n, 32, dtype=np.int64)
+    widths = np.full(n, 32, dtype=np.int64)
+    out = ht_jax_dec.decode_cleanup_batch(data, lens, heights, widths,
+                                          32, 32)
+    for i in range(n):
+        ref = np.zeros((32, 32), np.int64)
+        try:
+            ref = ht.decode_cleanup(bytes(data[i, : lens[i]]), 32, 32)
+        except ValueError:
+            pass
+        assert np.array_equal(out[i], ref), f"lane {i}"

@@ -1,0 +1,287 @@
+#!/usr/bin/env python
+"""Device-resident end-to-end encode benchmark -> DEVICE_BENCH.json.
+
+Times the full device encode chain (DC shift -> MCT -> DWT -> quant ->
+HT T1) as ONE jitted XLA program with inputs pre-staged on the chip,
+plus each stage in isolation, and reports MP/s (samples/s), estimated
+bytes moved and %-of-roofline per stage. Host<->device transfer over
+this rig's tunnel is timed separately (a production PCIe/ICI attach is
+3-4 orders of magnitude faster and is not the subject of measurement).
+
+The measurement discipline matches the reference's micro-benchmarks
+(/root/reference/src/lib/jp2/util/bench_dwt.cpp:133); the pipeline shape
+matches its per-tile encode chain (tile/TileProcessor.cpp:202-615).
+
+Usage:  python tools/device_bench.py [--h 2160 --w 3840] [--check]
+One command regenerates DEVICE_BENCH.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from grok_tpu.codestream.quantizer import apply_band_quant, compute_signalled_quant
+from grok_tpu.codestream.structs import SizComponent, TccpStyle
+from grok_tpu.core.rect import Rect
+from grok_tpu.tile.geometry import build_tile_comp_geometry
+
+# v5e lite HBM bandwidth (bytes/s), the roofline for these memory-bound
+# kernels; ~819 GB/s per chip.
+HBM_BW = 819e9
+
+
+def natural_image(h, w, nc=3):
+    """Same synthetic natural-statistics content bench.py uses."""
+    rng = np.random.default_rng(12345)
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = np.zeros((h, w, nc), dtype=np.uint8)
+    for c in range(nc):
+        base = (
+            96 + 60 * np.sin(2 * np.pi * (xx / (97 + 31 * c)))
+            + 50 * np.sin(2 * np.pi * (yy / (61 + 17 * c)))
+            + 18 * ((xx // 32 + yy // 32) % 2)
+        )
+        noise = rng.normal(0, 9, size=(h, w))
+        out[..., c] = np.clip(base + noise, 0, 255).astype(np.uint8)
+    return out
+
+
+def build_setup(h, w, nc, nres):
+    tccps, geoms, comps = [], [], []
+    for c in range(nc):
+        t = TccpStyle(num_resolutions=nres, irreversible=False)
+        prec = 8 + (1 if (nc >= 3 and c in (1, 2)) else 0)  # RCT chroma
+        compute_signalled_quant(t, prec)
+        g = build_tile_comp_geometry(c, Rect(0, 0, w, h), t)
+        apply_band_quant(g, t, prec)
+        tccps.append(t)
+        geoms.append(g)
+        comps.append(SizComponent(prec=8))
+    return geoms, tccps, comps
+
+
+def block_specs(geoms, bh=64, bw=64):
+    """Static extraction plan: band slices -> padded [*,64,64] batches."""
+    from grok_tpu.ops.jax_pipeline import _band_origin
+
+    specs, heights, widths = [], [], []
+    for c, g in enumerate(geoms):
+        for res in g.resolutions:
+            for band in res.bands:
+                oy, ox = _band_origin(g, res.r, band.orient)
+                hb, wb = band.rect.height, band.rect.width
+                if hb == 0 or wb == 0:
+                    continue
+                nby = -(-hb // bh)
+                nbx = -(-wb // bw)
+                specs.append((c, oy, ox, hb, wb, nby, nbx))
+                for by in range(nby):
+                    for bx in range(nbx):
+                        heights.append(min(bh, hb - bh * by))
+                        widths.append(min(bw, wb - bw * bx))
+    return specs, np.array(heights, np.int32), np.array(widths, np.int32)
+
+
+def build_chain(h, w, nc, nres, mmax):
+    """One jitted program: image components -> HT segment arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    from grok_tpu.ops.jax_pipeline import make_forward_fn
+    from grok_tpu.t1 import ht_jax
+
+    geoms, tccps, comps = build_setup(h, w, nc, nres)
+    mct = 1 if nc >= 3 else 0
+    fwd = make_forward_fn(geoms, tccps, comps, mct)
+    specs, heights, widths = block_specs(geoms)
+    n_blocks = len(heights)
+
+    qh, qw = 32, 32
+    n_pairs = qh * (qw // 2)
+    ms_bits = 64 * 64 * mmax + 64
+    vlc_bits = 4 + 30 * n_pairs + 32
+    mel_bits = 6 * (3 * n_pairs + 1) + 32
+    caps = {
+        "ms_words": (ms_bits + 31) // 32 + 1,
+        "vlc_words": (vlc_bits + 31) // 32 + 1,
+        "mel_words": (mel_bits + 31) // 32 + 1,
+        "ms_bytes": ms_bits // 7 + 2,
+        "vlc_bytes": vlc_bits // 7 + 2,
+        "mel_bytes": mel_bits // 7 + 2,
+    }
+    # NOTE: heights/widths must stay runtime arguments — baking them in as
+    # closed-over constants lets XLA constant-fold the size masks, which
+    # miscompiles (device fault) on the axon TPU platform.
+    hs = jnp.asarray(heights)
+    ws = jnp.asarray(widths)
+
+    def extract(packed):
+        blocks = []
+        for (c, oy, ox, hb, wb, nby, nbx) in specs:
+            a = jax.lax.dynamic_slice(packed[c], (oy, ox), (hb, wb))
+            a = jnp.pad(a, ((0, nby * 64 - hb), (0, nbx * 64 - wb)))
+            blocks.append(
+                a.reshape(nby, 64, nbx, 64).transpose(0, 2, 1, 3)
+                .reshape(-1, 64, 64))
+        return jnp.concatenate(blocks, axis=0)
+
+    def chain(hs_, ws_, *xs):
+        batch = extract(fwd(*xs))
+        return ht_jax._encode_device(batch, hs_, ws_, 64, 64, caps)
+
+    def transform_only(*xs):
+        return extract(fwd(*xs))
+
+    def t1_only(batch, hs_, ws_):
+        return ht_jax._encode_device(batch, hs_, ws_, 64, 64, caps)
+
+    meta = dict(n_blocks=n_blocks, heights=heights, widths=widths, caps=caps,
+                hs=hs, ws=ws)
+    return (jax.jit(chain), jax.jit(transform_only), jax.jit(t1_only), meta)
+
+
+def _block(tree):
+    import jax
+
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+        else x, tree)
+    return tree
+
+
+def time_fn(fn, args, reps=5):
+    _block(fn(*args))  # warm (compiled already, primes any caches)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _block(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=int, default=2160)
+    ap.add_argument("--w", type=int, default=3840)
+    ap.add_argument("--nc", type=int, default=3)
+    ap.add_argument("--nres", type=int, default=6)
+    ap.add_argument("--check", action="store_true",
+                    help="validate segments vs the host coder (small size)")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "DEVICE_BENCH.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+
+    h, w, nc = args.h, args.w, args.nc
+    img = natural_image(h, w, nc)
+    samples = h * w * nc
+
+    # magnitude bound: Mb from the signalled quant (MAGB discipline)
+    _, tccps, _ = build_setup(h, w, nc, args.nres)
+    mmax = max(max(t.step_exps) + t.guard_bits - 1 for t in tccps) + 1
+
+    t_build0 = time.perf_counter()
+    chain, transform_only, t1_only, meta = build_chain(
+        h, w, nc, args.nres, mmax)
+    comps_np = [np.ascontiguousarray(img[..., c], dtype=np.int32)
+                for c in range(nc)]
+
+    t0 = time.perf_counter()
+    comps_dev = [jax.device_put(x, dev) for x in comps_np]
+    hs_dev = jax.device_put(meta["hs"], dev)
+    ws_dev = jax.device_put(meta["ws"], dev)
+    _block(comps_dev)
+    h2d_s = time.perf_counter() - t0
+
+    chain_args = (hs_dev, ws_dev, *comps_dev)
+    print("compiling + first run (tunnel-slow on this rig)...", flush=True)
+    t0 = time.perf_counter()
+    _block(chain(*chain_args))
+    compile_s = time.perf_counter() - t0
+    print(f"cold chain: {compile_s:.1f}s", flush=True)
+
+    e2e_s = time_fn(chain, chain_args)
+    fwd_s = time_fn(transform_only, comps_dev)
+    batch_dev = _block(transform_only(*comps_dev))
+    t1_s = time_fn(t1_only, (batch_dev, hs_dev, ws_dev))
+
+    # ---- roofline estimates (bytes touched in HBM, int32 planes)
+    area4 = samples * 4
+    # DWT: per level, vertical+horizontal lifting passes read+write the
+    # level plane (~4/3 total area across the pyramid), plus DC/MCT r+w
+    fwd_bytes = area4 * 2 + area4 * (4 / 3) * 2 * 2
+    # T1: quad math reads the batch and builds item arrays (~6 planes of
+    # per-sample int32 traffic), packing + stuffing streams ~2 more
+    t1_bytes = area4 * 9
+    mk = lambda t, b: {
+        "ms": round(t * 1e3, 3),
+        "mp_s": round(samples / t / 1e6, 2),
+        "est_bytes_moved": int(b),
+        "pct_roofline": round(100 * (b / t) / HBM_BW, 1),
+    }
+    result = {
+        "device": str(dev),
+        "image": f"{w}x{h}x{nc} natural (synthetic)",
+        "config": f"ht_lossless 5/3, {args.nres} res, RCT, 64x64 cblks",
+        "n_codeblocks": int(meta["n_blocks"]),
+        "samples_mp": round(samples / 1e6, 2),
+        "stages": {
+            "transform_dc_mct_dwt_quant": mk(fwd_s, fwd_bytes),
+            "t1_ht_cleanup_encode": mk(t1_s, t1_bytes),
+            "end_to_end_chain": mk(e2e_s, fwd_bytes + t1_bytes),
+        },
+        "transfer": {
+            "h2d_s": round(h2d_s, 2),
+            "note": "axon tunnel ~0.7 MB/s; excluded from device-resident "
+                    "numbers (production attach is PCIe/ICI)",
+        },
+        "compile_s": round(compile_s, 1),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+
+    if args.check:
+        from grok_tpu.t1 import ht, ht_jax
+
+        out = chain(*chain_args)
+        segs = ht_jax._compact(
+            {k: [np.asarray(x) for x in out[k]] if k in ("ms", "mel", "vlc")
+             else np.asarray(out[k]) for k in out},
+            meta["n_blocks"], meta["heights"], meta["widths"])
+        batch_host = np.asarray(batch_dev)
+        bad = 0
+        for i in range(meta["n_blocks"]):
+            hi, wi = int(meta["heights"][i]), int(meta["widths"][i])
+            blk = batch_host[i, :hi, :wi].astype(np.int64)
+            if np.abs(blk).max(initial=0) == 0:
+                ok = segs[i] == b""
+            else:
+                ok = segs[i] == ht.encode_cleanup(
+                    batch_host[i].astype(np.int64), hi, wi)
+            bad += not ok
+        result["check"] = {"blocks": meta["n_blocks"], "mismatches": bad}
+        print(f"check: {bad} mismatches / {meta['n_blocks']} blocks")
+        assert bad == 0
+
+    print(json.dumps(result, indent=2))
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
