@@ -13,9 +13,15 @@ the host path, so ``compress_distributed`` produces a codestream
 byte-identical to ``gk.compress`` — asserted by tests/test_parallel.py and
 the driver's dryrun_multichip.
 
-Tiles whose shape differs from the dominant tile size (right/bottom edges)
-fall back to the per-tile host transform; they still ride the same ordered
-assembly.
+Tiles are grouped by a transform fingerprint — the per-level (origin
+parity, size) chain that determines the DWT split structure — and EVERY
+group rides the device, so right/bottom edge tiles of a non-multiple image
+shard onto the mesh too (one compiled program per distinct geometry, at
+most four for a regular grid: interior, right edge, bottom edge, corner).
+The fingerprint, not the raw (w, h), is the grouping key: two same-size
+tiles whose origins differ in parity at some level transform differently,
+so shape-only grouping would mis-batch them (caught by the odd-tile-size
+regression in tests/test_parallel.py).
 """
 
 from __future__ import annotations
@@ -40,6 +46,33 @@ def _make_mesh(n_devices=None):
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), ("tile",))
+
+
+def _tile_fingerprint(siz, tcp, ti):
+    """Transform-equivalence key: tiles with equal fingerprints run the
+    same compiled forward/inverse program (same DWT split structure and
+    packed-band layout).
+
+    The wavelet lifting splits on ABSOLUTE coordinate parity, and the
+    level-l rect is the ceil-halved level-(l-1) rect, so the per-level
+    (x0&1, y0&1, w, h) chain captures exactly what the jitted program
+    bakes from the tile rect (ops/jax_pipeline.make_forward_fn uses
+    g.rect + band sizes; ref: DWT anchoring in T.800 Annex F)."""
+    tb = siz.tile_bounds(ti)
+    key = []
+    for c in range(siz.num_comps):
+        comp = siz.comps[c]
+        x0 = -(-tb.x0 // comp.dx)
+        y0 = -(-tb.y0 // comp.dy)
+        x1 = -(-tb.x1 // comp.dx)
+        y1 = -(-tb.y1 // comp.dy)
+        lev = []
+        for _ in range(tcp.tccps[c].num_resolutions):
+            lev.append((x0 & 1, y0 & 1, x1 - x0, y1 - y0))
+            x0, y0 = -(-x0 // 2), -(-y0 // 2)
+            x1, y1 = -(-x1 // 2), -(-y1 // 2)
+        key.append(tuple(lev))
+    return tuple(key)
 
 
 def compress_distributed(image, params: CompressParams | None = None,
@@ -72,23 +105,19 @@ def compress_distributed(image, params: CompressParams | None = None,
     mesh = mesh or _make_mesh()
     n_dev = mesh.shape["tile"]
 
-    # group tiles by tile-component geometry; batch the dominant full-size
-    # group over the mesh, everything else takes the host fallback
-    shapes: dict[tuple, list[int]] = {}
+    # group tiles by transform fingerprint; EVERY group batches over the
+    # mesh (a regular grid has at most 4 groups: interior, right edge,
+    # bottom edge, corner)
+    groups: dict[tuple, list[int]] = {}
     subsampled = any(c.dx != 1 or c.dy != 1 for c in siz.comps)
-    for ti in range(siz.num_tiles):
-        tb = siz.tile_bounds(ti)
-        shapes.setdefault((tb.width, tb.height), []).append(ti)
-    batch_tiles: list[int] = []
     irrev = bool(tcp.tccps and tcp.tccps[0].irreversible)
     if not subsampled and siz.num_tiles > 1 and (
             not irrev or device_irreversible):
-        batch_tiles = max(shapes.values(), key=len)
-        if len(batch_tiles) < 2:
-            batch_tiles = []
+        for ti in range(siz.num_tiles):
+            groups.setdefault(_tile_fingerprint(siz, tcp, ti), []).append(ti)
 
     coeff_map: dict[int, list[np.ndarray]] = {}
-    if batch_tiles:
+    for batch_tiles in groups.values():
         t0 = batch_tiles[0]
         tp0 = TileProcessor(siz, tcp, t0, enc_params=params)
         for c in range(siz.num_comps):
@@ -97,7 +126,7 @@ def compress_distributed(image, params: CompressParams | None = None,
             tp0.geoms, tcp.tccps, siz.comps, tcp.mct
         )
 
-        def batched(stack):  # [T_local, C, H, W]
+        def batched(stack, fwd_one=fwd_one):  # [T_local, C, H, W]
             def one(tile):
                 outs = fwd_one(*[tile[c] for c in range(tile.shape[0])])
                 return jnp.stack(outs, axis=0)
@@ -200,44 +229,32 @@ def decompress_distributed(data, params=None, mesh=None,
     siz = dec.header.siz
 
     arrays_of: dict[int, list[np.ndarray]] = {}
-    batch: list[int] = []
+    groups: dict[tuple, list[int]] = {}
     parsed: dict[int, tuple] = {}
     if p.window is None and siz.num_tiles > 1:
-        groups: dict[tuple, list[int]] = {}
         for ti in range(siz.num_tiles):
-            if ti in dec.index.spans:
-                tb = siz.tile_bounds(ti)
-                groups.setdefault((tb.width, tb.height), []).append(ti)
-        cand = max(groups.values(), key=len) if groups else []
-        key0 = None
-        for ti in cand:
+            if ti not in dec.index.spans:
+                continue
             try:
                 tcp, body, packed = dec._parse_tile_headers(ti)
             except Exception:
                 continue  # corrupt headers: host path zero-fills it
-            k = _inverse_key(tcp)
-            if key0 is None:
-                key0 = k
-            if k == key0:
-                parsed[ti] = (tcp, body, packed)
-                batch.append(ti)
-        if batch:
-            tcp0 = parsed[batch[0]][0]
-            irrev = bool(tcp0.tccps[0].irreversible)
-            if (irrev or tcp0.mct == 2) and not device_irreversible:
-                batch = []
-        if len(batch) < 2:
-            batch = []
+            irrev = bool(tcp.tccps[0].irreversible)
+            if (irrev or tcp.mct == 2) and not device_irreversible:
+                continue
+            parsed[ti] = (tcp, body, packed)
+            k = (_inverse_key(tcp), _tile_fingerprint(siz, tcp, ti))
+            groups.setdefault(k, []).append(ti)
 
-    if batch:
+    all_tiles = [ti for tiles in groups.values() for ti in tiles]
+    staged: dict[int, object] = {}
+    tps: dict[int, TileProcessor] = {}
+    if all_tiles:
         from concurrent.futures import ThreadPoolExecutor
 
         from ..core.cpu import host_threads, set_tile_threads
 
-        tcp0 = parsed[batch[0]][0]
-        tps: dict[int, TileProcessor] = {}
-
-        nw = min(host_threads(p.num_threads), len(batch), 16)
+        nw = min(host_threads(p.num_threads), len(all_tiles), 16)
         per_tile = max(1, host_threads(p.num_threads) // nw)
 
         def stage_one(ti):
@@ -256,12 +273,14 @@ def decompress_distributed(data, params=None, mesh=None,
 
         if nw > 1:
             with ThreadPoolExecutor(max_workers=nw) as ex:
-                staged = dict(ex.map(stage_one, batch))
+                staged = dict(ex.map(stage_one, all_tiles))
         else:
-            staged = dict(stage_one(ti) for ti in batch)
-        batch = [ti for ti in batch if staged.get(ti) is not None]
+            staged = dict(stage_one(ti) for ti in all_tiles)
 
-    if len(batch) >= 2:
+    for batch in groups.values():
+        batch = [ti for ti in batch if staged.get(ti) is not None]
+        if not batch:
+            continue
         mesh = mesh or _make_mesh()
         n_dev = mesh.shape["tile"]
         tp0 = tps[batch[0]]  # band quant applied by its staging decode
@@ -272,7 +291,7 @@ def decompress_distributed(data, params=None, mesh=None,
             mct_dec_matrix=tcp0.mct_dec_matrix, mct_offsets=tcp0.mct_offsets,
         )
 
-        def batched(*stacks):  # stacks[c]: [T_local, Hc, Wc]
+        def batched(*stacks, inv_one=inv_one):  # stacks[c]: [T_local, Hc, Wc]
             return jax.vmap(lambda *planes: inv_one(*planes))(*stacks)
 
         sharded = jax.jit(

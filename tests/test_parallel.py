@@ -92,12 +92,33 @@ def test_distributed_encode_byte_identical(rng):
     dist = compress_distributed(gk.Image.from_array(arr), p)
     assert dist == ref
 
-    # uneven boundary tiles take the host fallback inside the same assembly
+    # uneven boundary tiles shard onto the mesh as their own fingerprint
+    # groups (right edge / bottom edge / corner)
     arr2 = natural_image(150, 170, 3)
     p2 = gk.CompressParams(num_resolutions=3, tile_size=(64, 64))
     ref2 = gk.compress(gk.Image.from_array(arr2), p2)
     dist2 = compress_distributed(gk.Image.from_array(arr2), p2)
     assert dist2 == ref2
+
+
+def test_distributed_odd_tile_parity_groups(rng):
+    """Regression: same-SIZE tiles whose origins differ in parity at some
+    DWT level transform differently — shape-only grouping mis-batched them
+    (wrong coefficients, silently corrupt stream). The fingerprint key must
+    keep them apart; streams stay byte-identical to the host path."""
+    import grok_tpu as gk
+    from grok_tpu.parallel.distributed import (compress_distributed,
+                                               decompress_distributed)
+    from tests.conftest import natural_image
+
+    arr = natural_image(111, 149, 3)
+    p = gk.CompressParams(num_resolutions=3, tile_size=(37, 37))
+    ref = gk.compress(gk.Image.from_array(arr), p)
+    p2 = gk.CompressParams(num_resolutions=3, tile_size=(37, 37))
+    dist = compress_distributed(gk.Image.from_array(arr), p2)
+    assert dist == ref
+    assert np.array_equal(decompress_distributed(ref).to_array(),
+                          gk.decompress(ref).to_array())
 
 
 def test_distributed_decode_bit_identical(rng):
