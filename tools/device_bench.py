@@ -143,9 +143,56 @@ def build_chain(h, w, nc, nres, mmax):
     def t1_only(batch, hs_, ws_):
         return ht_jax._encode_device(batch, hs_, ws_, 64, 64, caps)
 
+    # K iterations inside ONE program, each depending on the loop index and
+    # feeding a live scalar accumulator: amortizes the per-dispatch floor
+    # (~1 ms over this rig's tunnel) out of the timing and defeats CSE/DCE,
+    # so short kernels time honestly (single-dispatch timings of sub-ms
+    # programs on axon read as the dispatch floor, not the kernel).
+    def digest(d):
+        import jax.numpy as jnp
+
+        return (d["dist"].sum()
+                + d["ms"][0].astype(jnp.uint32).sum().astype(jnp.float32)
+                + d["vlc"][0].astype(jnp.uint32).sum().astype(jnp.float32))
+
+    def chain_loop(k_iters, hs_, ws_, *xs):
+        import jax.numpy as jnp
+
+        def body(i, acc):
+            shifted = [x + (i % 7) for x in xs]  # varies every iteration
+            batch = extract(fwd(*shifted))
+            return acc + digest(
+                ht_jax._encode_device(batch, hs_, ws_, 64, 64, caps))
+
+        return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0))
+
+    def fwd_loop(k_iters, *xs):
+        import jax.numpy as jnp
+
+        def body(i, acc):
+            shifted = [x + (i % 7) for x in xs]
+            return acc + extract(fwd(*shifted)).sum().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0))
+
+    def t1_loop(k_iters, batch, hs_, ws_):
+        import jax.numpy as jnp
+
+        def body(i, acc):
+            return acc + digest(ht_jax._encode_device(
+                batch + (i % 7), hs_, ws_, 64, 64, caps))
+
+        return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0))
+
     meta = dict(n_blocks=n_blocks, heights=heights, widths=widths, caps=caps,
                 hs=hs, ws=ws)
-    return (jax.jit(chain), jax.jit(transform_only), jax.jit(t1_only), meta)
+    loops = {
+        "chain": jax.jit(chain_loop, static_argnums=0),
+        "fwd": jax.jit(fwd_loop, static_argnums=0),
+        "t1": jax.jit(t1_loop, static_argnums=0),
+    }
+    return (jax.jit(chain), jax.jit(transform_only), jax.jit(t1_only),
+            loops, meta)
 
 
 def _block(tree):
@@ -173,6 +220,8 @@ def main():
     ap.add_argument("--w", type=int, default=3840)
     ap.add_argument("--nc", type=int, default=3)
     ap.add_argument("--nres", type=int, default=6)
+    ap.add_argument("--loops", type=int, default=48,
+                    help="loop-amortization factor for per-stage timing")
     ap.add_argument("--check", action="store_true",
                     help="validate segments vs the host coder (small size)")
     ap.add_argument("--out", default=os.path.join(
@@ -195,7 +244,7 @@ def main():
     mmax = max(max(t.step_exps) + t.guard_bits - 1 for t in tccps) + 1
 
     t_build0 = time.perf_counter()
-    chain, transform_only, t1_only, meta = build_chain(
+    chain, transform_only, t1_only, loops, meta = build_chain(
         h, w, nc, args.nres, mmax)
     comps_np = [np.ascontiguousarray(img[..., c], dtype=np.int32)
                 for c in range(nc)]
@@ -214,10 +263,36 @@ def main():
     compile_s = time.perf_counter() - t0
     print(f"cold chain: {compile_s:.1f}s", flush=True)
 
-    e2e_s = time_fn(chain, chain_args)
-    fwd_s = time_fn(transform_only, comps_dev)
     batch_dev = _block(transform_only(*comps_dev))
-    t1_s = time_fn(t1_only, (batch_dev, hs_dev, ws_dev))
+
+    # loop-amortized per-iteration times: run K and 2K iterations inside
+    # one program and difference them, cancelling dispatch/launch overhead
+    def loop_time(fn, args, k, reps=3):
+        _block(fn(k, *args))        # compile + warm
+        _block(fn(2 * k, *args))
+        tk = t2k = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _block(fn(k, *args))
+            tk = min(tk, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _block(fn(2 * k, *args))
+            t2k = min(t2k, time.perf_counter() - t0)
+        return max((t2k - tk) / k, 1e-9), tk, t2k
+
+    K = args.loops
+    e2e_s, e2e_tk, e2e_t2k = loop_time(
+        loops["chain"], (hs_dev, ws_dev, *comps_dev), K)
+    fwd_s, fwd_tk, fwd_t2k = loop_time(loops["fwd"], tuple(comps_dev), K)
+    t1_s, t1_tk, t1_t2k = loop_time(loops["t1"], (batch_dev, hs_dev, ws_dev), K)
+    raw_loops = {
+        "chain_Ks_2Ks": [round(e2e_tk, 4), round(e2e_t2k, 4)],
+        "fwd_Ks_2Ks": [round(fwd_tk, 4), round(fwd_t2k, 4)],
+        "t1_Ks_2Ks": [round(t1_tk, 4), round(t1_t2k, 4)],
+    }
+
+    # single-dispatch wall time (includes the launch floor), for reference
+    e2e_1 = time_fn(chain, chain_args)
 
     # ---- roofline estimates (bytes touched in HBM, int32 planes)
     area4 = samples * 4
@@ -244,10 +319,17 @@ def main():
             "t1_ht_cleanup_encode": mk(t1_s, t1_bytes),
             "end_to_end_chain": mk(e2e_s, fwd_bytes + t1_bytes),
         },
+        "timing": {
+            "method": f"fori_loop-amortized (2K-K)/K difference, K={K}; "
+                      "cancels the per-dispatch floor",
+            "single_dispatch_chain_ms": round(e2e_1 * 1e3, 3),
+            "raw_loop_wall_s": raw_loops,
+        },
         "transfer": {
             "h2d_s": round(h2d_s, 2),
-            "note": "axon tunnel ~0.7 MB/s; excluded from device-resident "
-                    "numbers (production attach is PCIe/ICI)",
+            "note": "host<->device transfer rides the axon tunnel on this "
+                    "rig; excluded from device-resident numbers "
+                    "(production attach is PCIe/ICI)",
         },
         "compile_s": round(compile_s, 1),
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
