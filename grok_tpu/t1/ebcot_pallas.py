@@ -67,6 +67,324 @@ def _slot_counts(ns: int, w: int) -> tuple[int, int, int, int]:
 _KERNELS: dict = {}
 
 
+def _build_kernel_wide(Hp: int, W: int, NL: int, SUB: int, PMAXC: int,
+                       interpret: bool):
+    """Multi-block-per-sublane layout: SUB codeblocks ride the sublane axis.
+
+    The original kernel stores one position per VMEM row, so every vector
+    op is a [1, 128] row using 1/8 of the VPU sublanes. Here position r of
+    sub-block g lives at VMEM row r*SUB + g: every load/store is a full
+    (SUB, 128) tile and every context computation runs on SUB*128 blocks at
+    once. Three further changes cut the op count per position:
+
+    - signs are folded into the flag plane (bit 3) at plane 0, so the sign
+      context needs no coefficient neighbor loads at all;
+    - the 6 flag row-triples a column touches are loaded once per column
+      and patched in registers as positions update them (the original
+      reloaded 6 triples per *position*);
+    - all row/store addresses are SUB-aligned multiples, so dynamic-offset
+      tile realignment disappears.
+
+    The symbol output is gridded per (pass, stripe) — grid (PMAXC, 3*NS) —
+    which bounds the out-block VMEM slice to one stripe's slots and keeps
+    every in-kernel address affine in the single column fori variable (the
+    Mosaic constraint documented in cup_col above). Replaces the parallel
+    axis of the reference's per-thread T1 instances
+    (t1/T1CompressScheduler.cpp:91-145)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NS = Hp // 4
+    Wp = W + 2
+    R = (Hp + 2) * Wp
+    # per-stripe slot spans (stripe-local slot layout)
+    S_SPP1 = W * 8
+    S_MRP1 = W * 4
+    S_CUP1 = W * 11
+    S_STRIPE = _round_up(S_CUP1 + 4, 8)  # CUP worst + segsym tail
+
+    def zc_ctx(fu, fm, fd, dnc, orient):
+        """ZC context + neighbor count; f*: [3, SUB, NL] flag row triples
+        (index i = column x-1+i), dnc: VSC cut mask for the row below."""
+        s = lambda t, i: t[i] & 1
+        blw = lambda i: jnp.where(dnc, 0, s(fd, i))
+        h = s(fm, 0) + s(fm, 2)
+        v = s(fu, 1) + blw(1)
+        d = s(fu, 0) + s(fu, 2) + blw(0) + blw(2)
+        hn = jnp.where(orient == 1, v, h)
+        vn = jnp.where(orient == 1, h, v)
+        nrm = jnp.where(
+            hn == 2,
+            8,
+            jnp.where(
+                hn == 1,
+                jnp.where(vn >= 1, 7, jnp.where(d >= 1, 6, 5)),
+                jnp.where(
+                    vn == 2,
+                    4,
+                    jnp.where(
+                        vn == 1, 3,
+                        jnp.where(d >= 2, 2, jnp.where(d == 1, 1, 0))
+                    ),
+                ),
+            ),
+        )
+        a = h + v
+        hh = jnp.where(
+            d >= 3,
+            8,
+            jnp.where(
+                d == 2,
+                jnp.where(a >= 1, 7, 6),
+                jnp.where(
+                    d == 1,
+                    jnp.where(a >= 2, 5, jnp.where(a == 1, 4, 3)),
+                    jnp.where(a >= 2, 2, jnp.where(a == 1, 1, 0)),
+                ),
+            ),
+        )
+        return jnp.where(orient == 3, hh, nrm), h + v + d
+
+    def sc_ctx(fu, fm, fd, dnc):
+        """Sign context + xor from the flag plane alone (sig bit 0, sign
+        bit 3) — no coefficient loads."""
+        con = lambda t, i: (t[i] & 1) * (1 - 2 * ((t[i] >> 3) & 1))
+        below = jnp.where(dnc, 0, con(fd, 1))
+        hb = jnp.clip(con(fm, 0) + con(fm, 2), -1, 1)
+        vb = jnp.clip(con(fu, 1) + below, -1, 1)
+        ctx = jnp.where(hb == 0, 9 + jnp.abs(vb), 12 + hb * vb)
+        xr = jnp.where(hb == 0, (vb < 0).astype(jnp.int32),
+                       (hb < 0).astype(jnp.int32))
+        return ctx, xr
+
+    def kernel(coef_ref, lane_ref, sym_ref, flags_ref):
+        p = pl.program_id(0)
+        q = pl.program_id(1)
+        plane = (PMAXC - 1) - p
+
+        @pl.when((p == 0) & (q == 0))
+        def _():
+            # flag bit 3 = static sign plane; bits 0..2 start clear
+            flags_ref[:] = jnp.where(coef_ref[:] < 0, jnp.int32(8),
+                                     jnp.int32(0))
+
+        attr = lambda a: lane_ref[a * SUB:(a + 1) * SUB, :]
+        nbps = attr(0)
+        hgt = attr(1)
+        wid = attr(2)
+        orient = attr(3)
+        vsc = attr(4) != 0
+        segsym = attr(5) != 0
+        bypass = attr(6) != 0
+
+        spp_m = (nbps - 1) > plane
+        cup_m = (nbps - 1) >= plane
+        rel = nbps - 1 - plane
+
+        def lpi(kind):
+            return jnp.where(rel <= 0, 0, (rel - 1) * 3 + 1 + kind)
+
+        raw_spp = bypass & (lpi(0) >= 10)
+        raw_mrp = bypass & (lpi(1) >= 10)
+
+        def rec(valid, raw, bit, ctx):
+            return (
+                (valid.astype(jnp.int32) << 7)
+                | ((raw & valid).astype(jnp.int32) << 6)
+                | ((bit.astype(jnp.int32) & 1) << 5)
+                | ctx.astype(jnp.int32)
+            )
+
+        def put(slot, v):
+            sym_ref[0, 0, pl.ds(slot * SUB, SUB), :] = v
+
+        def load_col(y0, x):
+            """Flag row-triples (rows y0-1..y0+4) + center coef rows of one
+            stripe column; F entries are patched in registers as stores
+            land, so each row is read once per column."""
+            F = [
+                flags_ref[pl.ds(((y0 + j) * Wp + x) * SUB, 3 * SUB), :]
+                .reshape(3, SUB, NL)
+                for j in range(6)
+            ]
+            C = [
+                coef_ref[pl.ds(((y0 + k + 1) * Wp + (x + 1)) * SUB, SUB), :]
+                for k in range(4)
+            ]
+            return F, C
+
+        def store_flags(y0, k, x, newf, F):
+            flags_ref[pl.ds(((y0 + k + 1) * Wp + (x + 1)) * SUB, SUB), :] = \
+                newf
+            F[k + 1] = F[k + 1].at[1].set(newf)
+
+        def spp_stripe(s):
+            y0 = 4 * s
+
+            def colb(x, _):
+                F, C = load_col(y0, x)
+                for k in range(4):
+                    fu, fm, fd = F[k], F[k + 1], F[k + 2]
+                    dnc = vsc & (k == 3)
+                    ctx, ncnt = zc_ctx(fu, fm, fd, dnc, orient)
+                    selff = fm[1]
+                    mag = jnp.abs(C[k])
+                    sgn = (C[k] < 0).astype(jnp.int32)
+                    y = y0 + k
+                    inb = (y < hgt) & (x < wid) & spp_m
+                    code = inb & ((selff & 1) == 0) & (ncnt > 0)
+                    bit = (mag >> plane) & 1
+                    slot0 = x * 8 + k * 2
+                    put(slot0, rec(code, raw_spp, bit, ctx))
+                    became = code & (bit == 1)
+                    scc, xr = sc_ctx(fu, fm, fd, dnc)
+                    sbit = jnp.where(raw_spp, sgn, sgn ^ xr)
+                    put(slot0 + 1, rec(became, raw_spp, sbit, scc))
+                    newf = (selff | became.astype(jnp.int32)
+                            | (code.astype(jnp.int32) << 1))
+                    store_flags(y0, k, x, newf, F)
+                return 0
+
+            jax.lax.fori_loop(0, W, colb, 0)
+
+        def mrp_stripe(s):
+            y0 = 4 * s
+
+            def colb(x, _):
+                F, C = load_col(y0, x)
+                for k in range(4):
+                    fu, fm, fd = F[k], F[k + 1], F[k + 2]
+                    dnc = vsc & (k == 3)
+                    _, ncnt = zc_ctx(fu, fm, fd, dnc, orient)
+                    selff = fm[1]
+                    sig_v = (selff & 1) != 0
+                    vis = (selff & 2) != 0
+                    refn = (selff & 4) != 0
+                    y = y0 + k
+                    inb = (y < hgt) & (x < wid) & spp_m
+                    code = inb & sig_v & ~vis
+                    ctx = jnp.where(
+                        refn, CTX_MR0 + 2,
+                        jnp.where(ncnt > 0, CTX_MR0 + 1, CTX_MR0))
+                    bit = (jnp.abs(C[k]) >> plane) & 1
+                    put(x * 4 + k, rec(code, raw_mrp, bit, ctx))
+                    store_flags(y0, k, x,
+                                selff | (code.astype(jnp.int32) << 2), F)
+                return 0
+
+            jax.lax.fori_loop(0, W, colb, 0)
+
+        def cup_stripe(s):
+            y0 = 4 * s
+
+            def colb(x, _):
+                F, C = load_col(y0, x)
+                base = x * 11
+                full_stripe = (y0 + 4) <= hgt
+                col_ok = full_stripe & (x < wid) & cup_m
+
+                rl = col_ok
+                for k in range(4):
+                    dnc = vsc & (k == 3)
+                    _, ncnt = zc_ctx(F[k], F[k + 1], F[k + 2], dnc, orient)
+                    selff = F[k + 1][1]
+                    rl = rl & ((selff & 3) == 0) & (ncnt == 0)
+
+                fk = jnp.full((SUB, NL), 4, dtype=jnp.int32)
+                for k in range(3, -1, -1):
+                    bit = (jnp.abs(C[k]) >> plane) & 1
+                    fk = jnp.where(rl & (bit == 1), k, fk)
+                rl_bit = (rl & (fk < 4)).astype(jnp.int32)
+                zf = jnp.zeros_like(rl)
+                put(base, rec(rl, zf, rl_bit,
+                              jnp.full((SUB, NL), CTX_RL, jnp.int32)))
+                sigcol = rl & (rl_bit == 1)
+                uni = jnp.full((SUB, NL), CTX_UNI, jnp.int32)
+                put(base + 1, rec(sigcol, zf, (fk >> 1) & 1, uni))
+                put(base + 2, rec(sigcol, zf, fk & 1, uni))
+                skip_rl0 = rl & (rl_bit == 0)
+
+                for k in range(4):
+                    fu, fm, fd = F[k], F[k + 1], F[k + 2]
+                    dnc = vsc & (k == 3)
+                    selff = fm[1]
+                    y = y0 + k
+                    inb = (y < hgt) & (x < wid) & cup_m
+                    bse = inb & ((selff & 3) == 0) & ~skip_rl0
+                    pre_run = sigcol & (k < fk)
+                    implied = sigcol & (k == fk)
+                    zc_code = bse & ~pre_run & ~implied
+                    ctx, _n = zc_ctx(fu, fm, fd, dnc, orient)
+                    mag = jnp.abs(C[k])
+                    sgn = (C[k] < 0).astype(jnp.int32)
+                    bit = (mag >> plane) & 1
+                    put(base + 3 + 2 * k, rec(zc_code, zf, bit, ctx))
+                    became = (zc_code & (bit == 1)) | implied
+                    scc, xr = sc_ctx(fu, fm, fd, dnc)
+                    put(base + 4 + 2 * k, rec(became, zf, sgn ^ xr, scc))
+                    store_flags(y0, k, x,
+                                selff | became.astype(jnp.int32), F)
+                return 0
+
+            jax.lax.fori_loop(0, W, colb, 0)
+            if s == NS - 1:
+                seg = segsym & cup_m
+                uni = jnp.full((SUB, NL), CTX_UNI, jnp.int32)
+                z = jnp.zeros_like(seg)
+                for j, b in enumerate((1, 0, 1, 0)):
+                    put(S_CUP1 + j,
+                        rec(seg, z, jnp.full((SUB, NL), b, jnp.int32), uni))
+            # clear 'visited' on this stripe's rows for the next plane
+            a = (4 * s + 1) * Wp * SUB
+            nr = 4 * Wp * SUB
+            flags_ref[pl.ds(a, nr), :] = (
+                flags_ref[pl.ds(a, nr), :] & ~jnp.int32(2))
+
+        # q enumerates (pass, stripe); stripe bodies are python-specialized
+        # so every VMEM address stays affine in the column fori variable
+        for s in range(NS):
+            @pl.when(q == s)
+            def _(s=s):
+                spp_stripe(s)
+
+            @pl.when(q == NS + s)
+            def _(s=s):
+                mrp_stripe(s)
+
+            @pl.when(q == 2 * NS + s)
+            def _(s=s):
+                cup_stripe(s)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(PMAXC, 3 * NS),
+        in_specs=[
+            pl.BlockSpec((R * SUB, NL), lambda p, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * SUB, NL), lambda p, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, S_STRIPE * SUB, NL), lambda p, q: (p, q, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((PMAXC, 3 * NS, S_STRIPE * SUB, NL),
+                                       jnp.int32),
+        scratch_shapes=[pltpu.VMEM((R * SUB, NL), jnp.int32)],
+        interpret=interpret,
+    )
+
+    import jax as _jax
+
+    def run(flat, lane_tab):
+        out = call(flat, lane_tab)
+        return (out & 0xFF).astype(jnp.uint8)  # 4x smaller fetch
+
+    return _jax.jit(run)
+
+
 def _build_kernel(Hp: int, W: int, N: int, PMAXC: int, interpret: bool):
     import jax
     import jax.numpy as jnp
@@ -563,6 +881,84 @@ def _pack_symbols_nat(
     )
 
 
+# ====================================================== wide-layout encode
+def _encode_wide(coeffs, heights, widths, orients, numbps, styles,
+                 interpret: bool) -> T1EncodeResult:
+    """encode_cblks through the multi-block-per-sublane kernel."""
+    import jax.numpy as jnp
+
+    n, h, w = coeffs.shape
+    mag = np.abs(coeffs)
+    pmax = int(numbps.max(initial=0))
+    Hp = _round_up(h, 4)
+    PMAXC = _round_up(pmax, 4)
+    NL = 128 if not interpret else 8
+    SUB = int(os.environ.get("GROK_TPU_PALLAS_SUB", "8"))
+    NP_ = _round_up(n, SUB * NL)
+    SUB_T = NP_ // NL  # total sublane groups across launches
+    Wp = w + 2
+    R = (Hp + 2) * Wp
+    NS = Hp // 4
+    S_SPP1, S_MRP1, S_CUP1 = w * 8, w * 4, w * 11
+    S_SPP, S_MRP, S_CUP, S_PAD = _slot_counts(NS, w)
+
+    sty = np.zeros(n, dtype=np.int64) if styles is None else np.asarray(styles)
+    fn = _get_kernel_wide(Hp, w, NL, SUB, PMAXC, interpret)
+
+    sym_all = np.zeros((PMAXC, 3, S_PAD, NP_), dtype=np.uint8)
+    for g0 in range(0, NP_, SUB * NL):
+        i0, i1 = g0, min(g0 + SUB * NL, n)
+        nn = max(i1 - i0, 0)
+        flat = np.zeros((Hp + 2, Wp, SUB, NL), dtype=np.int32)
+        lane_tab = np.zeros((8, SUB, NL), dtype=np.int32)
+        if nn > 0:
+            cs = np.zeros((SUB * NL, h, w), dtype=np.int32)
+            cs[:nn] = coeffs[i0:i1]
+            flat[1:h + 1, 1:w + 1] = cs.reshape(SUB, NL, h, w).transpose(
+                2, 3, 0, 1)
+            for a, src in enumerate((numbps[i0:i1], heights[i0:i1],
+                                     widths[i0:i1], orients[i0:i1],
+                                     (sty[i0:i1] & 0x08) != 0,
+                                     (sty[i0:i1] & 0x20) != 0,
+                                     (sty[i0:i1] & 0x01) != 0)):
+                buf = np.zeros(SUB * NL, dtype=np.int32)
+                buf[:nn] = src
+                lane_tab[a] = buf.reshape(SUB, NL)
+        sym = np.asarray(fn(jnp.asarray(flat.reshape(R * SUB, NL)),
+                            jnp.asarray(lane_tab.reshape(8 * SUB, NL))))
+        # [PMAXC, 3*NS, S_STRIPE*SUB, NL] -> global slot-major per pass
+        def spans(pass_i, s1):
+            part = sym[:, pass_i * NS:(pass_i + 1) * NS, :s1 * SUB]
+            return part.reshape(PMAXC, NS * s1, SUB * NL)
+
+        sym_all[:, 0, :S_SPP, g0:g0 + SUB * NL] = spans(0, S_SPP1)
+        sym_all[:, 1, :S_MRP, g0:g0 + SUB * NL] = spans(1, S_MRP1)
+        sym_all[:, 2, :NS * S_CUP1, g0:g0 + SUB * NL] = spans(2, S_CUP1)
+        # segsym tail records live in the last CUP stripe's block
+        tail = sym[:, 3 * NS - 1, S_CUP1 * SUB:(S_CUP1 + 4) * SUB]
+        sym_all[:, 2, NS * S_CUP1:NS * S_CUP1 + 4, g0:g0 + SUB * NL] = \
+            tail.reshape(PMAXC, 4, SUB * NL)
+
+    sym_u8 = sym_all[:, :, :, :n]
+    if os.environ.get("GROK_TPU_PALLAS_PACKER") != "numpy":
+        res = _pack_symbols_nat(
+            np.ascontiguousarray(sym_u8.transpose(3, 0, 1, 2)),
+            mag, numbps, styles, Hp,
+        )
+        if res is not None:
+            return res
+    return _pack_symbols(sym_u8, mag, numbps, heights, widths, styles, Hp)
+
+
+def _get_kernel_wide(Hp, W, NL, SUB, PMAXC, interpret):
+    key = ("wide", Hp, W, NL, SUB, PMAXC, interpret)
+    fn = _KERNELS.get(key)
+    if fn is None:
+        fn = _KERNELS[key] = _build_kernel_wide(Hp, W, NL, SUB, PMAXC,
+                                                interpret)
+    return fn
+
+
 # ============================================================== public API
 def _use_interpret() -> bool:
     v = os.environ.get("GROK_TPU_PALLAS_INTERPRET")
@@ -609,6 +1005,9 @@ def encode_cblks(
     import jax.numpy as jnp
 
     interpret = _use_interpret()
+    if os.environ.get("GROK_TPU_PALLAS_WIDE", "1") != "0":
+        return _encode_wide(coeffs, heights, widths, orients, numbps,
+                            styles, interpret)
     Hp = _round_up(h, 4)
     PMAXC = _round_up(pmax, 4)
     lane_q = 128 if not interpret else 8

@@ -195,23 +195,12 @@ def build_chain(h, w, nc, nres, mmax):
             loops, meta)
 
 
-def _block(tree):
-    import jax
-
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, tree)
-    return tree
-
-
-def time_fn(fn, args, reps=5):
-    _block(fn(*args))  # warm (compiled already, primes any caches)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _block(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+def _fetch(x):
+    """Value fetch = the only real synchronization on the axon platform:
+    block_until_ready returns immediately there (measured: a 48-iteration
+    fori chain 'completes' in 0.1 ms while one dispatch reads 0.9 ms), so
+    every timed region must end in a device->host scalar read."""
+    return float(np.asarray(x).ravel()[0])
 
 
 def main():
@@ -253,30 +242,33 @@ def main():
     comps_dev = [jax.device_put(x, dev) for x in comps_np]
     hs_dev = jax.device_put(meta["hs"], dev)
     ws_dev = jax.device_put(meta["ws"], dev)
-    _block(comps_dev)
+    for c in comps_dev:
+        _fetch(c[:1, :1])  # forces the staging transfers to complete
     h2d_s = time.perf_counter() - t0
 
     chain_args = (hs_dev, ws_dev, *comps_dev)
     print("compiling + first run (tunnel-slow on this rig)...", flush=True)
     t0 = time.perf_counter()
-    _block(chain(*chain_args))
+    out0 = chain(*chain_args)
+    _fetch(out0["dist"][:1])
     compile_s = time.perf_counter() - t0
     print(f"cold chain: {compile_s:.1f}s", flush=True)
 
-    batch_dev = _block(transform_only(*comps_dev))
+    batch_dev = transform_only(*comps_dev)
 
     # loop-amortized per-iteration times: run K and 2K iterations inside
-    # one program and difference them, cancelling dispatch/launch overhead
+    # one program and difference them, cancelling dispatch + fetch overhead;
+    # every timing ends in a scalar fetch (see _fetch)
     def loop_time(fn, args, k, reps=3):
-        _block(fn(k, *args))        # compile + warm
-        _block(fn(2 * k, *args))
+        _fetch(fn(k, *args))        # compile + warm
+        _fetch(fn(2 * k, *args))
         tk = t2k = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            _block(fn(k, *args))
+            _fetch(fn(k, *args))
             tk = min(tk, time.perf_counter() - t0)
             t0 = time.perf_counter()
-            _block(fn(2 * k, *args))
+            _fetch(fn(2 * k, *args))
             t2k = min(t2k, time.perf_counter() - t0)
         return max((t2k - tk) / k, 1e-9), tk, t2k
 
@@ -291,8 +283,14 @@ def main():
         "t1_Ks_2Ks": [round(t1_tk, 4), round(t1_t2k, 4)],
     }
 
-    # single-dispatch wall time (includes the launch floor), for reference
-    e2e_1 = time_fn(chain, chain_args)
+    # single-dispatch wall time (includes the launch + fetch floor): the
+    # K=1 loop program, timed the same way
+    _fetch(loops["chain"](1, *chain_args))
+    e2e_1 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fetch(loops["chain"](1, *chain_args))
+        e2e_1 = min(e2e_1, time.perf_counter() - t0)
 
     # ---- roofline estimates (bytes touched in HBM, int32 planes)
     area4 = samples * 4
@@ -321,7 +319,8 @@ def main():
         },
         "timing": {
             "method": f"fori_loop-amortized (2K-K)/K difference, K={K}; "
-                      "cancels the per-dispatch floor",
+                      "cancels the per-dispatch floor; synced by scalar "
+                      "value fetch (axon block_until_ready is a no-op)",
             "single_dispatch_chain_ms": round(e2e_1 * 1e3, 3),
             "raw_loop_wall_s": raw_loops,
         },
@@ -334,6 +333,11 @@ def main():
         "compile_s": round(compile_s, 1),
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+
+    # write timings immediately — a late tunnel fault must not lose them
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
 
     if args.check:
         from grok_tpu.t1 import ht, ht_jax
