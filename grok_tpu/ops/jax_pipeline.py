@@ -9,9 +9,16 @@ Enabled with GROK_TPU_DEVICE=jax (tile_processor checks it); the band
 geometry is closed over at trace time so every slice is static and XLA
 fuses the whole chain. Parity: the numpy stages in tile_processor.py.
 
-The reversible (5/3) chain is bit-exact vs the host path; the irreversible
-(9/7) chain may differ by +-1 LSB on rare samples because XLA fuses
-multiply-adds (both are conformant inverse-transform approximations).
+Both chains are bit-exact vs the host path ON TPU: 5/3 by integer
+arithmetic everywhere; 9/7 because the TPU VPU rounds f32 mul-then-add
+exactly like the host's two-rounding sequence (no FMA contraction on the
+float elementwise path) — verified on the attached chip by
+tools/fma_hw_check.py (encode streams byte-identical, decode samples
+identical, incl. ICT and custom MCT). The CPU simulation backend may
+drift +-1 LSB on rare samples: LLVM contracts mul+add into FMAs during
+XLA:CPU codegen, and `lax.optimization_barrier` cannot prevent it (it is
+stripped from the compiled HLO before emission — measured, see
+tools/fma_hw_check.py docstring).
 """
 
 from __future__ import annotations

@@ -76,12 +76,17 @@ def _tile_fingerprint(siz, tcp, ti):
 
 
 def compress_distributed(image, params: CompressParams | None = None,
-                         mesh=None, device_irreversible: bool = False
+                         mesh=None, device_irreversible: bool = True
                          ) -> bytes:
     """Distributed encode over a tile mesh; byte-identical to compress().
 
-    Irreversible (9/7) encodes keep the host transform unless
-    ``device_irreversible`` — see compress_frames."""
+    Irreversible (9/7) tiles ride the mesh too: on TPU the device float
+    chain rounds identically to the host (no FMA contraction on the VPU
+    elementwise path; hardware-verified by tools/fma_hw_check.py), so
+    the stream stays byte-identical. On the CPU simulation backend the
+    float chain may drift +-1 ulp (LLVM FMA contraction) — pass
+    ``device_irreversible=False`` there if strict determinism vs the
+    host stream is required."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -192,7 +197,7 @@ def _inverse_key(tcp):
 
 
 def decompress_distributed(data, params=None, mesh=None,
-                           device_irreversible: bool = False):
+                           device_irreversible: bool = True):
     """Distributed decode over a tile mesh; byte-identical to decompress().
 
     The mirror of :func:`compress_distributed` (P2): tile bodies are
@@ -202,11 +207,14 @@ def decompress_distributed(data, params=None, mesh=None,
     whole dequant -> ROI -> inverse-DWT -> inverse-MCT -> finish chain runs
     as ONE jitted shard_map program over the mesh (the same program
     ``jax_pipeline.build_inverse`` runs single-chip); the reconstructed
-    tiles ride the normal ordered paste. The reversible (5/3) chain is
-    bit-exact vs the host path, so the output Image equals
-    ``gk.decompress`` sample-for-sample. Irreversible (9/7) and Part-2
-    custom-MCT tiles keep the host inverse unless ``device_irreversible``
-    (XLA FMA fusion drifts the float path ±1 LSB from the host).
+    tiles ride the normal ordered paste. Both chains are bit-exact vs
+    the host path on TPU — 5/3 by integer arithmetic, 9/7/custom-MCT by
+    the VPU's host-identical f32 rounding (hardware-verified by
+    tools/fma_hw_check.py) — so the output Image equals
+    ``gk.decompress`` sample-for-sample; on the CPU simulation backend
+    the float tiles may drift +-1 LSB on rare samples (LLVM FMA
+    contraction), and ``device_irreversible=False`` forces them back
+    onto the host inverse.
 
     Tiles that fail entropy decode, differ in geometry/coding params, or
     fall outside the dominant group take the per-tile host path inside the
@@ -318,7 +326,7 @@ def decompress_distributed(data, params=None, mesh=None,
 
 
 def compress_frames(images, params: CompressParams | None = None,
-                    mesh=None, device_irreversible: bool = False
+                    mesh=None, device_irreversible: bool = True
                     ) -> list[bytes]:
     """Frame-parallel batch encode (P7): a video/DCI sequence of
     same-geometry frames is stacked on the frame axis and sharded over the
@@ -329,11 +337,13 @@ def compress_frames(images, params: CompressParams | None = None,
 
     Frames whose geometry differs from the first frame's, subsampled or
     multi-tile inputs fall back to the per-frame host path (same output).
-    Irreversible (9/7) sequences use the host transform by default too —
-    the device float path fuses FMAs and drifts ±1 ulp from the host, so
-    only the reversible path carries a byte-identity guarantee; pass
-    ``device_irreversible=True`` to batch 9/7 on the mesh anyway (lossy
-    quality is equivalent).
+    Irreversible (9/7) sequences batch on the mesh by default as well:
+    on TPU the device float chain rounds identically to the host
+    (hardware-verified by tools/fma_hw_check.py), so the byte-identity
+    guarantee covers the lossy path too; on the CPU simulation backend
+    streams may differ from the host's by a few quantized coefficients
+    (+-1 ulp from LLVM FMA contraction — equal quality, not byte-equal).
+    ``device_irreversible=False`` forces the host transform.
     """
     import jax
     import jax.numpy as jnp

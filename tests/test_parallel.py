@@ -149,15 +149,19 @@ def test_distributed_decode_bit_identical(rng):
     assert np.array_equal(decompress_distributed(st3).to_array(),
                           gk.decompress(st3).to_array())
 
-    # irreversible: host-inverse fallback stays exact; the opt-in device
-    # float chain is the documented ±1 LSB class
+    # irreversible rides the device chain by default: on TPU it is
+    # byte-identical (hardware-verified, tools/fma_hw_check.py); this
+    # CPU-simulated run may drift at most ±1 LSB on rare samples (LLVM
+    # FMA contraction). The host-inverse opt-out stays exact everywhere.
     p2 = gk.CompressParams(num_resolutions=3, tile_size=(64, 64),
                            irreversible=True)
     st2 = gk.compress(gk.Image.from_array(arr), p2)
     ref2 = gk.decompress(st2).to_array()
-    assert np.array_equal(decompress_distributed(st2).to_array(), ref2)
-    dev = decompress_distributed(st2, device_irreversible=True).to_array()
+    dev = decompress_distributed(st2).to_array()
     assert np.abs(dev.astype(int) - ref2.astype(int)).max() <= 1
+    assert np.array_equal(
+        decompress_distributed(st2, device_irreversible=False).to_array(),
+        ref2)
 
 
 def test_frame_parallel_cinema_batch(rng):
@@ -176,7 +180,11 @@ def test_frame_parallel_cinema_batch(rng):
         for s in range(3)
     ]
     p = gk.CompressParams(profile=PROFILE_CINEMA_2K, framerate=24)
-    outs = compress_frames(frames, p)
+    # host-transform mode: byte-identical to the one-shot encoder on any
+    # backend (the 9/7 default device chain is byte-identical on TPU
+    # only — tools/fma_hw_check.py — so strict identity is asserted on
+    # the deterministic opt-out here)
+    outs = compress_frames(frames, p, device_irreversible=False)
     assert len(outs) == 3
     for s, st in enumerate(outs):
         assert len(st) <= CINEMA_24_CS, s
@@ -187,6 +195,14 @@ def test_frame_parallel_cinema_batch(rng):
             gk.CompressParams(profile=PROFILE_CINEMA_2K, framerate=24),
         )
         assert st == one, s
+    # default mode (9/7 batched on the mesh): still valid DCI streams
+    # within the cap, decoding within the CPU backend's ±1 ulp class
+    outs_dev = compress_frames(frames[:1], p)
+    assert len(outs_dev[0]) <= CINEMA_24_CS
+    assert validate_cinema_stream(outs_dev[0], p)
+    a = gk.decompress(outs_dev[0]).to_array().astype(int)
+    b = gk.decompress(outs[0]).to_array().astype(int)
+    assert np.abs(a - b).max() <= 1
 
 
 def test_frame_parallel_batch_encode(rng):

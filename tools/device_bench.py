@@ -143,11 +143,10 @@ def build_chain(h, w, nc, nres, mmax):
     def t1_only(batch, hs_, ws_):
         return ht_jax._encode_device(batch, hs_, ws_, 64, 64, caps)
 
-    # K iterations inside ONE program, each depending on the loop index and
-    # feeding a live scalar accumulator: amortizes the per-dispatch floor
-    # (~1 ms over this rig's tunnel) out of the timing and defeats CSE/DCE,
-    # so short kernels time honestly (single-dispatch timings of sub-ms
-    # programs on axon read as the dispatch floor, not the kernel).
+    # Small "digest" programs: reduce a stage's output to one scalar so a
+    # timed region can end in a single value fetch (the only real sync on
+    # axon — see _fetch) without pulling whole segment arrays over the
+    # 0.7 MB/s tunnel.
     def digest(d):
         import jax.numpy as jnp
 
@@ -155,41 +154,24 @@ def build_chain(h, w, nc, nres, mmax):
                 + d["ms"][0].astype(jnp.uint32).sum().astype(jnp.float32)
                 + d["vlc"][0].astype(jnp.uint32).sum().astype(jnp.float32))
 
-    def chain_loop(k_iters, hs_, ws_, *xs):
+    def chain_digest(hs_, ws_, *xs):
+        batch = extract(fwd(*xs))
+        return digest(ht_jax._encode_device(batch, hs_, ws_, 64, 64, caps))
+
+    def fwd_digest(*xs):
         import jax.numpy as jnp
 
-        def body(i, acc):
-            shifted = [x + (i % 7) for x in xs]  # varies every iteration
-            batch = extract(fwd(*shifted))
-            return acc + digest(
-                ht_jax._encode_device(batch, hs_, ws_, 64, 64, caps))
+        return extract(fwd(*xs)).sum().astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0))
-
-    def fwd_loop(k_iters, *xs):
-        import jax.numpy as jnp
-
-        def body(i, acc):
-            shifted = [x + (i % 7) for x in xs]
-            return acc + extract(fwd(*shifted)).sum().astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0))
-
-    def t1_loop(k_iters, batch, hs_, ws_):
-        import jax.numpy as jnp
-
-        def body(i, acc):
-            return acc + digest(ht_jax._encode_device(
-                batch + (i % 7), hs_, ws_, 64, 64, caps))
-
-        return jax.lax.fori_loop(0, k_iters, body, jnp.float32(0))
+    def t1_digest(batch, hs_, ws_):
+        return digest(ht_jax._encode_device(batch, hs_, ws_, 64, 64, caps))
 
     meta = dict(n_blocks=n_blocks, heights=heights, widths=widths, caps=caps,
                 hs=hs, ws=ws)
     loops = {
-        "chain": jax.jit(chain_loop, static_argnums=0),
-        "fwd": jax.jit(fwd_loop, static_argnums=0),
-        "t1": jax.jit(t1_loop, static_argnums=0),
+        "chain": jax.jit(chain_digest),
+        "fwd": jax.jit(fwd_digest),
+        "t1": jax.jit(t1_digest),
     }
     return (jax.jit(chain), jax.jit(transform_only), jax.jit(t1_only),
             loops, meta)
@@ -256,20 +238,29 @@ def main():
 
     batch_dev = transform_only(*comps_dev)
 
-    # loop-amortized per-iteration times: run K and 2K iterations inside
-    # one program and difference them, cancelling dispatch + fetch overhead;
-    # every timing ends in a scalar fetch (see _fetch)
+    # Queued-dispatch amortization: submit K (then 2K) back-to-back
+    # executions of the jitted digest program — the device stream
+    # serializes them — and sync ONCE with a scalar fetch of the last
+    # result. Differencing (t2K - tK)/K cancels the constant sync/fetch
+    # RTT; async dispatch keeps per-submission host cost off the device
+    # timeline. (A fori_loop-in-one-program variant would amortize
+    # harder, but wrapping the chain in lax.fori_loop faults the axon
+    # TPU worker — a platform miscompile, not a capacity issue: the
+    # identical body runs fine as a standalone program.)
     def loop_time(fn, args, k, reps=3):
-        _fetch(fn(k, *args))        # compile + warm
-        _fetch(fn(2 * k, *args))
+        _fetch(fn(*args))  # compile + warm
+        def run(n):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn(*args)
+            _fetch(out)
+            return time.perf_counter() - t0
+        run(2)
         tk = t2k = float("inf")
         for _ in range(reps):
-            t0 = time.perf_counter()
-            _fetch(fn(k, *args))
-            tk = min(tk, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            _fetch(fn(2 * k, *args))
-            t2k = min(t2k, time.perf_counter() - t0)
+            tk = min(tk, run(k))
+            t2k = min(t2k, run(2 * k))
         return max((t2k - tk) / k, 1e-9), tk, t2k
 
     K = args.loops
@@ -283,13 +274,12 @@ def main():
         "t1_Ks_2Ks": [round(t1_tk, 4), round(t1_t2k, 4)],
     }
 
-    # single-dispatch wall time (includes the launch + fetch floor): the
-    # K=1 loop program, timed the same way
-    _fetch(loops["chain"](1, *chain_args))
+    # single-dispatch wall time (includes the launch + fetch floor)
+    _fetch(loops["chain"](*chain_args))
     e2e_1 = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _fetch(loops["chain"](1, *chain_args))
+        _fetch(loops["chain"](*chain_args))
         e2e_1 = min(e2e_1, time.perf_counter() - t0)
 
     # ---- roofline estimates (bytes touched in HBM, int32 planes)
@@ -318,9 +308,10 @@ def main():
             "end_to_end_chain": mk(e2e_s, fwd_bytes + t1_bytes),
         },
         "timing": {
-            "method": f"fori_loop-amortized (2K-K)/K difference, K={K}; "
-                      "cancels the per-dispatch floor; synced by scalar "
-                      "value fetch (axon block_until_ready is a no-op)",
+            "method": f"queued-dispatch (2K-K)/K difference, K={K}; "
+                      "K back-to-back executions synced by ONE scalar "
+                      "value fetch (axon block_until_ready is a no-op); "
+                      "differencing cancels the constant sync RTT",
             "single_dispatch_chain_ms": round(e2e_1 * 1e3, 3),
             "raw_loop_wall_s": raw_loops,
         },
