@@ -67,7 +67,49 @@ def index_from_tlm(data: memoryview, header, first_sot: int) -> StreamIndex | No
     return idx
 
 
-def index_by_scan(data: memoryview, first_sot: int) -> StreamIndex:
+def _valid_sot_at(data: memoryview, pos: int, num_tiles: int | None) -> bool:
+    """Plausibility check for an SOT marker segment at ``pos``."""
+    if pos + 12 > len(data):
+        return False
+    c = mk.Cursor(data, pos)
+    if c.u16() != mk.SOT or c.u16() != 10:
+        return False
+    t_i, psot, tp_i, tn = mk.read_sot(c)
+    if num_tiles is not None and t_i >= num_tiles:
+        return False
+    return (psot == 0 or psot >= 14) and (tn == 0 or tp_i < tn)
+
+
+def _resync_sot(data: memoryview, body_start: int, end: int,
+                num_tiles: int | None) -> int | None:
+    """Find the real start of the next tile part when Psot lied.
+
+    The reference encoder overcounts Psot on some tiles (observed: +12 on
+    the right-edge tile of HT+PLT 16-bit tiled streams — its own decoder
+    tolerates this by resynchronising), so ``end`` may point inside the
+    next tile-part's header or short of it. Search a small window before
+    ``end`` first (overcount), then forward (undercount), validating each
+    0xFF90 candidate so packet-data bytes can't false-trigger."""
+    lo = max(body_start, end - 64)
+    b = bytes(data[lo:min(len(data), end)])
+    for rel in range(len(b) - 1):
+        if b[rel] == 0xFF and b[rel + 1] == 0x90 and _valid_sot_at(
+                data, lo + rel, num_tiles):
+            return lo + rel
+    pos = end
+    while pos + 2 <= len(data):
+        nxt = bytes(data[pos:min(len(data), pos + 65536)]).find(b"\xff\x90")
+        if nxt < 0:
+            pos += 65536 - 1
+            continue
+        if _valid_sot_at(data, pos + nxt, num_tiles):
+            return pos + nxt
+        pos += nxt + 2
+    return None
+
+
+def index_by_scan(data: memoryview, first_sot: int,
+                  num_tiles: int | None = None) -> StreamIndex:
     """Fallback: scan SOT markers sequentially (skipToTile equivalent)."""
     idx = StreamIndex(first_sot=first_sot)
     c = mk.Cursor(data, first_sot)
@@ -87,10 +129,19 @@ def index_by_scan(data: memoryview, first_sot: int) -> StreamIndex:
             ln = c.u16()
             c.pos += ln - 2
         end = sot_off + psot if psot else len(data)
+        end = min(end, len(data))
+        if end + 2 <= len(data):
+            nm = (data[end] << 8) | data[end + 1]
+            if nm not in (mk.SOT, mk.EOC):
+                fixed = _resync_sot(data, c.pos, end, num_tiles)
+                if fixed is None:
+                    end = len(data)
+                elif fixed > c.pos:  # never truncate into the header
+                    end = fixed
         idx.spans.setdefault(t_i, []).append(
-            TilePartSpan(t_i, tp_i, sot_off, c.pos, min(end, len(data)))
+            TilePartSpan(t_i, tp_i, sot_off, c.pos, end)
         )
-        c.pos = min(end, len(data))
+        c.pos = end
     return idx
 
 

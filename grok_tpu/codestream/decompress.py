@@ -67,7 +67,8 @@ class Decoder:
         if self.header.has_tlm:
             self.index = index_from_tlm(self.data, self.header, self.first_sot)
         if self.index is None:
-            self.index = index_by_scan(self.data, self.first_sot)
+            self.index = index_by_scan(self.data, self.first_sot,
+                                       self.header.siz.num_tiles)
         self._tcps: dict[int, Tcp] = {}
         self._plt: dict[int, list[int]] = {}
         self.cache = TileCache(
