@@ -80,6 +80,10 @@ def _valid_sot_at(data: memoryview, pos: int, num_tiles: int | None) -> bool:
     return (psot == 0 or psot >= 14) and (tn == 0 or tp_i < tn)
 
 
+_RESYNC_FWD_WINDOW = 8 << 20  # bound the forward scan (anti-O(n^2) on
+#                               adversarial streams with many lying Psots)
+
+
 def _resync_sot(data: memoryview, body_start: int, end: int,
                 num_tiles: int | None) -> int | None:
     """Find the real start of the next tile part when Psot lied.
@@ -88,17 +92,19 @@ def _resync_sot(data: memoryview, body_start: int, end: int,
     the right-edge tile of HT+PLT 16-bit tiled streams — its own decoder
     tolerates this by resynchronising), so ``end`` may point inside the
     next tile-part's header or short of it. Search a small window before
-    ``end`` first (overcount), then forward (undercount), validating each
-    0xFF90 candidate so packet-data bytes can't false-trigger."""
+    ``end`` first (overcount; nearest candidate to ``end`` wins), then
+    forward (undercount, window-bounded), validating each 0xFF90
+    candidate so packet-data bytes can't false-trigger."""
     lo = max(body_start, end - 64)
     b = bytes(data[lo:min(len(data), end)])
-    for rel in range(len(b) - 1):
+    for rel in range(len(b) - 2, -1, -1):  # nearest-to-end candidate wins
         if b[rel] == 0xFF and b[rel + 1] == 0x90 and _valid_sot_at(
                 data, lo + rel, num_tiles):
             return lo + rel
     pos = end
-    while pos + 2 <= len(data):
-        nxt = bytes(data[pos:min(len(data), pos + 65536)]).find(b"\xff\x90")
+    hi = min(len(data), end + _RESYNC_FWD_WINDOW)
+    while pos + 2 <= hi:
+        nxt = bytes(data[pos:min(hi, pos + 65536)]).find(b"\xff\x90")
         if nxt < 0:
             pos += 65536 - 1
             continue
@@ -136,8 +142,8 @@ def index_by_scan(data: memoryview, first_sot: int,
                 fixed = _resync_sot(data, c.pos, end, num_tiles)
                 if fixed is None:
                     end = len(data)
-                elif fixed > c.pos:  # never truncate into the header
-                    end = fixed
+                elif fixed >= c.pos:  # empty body (fixed == c.pos) is
+                    end = fixed       # valid; never truncate the header
         idx.spans.setdefault(t_i, []).append(
             TilePartSpan(t_i, tp_i, sot_off, c.pos, end)
         )

@@ -196,11 +196,15 @@ def compress(image: Image, params: CompressParams | None = None,
         comp_arrays = None if coeffs is not None else _extract_tile(image, siz, ti)
         return encode_tile_to_blob(siz, tcp, params, ti, comp_arrays, coeffs)
 
-    if num_tiles > 1 and tile_coeff_fn is None:
+    if num_tiles > 1:
         # tile-parallel encode on host threads (reference parity: one
         # TileProcessor per tile on the pool, output serialized in tile
         # order — CodeStreamCompress.cpp:615); each worker caps its OMP
-        # team so tiles*omp ~= ncores
+        # team so tiles*omp ~= ncores. The pool also covers the
+        # distributed path (tile_coeff_fn set): there the workers run
+        # only entropy + T2 on the mesh-transformed coefficients — the
+        # per-tile T1 fan-out the reference gets from
+        # T1CompressScheduler.cpp:31-145.
         from concurrent.futures import ThreadPoolExecutor
 
         from ..core.cpu import host_threads, set_tile_threads

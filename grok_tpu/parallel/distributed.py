@@ -48,6 +48,24 @@ def _make_mesh(n_devices=None):
     return Mesh(np.array(devs[:n]), ("tile",))
 
 
+def _device_irrev_default() -> bool:
+    """Platform-gated default for ``device_irreversible=None``.
+
+    On TPU the device float (9/7 / custom-MCT) chain rounds identically to
+    the host (no FMA contraction on the VPU elementwise path; hardware-
+    verified by tools/fma_hw_check.py, re-run as a periodic gate), so lossy
+    tiles ride the mesh and the stream stays byte-identical. On the CPU
+    simulation backend LLVM FMA contraction can drift ±1 ulp, so the
+    default keeps irreversible tiles on the host path there; pass
+    ``device_irreversible=True`` explicitly to override."""
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def _tile_fingerprint(siz, tcp, ti):
     """Transform-equivalence key: tiles with equal fingerprints run the
     same compiled forward/inverse program (same DWT split structure and
@@ -76,17 +94,20 @@ def _tile_fingerprint(siz, tcp, ti):
 
 
 def compress_distributed(image, params: CompressParams | None = None,
-                         mesh=None, device_irreversible: bool = True
+                         mesh=None, device_irreversible: bool | None = None
                          ) -> bytes:
-    """Distributed encode over a tile mesh; byte-identical to compress().
+    """Distributed encode over a tile mesh; byte-identical to compress()
+    under the platform-gated default (see :func:`_device_irrev_default`).
 
-    Irreversible (9/7) tiles ride the mesh too: on TPU the device float
-    chain rounds identically to the host (no FMA contraction on the VPU
-    elementwise path; hardware-verified by tools/fma_hw_check.py), so
-    the stream stays byte-identical. On the CPU simulation backend the
-    float chain may drift +-1 ulp (LLVM FMA contraction) — pass
-    ``device_irreversible=False`` there if strict determinism vs the
-    host stream is required."""
+    Reversible (5/3) tiles are byte-identical on every backend (integer
+    arithmetic). Irreversible (9/7) tiles ride the mesh by default only
+    on TPU, where the device float chain rounds identically to the host
+    (hardware-verified by tools/fma_hw_check.py); on the CPU simulation
+    backend they default to the host transform because LLVM FMA
+    contraction can drift ±1 ulp. Pass ``device_irreversible=True`` to
+    force lossy tiles onto a non-TPU mesh (equal quality, possibly not
+    byte-equal to the host stream) or ``False`` to force the host path
+    everywhere."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -105,6 +126,8 @@ def compress_distributed(image, params: CompressParams | None = None,
 
         apply_profile(params, image)
 
+    if device_irreversible is None:
+        device_irreversible = _device_irrev_default()
     siz = build_siz(image, params)
     tcp = build_tcp(image, params)
     mesh = mesh or _make_mesh()
@@ -197,8 +220,9 @@ def _inverse_key(tcp):
 
 
 def decompress_distributed(data, params=None, mesh=None,
-                           device_irreversible: bool = True):
-    """Distributed decode over a tile mesh; byte-identical to decompress().
+                           device_irreversible: bool | None = None):
+    """Distributed decode over a tile mesh; output identical to
+    decompress() under the platform-gated default.
 
     The mirror of :func:`compress_distributed` (P2): tile bodies are
     entropy-decoded on the host pool into int32 staging planes
@@ -207,14 +231,15 @@ def decompress_distributed(data, params=None, mesh=None,
     whole dequant -> ROI -> inverse-DWT -> inverse-MCT -> finish chain runs
     as ONE jitted shard_map program over the mesh (the same program
     ``jax_pipeline.build_inverse`` runs single-chip); the reconstructed
-    tiles ride the normal ordered paste. Both chains are bit-exact vs
-    the host path on TPU — 5/3 by integer arithmetic, 9/7/custom-MCT by
-    the VPU's host-identical f32 rounding (hardware-verified by
-    tools/fma_hw_check.py) — so the output Image equals
-    ``gk.decompress`` sample-for-sample; on the CPU simulation backend
-    the float tiles may drift +-1 LSB on rare samples (LLVM FMA
-    contraction), and ``device_irreversible=False`` forces them back
-    onto the host inverse.
+    tiles ride the normal ordered paste. 5/3 tiles are bit-exact vs the
+    host path on every backend (integer arithmetic). 9/7 / custom-MCT
+    tiles ride the mesh by default only on TPU, where the VPU's f32
+    rounding is host-identical (hardware-verified by
+    tools/fma_hw_check.py) so the output Image equals ``gk.decompress``
+    sample-for-sample; on the CPU simulation backend they default to the
+    host inverse (LLVM FMA contraction can drift ±1 LSB on rare
+    samples). ``device_irreversible=True`` forces them onto a non-TPU
+    mesh anyway; ``False`` forces the host inverse everywhere.
 
     Tiles that fail entropy decode, differ in geometry/coding params, or
     fall outside the dominant group take the per-tile host path inside the
@@ -232,6 +257,8 @@ def decompress_distributed(data, params=None, mesh=None,
     from ..ops import jax_pipeline
     from ..tile.tile_processor import TileProcessor
 
+    if device_irreversible is None:
+        device_irreversible = _device_irrev_default()
     dec = Decoder(data, params)
     p = dec.params
     siz = dec.header.siz
@@ -326,24 +353,25 @@ def decompress_distributed(data, params=None, mesh=None,
 
 
 def compress_frames(images, params: CompressParams | None = None,
-                    mesh=None, device_irreversible: bool = True
+                    mesh=None, device_irreversible: bool | None = None
                     ) -> list[bytes]:
     """Frame-parallel batch encode (P7): a video/DCI sequence of
     same-geometry frames is stacked on the frame axis and sharded over the
     mesh — every device runs the whole transform chain for its frame shard
     in one program, then the per-frame entropy/T2/assembly runs on host
     threads. Each returned codestream is byte-identical to
-    ``gk.compress(frame)`` (asserted by tests/test_parallel.py).
+    ``gk.compress(frame)`` under the platform-gated default (asserted by
+    tests/test_parallel.py).
 
     Frames whose geometry differs from the first frame's, subsampled or
     multi-tile inputs fall back to the per-frame host path (same output).
-    Irreversible (9/7) sequences batch on the mesh by default as well:
-    on TPU the device float chain rounds identically to the host
-    (hardware-verified by tools/fma_hw_check.py), so the byte-identity
+    Irreversible (9/7) sequences batch on the mesh by default only on
+    TPU, where the device float chain rounds identically to the host
+    (hardware-verified by tools/fma_hw_check.py) and the byte-identity
     guarantee covers the lossy path too; on the CPU simulation backend
-    streams may differ from the host's by a few quantized coefficients
-    (+-1 ulp from LLVM FMA contraction — equal quality, not byte-equal).
-    ``device_irreversible=False`` forces the host transform.
+    they default to the host transform (LLVM FMA contraction can drift
+    ±1 ulp — equal quality, not byte-equal). ``device_irreversible=True``
+    forces mesh batching anyway; ``False`` forces the host transform.
     """
     import jax
     import jax.numpy as jnp
@@ -355,6 +383,8 @@ def compress_frames(images, params: CompressParams | None = None,
 
     from ..ops import jax_pipeline
 
+    if device_irreversible is None:
+        device_irreversible = _device_irrev_default()
     params = params or CompressParams()
     params.validate()
     if not images:

@@ -8,10 +8,11 @@ blocks one position per step. Renormalization is branch-free (CLZ + three
 unrolled byte-boundary blocks), context-state updates are dense one-hot
 selects (19 contexts), and flag updates are single-row dynamic slices.
 
-Both directions are implemented (encode and decode), with the VSC / RESET /
-SEGSYM codeblock styles as per-lane masks (SUPPORTED_STYLES matches the
-numpy reference; BYPASS/TERMALL/PTERM need per-pass segment termination and
-remain native-backend-only). Per-pass rates use the same safe Taubman bound
+Both directions are implemented (encode and decode), with ALL Part-1
+codeblock style bits supported (SUPPORTED_STYLES = 0x3F): VSC / RESET /
+SEGSYM as per-lane masks in the scan, BYPASS / TERMALL / PTERM via the
+per-pass raw-segment + termination machinery mirrored from the host
+coders. Per-pass rates use the same safe Taubman bound
 as the host coders; per-pass distortions are accumulated on device in
 float32 (the host backends use float64 — layer allocation may differ in
 ties, the codestreams remain standard-conformant and self-consistent).

@@ -202,13 +202,15 @@ def _build_kernel_wide(Hp: int, W: int, NL: int, SUB: int, PMAXC: int,
 
         def load_col(y0, x):
             """Flag row-triples (rows y0-1..y0+4) + center coef rows of one
-            stripe column; F entries are patched in registers as stores
-            land, so each row is read once per column."""
-            F = [
-                flags_ref[pl.ds(((y0 + j) * Wp + x) * SUB, 3 * SUB), :]
-                .reshape(3, SUB, NL)
-                for j in range(6)
-            ]
+            stripe column; each triple is a PYTHON LIST of three (SUB, NL)
+            column slices so the in-register patch in store_flags is a
+            plain list assignment — a traced ``.at[1].set`` on a stacked
+            (3, SUB, NL) value lowers to `scatter`, which Mosaic has no
+            TPU lowering for (verified on v5e)."""
+            F = []
+            for j in range(6):
+                t = flags_ref[pl.ds(((y0 + j) * Wp + x) * SUB, 3 * SUB), :]
+                F.append([t[0:SUB], t[SUB:2 * SUB], t[2 * SUB:3 * SUB]])
             C = [
                 coef_ref[pl.ds(((y0 + k + 1) * Wp + (x + 1)) * SUB, SUB), :]
                 for k in range(4)
@@ -218,7 +220,7 @@ def _build_kernel_wide(Hp: int, W: int, NL: int, SUB: int, PMAXC: int,
         def store_flags(y0, k, x, newf, F):
             flags_ref[pl.ds(((y0 + k + 1) * Wp + (x + 1)) * SUB, SUB), :] = \
                 newf
-            F[k + 1] = F[k + 1].at[1].set(newf)
+            F[k + 1][1] = newf
 
         def spp_stripe(s):
             y0 = 4 * s
@@ -893,7 +895,20 @@ def _encode_wide(coeffs, heights, widths, orients, numbps, styles,
     Hp = _round_up(h, 4)
     PMAXC = _round_up(pmax, 4)
     NL = 128 if not interpret else 8
-    SUB = int(os.environ.get("GROK_TPU_PALLAS_SUB", "8"))
+    sub_env = os.environ.get("GROK_TPU_PALLAS_SUB")
+    if sub_env:
+        SUB = int(sub_env)
+    else:
+        # largest sublane-group count whose VMEM footprint fits: coef block
+        # + flags scratch (both whole-image, (Hp+2)*(w+2) rows each) + one
+        # stripe's out block, all int32 x NL lanes. 13 MiB leaves headroom
+        # under the 16 MiB scoped limit (64x64 @ SUB=8 is 38 MiB -> OOM on
+        # v5e, verified; SUB=2 fits).
+        _R = (Hp + 2) * (w + 2)
+        _S = _round_up(w * 11 + 4, 8)
+        for SUB in (8, 4, 2, 1):
+            if (2 * _R + 8 + _S) * SUB * NL * 4 <= 13 << 20:
+                break
     NP_ = _round_up(n, SUB * NL)
     SUB_T = NP_ // NL  # total sublane groups across launches
     Wp = w + 2

@@ -51,24 +51,38 @@ def natural_image(h, w, nc=1, seed=7):
 
 def run_case(name, arr, params):
     im = gk.Image.from_array(arr)
-    os.environ.pop("GROK_TPU_DEVICE", None)
-    t0 = time.perf_counter()
-    host_enc = gk.compress(im, params)
-    t_host = time.perf_counter() - t0
-    host_dec = gk.decompress(host_enc).to_array()
-
-    os.environ["GROK_TPU_DEVICE"] = "jax"
-    t0 = time.perf_counter()
-    dev_enc = gk.compress(im, params)
-    t_dev = time.perf_counter() - t0
-    dev_dec = gk.decompress(host_enc).to_array()
-    os.environ.pop("GROK_TPU_DEVICE", None)
+    prev = os.environ.pop("GROK_TPU_DEVICE", None)
+    try:
+        t0 = time.perf_counter()
+        host_enc = gk.compress(im, params)
+        t_host = time.perf_counter() - t0
+        host_dec = gk.decompress(host_enc).to_array()
+        # host decode of the device stream closes the 4th leg below
+        os.environ["GROK_TPU_DEVICE"] = "jax"
+        t0 = time.perf_counter()
+        dev_enc = gk.compress(im, params)
+        t_dev = time.perf_counter() - t0
+        # device decoder on BOTH streams: host-encoded (cross) and
+        # device-encoded (pure device roundtrip) — so a diverging encoder
+        # can't mask an untested device-decode path
+        dev_dec = gk.decompress(host_enc).to_array()
+        dev_dec_own = gk.decompress(dev_enc).to_array()
+        os.environ.pop("GROK_TPU_DEVICE", None)
+        host_dec_dev = gk.decompress(dev_enc).to_array()
+    finally:
+        if prev is None:
+            os.environ.pop("GROK_TPU_DEVICE", None)
+        else:
+            os.environ["GROK_TPU_DEVICE"] = prev
 
     enc_ok = host_enc == dev_enc
-    dec_ok = np.array_equal(host_dec, dev_dec)
+    dec_ok = (np.array_equal(host_dec, dev_dec)
+              and np.array_equal(host_dec_dev, dev_dec_own))
     if not dec_ok:
         diff = np.abs(host_dec.astype(int) - dev_dec.astype(int))
-        detail = f" max|d|={diff.max()} n={np.count_nonzero(diff)}"
+        diff2 = np.abs(host_dec_dev.astype(int) - dev_dec_own.astype(int))
+        detail = (f" max|d|={max(diff.max(), diff2.max())}"
+                  f" n={np.count_nonzero(diff) + np.count_nonzero(diff2)}")
     else:
         detail = ""
     print(f"{name}: enc {'BYTE-IDENTICAL' if enc_ok else 'MISMATCH'}, "
