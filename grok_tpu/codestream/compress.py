@@ -154,12 +154,15 @@ def write_main_header(siz, tcp, params, image) -> tuple[bytearray, int | None]:
 
 
 def compress(image: Image, params: CompressParams | None = None,
-             tile_coeff_fn=None) -> bytes:
+             tile_coeff_fn=None, entropy_workers: int | None = None,
+             entropy_threads: int | None = None) -> bytes:
     """Encode an Image to a raw .j2k codestream.
 
     ``tile_coeff_fn(tile_index)`` may supply pre-transformed packed
     coefficient arrays (the distributed mesh path); returning None falls
-    back to the local per-tile transform."""
+    back to the local per-tile transform. ``entropy_workers`` /
+    ``entropy_threads`` pin the tile pool width and per-worker native
+    team size (defaults: all cores, split across workers)."""
     params = params or CompressParams()
     params.validate()
     image.finalize()
@@ -210,7 +213,10 @@ def compress(image: Image, params: CompressParams | None = None,
         from ..core.cpu import host_threads, set_tile_threads
 
         nw = min(host_threads(params.num_threads), num_tiles, 8)
-        per_tile = max(1, host_threads(params.num_threads) // nw)
+        if entropy_workers is not None:
+            nw = max(1, min(entropy_workers, num_tiles))
+        per_tile = entropy_threads or max(
+            1, host_threads(params.num_threads) // nw)
 
         def work(ti):
             set_tile_threads(per_tile)

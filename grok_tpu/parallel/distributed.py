@@ -93,21 +93,17 @@ def _tile_fingerprint(siz, tcp, ti):
     return tuple(key)
 
 
-def compress_distributed(image, params: CompressParams | None = None,
-                         mesh=None, device_irreversible: bool | None = None
-                         ) -> bytes:
-    """Distributed encode over a tile mesh; byte-identical to compress()
-    under the platform-gated default (see :func:`_device_irrev_default`).
+def transform_tiles_on_mesh(image, siz, tcp, params, tiles, mesh,
+                            device_irreversible: bool | None = None):
+    """Run the forward transform chain (DC shift -> MCT -> DWT -> quant)
+    for ``tiles`` as fingerprint-grouped shard_map batches over ``mesh``;
+    returns {tile_index: [packed coeff plane per component]}.
 
-    Reversible (5/3) tiles are byte-identical on every backend (integer
-    arithmetic). Irreversible (9/7) tiles ride the mesh by default only
-    on TPU, where the device float chain rounds identically to the host
-    (hardware-verified by tools/fma_hw_check.py); on the CPU simulation
-    backend they default to the host transform because LLVM FMA
-    contraction can drift ±1 ulp. Pass ``device_irreversible=True`` to
-    force lossy tiles onto a non-TPU mesh (equal quality, possibly not
-    byte-equal to the host stream) or ``False`` to force the host path
-    everywhere."""
+    Shared by the single-process distributed encoder and the per-process
+    local step of the multi-host encoder (parallel/multihost.py). Tiles
+    that cannot batch (subsampled components, irreversible flows on a
+    platform where the float chain isn't bit-stable) are simply absent
+    from the result — the caller's host path covers them."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -118,33 +114,18 @@ def compress_distributed(image, params: CompressParams | None = None,
 
     from ..ops import jax_pipeline
 
-    params = params or CompressParams()
-    params.validate()
-    image.finalize()
-    if params.profile:
-        from ..codestream.profile import apply_profile
-
-        apply_profile(params, image)
-
     if device_irreversible is None:
         device_irreversible = _device_irrev_default()
-    siz = build_siz(image, params)
-    tcp = build_tcp(image, params)
-    mesh = mesh or _make_mesh()
     n_dev = mesh.shape["tile"]
-
-    # group tiles by transform fingerprint; EVERY group batches over the
-    # mesh (a regular grid has at most 4 groups: interior, right edge,
-    # bottom edge, corner)
     groups: dict[tuple, list[int]] = {}
     subsampled = any(c.dx != 1 or c.dy != 1 for c in siz.comps)
     irrev = bool(tcp.tccps and tcp.tccps[0].irreversible)
-    if not subsampled and siz.num_tiles > 1 and (
-            not irrev or device_irreversible):
-        for ti in range(siz.num_tiles):
-            groups.setdefault(_tile_fingerprint(siz, tcp, ti), []).append(ti)
-
     coeff_map: dict[int, list[np.ndarray]] = {}
+    if subsampled or (irrev and not device_irreversible):
+        return coeff_map
+    for ti in tiles:
+        groups.setdefault(_tile_fingerprint(siz, tcp, ti), []).append(ti)
+
     for batch_tiles in groups.values():
         t0 = batch_tiles[0]
         tp0 = TileProcessor(siz, tcp, t0, enc_params=params)
@@ -188,11 +169,52 @@ def compress_distributed(image, params: CompressParams | None = None,
         out = np.asarray(sharded(jnp.asarray(stack)))
         for i, ti in enumerate(batch_tiles):
             coeff_map[ti] = [out[i, c] for c in range(out.shape[1])]
+    return coeff_map
 
-    def tile_coeff_fn(ti):
-        return coeff_map.get(ti)
 
-    return _compress(image, params, tile_coeff_fn=tile_coeff_fn)
+def compress_distributed(image, params: CompressParams | None = None,
+                         mesh=None, device_irreversible: bool | None = None,
+                         entropy_workers: int | None = None,
+                         entropy_threads: int | None = None) -> bytes:
+    """Distributed encode over a tile mesh; byte-identical to compress()
+    under the platform-gated default (see :func:`_device_irrev_default`).
+
+    Reversible (5/3) tiles are byte-identical on every backend (integer
+    arithmetic). Irreversible (9/7) tiles ride the mesh by default only
+    on TPU, where the device float chain rounds identically to the host
+    (hardware-verified by tools/fma_hw_check.py); on the CPU simulation
+    backend they default to the host transform because LLVM FMA
+    contraction can drift ±1 ulp. Pass ``device_irreversible=True`` to
+    force lossy tiles onto a non-TPU mesh (equal quality, possibly not
+    byte-equal to the host stream) or ``False`` to force the host path
+    everywhere.
+
+    The entropy stage (T1 + T2) fans the mesh-transformed tiles out over
+    a host worker pool (the TPU analogue of the reference's per-tile
+    T1CompressScheduler fan-out); ``entropy_workers`` pins the pool width
+    (default: every available core) and ``entropy_threads`` the
+    per-worker native team size — the scaling harness uses
+    (n_devices, 1) to model per-host cores that scale with the pod."""
+    params = params or CompressParams()
+    params.validate()
+    image.finalize()
+    if params.profile:
+        from ..codestream.profile import apply_profile
+
+        apply_profile(params, image)
+
+    siz = build_siz(image, params)
+    tcp = build_tcp(image, params)
+    mesh = mesh or _make_mesh()
+    coeff_map = {}
+    if siz.num_tiles > 1:
+        coeff_map = transform_tiles_on_mesh(
+            image, siz, tcp, params, range(siz.num_tiles), mesh,
+            device_irreversible)
+
+    return _compress(image, params, tile_coeff_fn=coeff_map.get,
+                     entropy_workers=entropy_workers,
+                     entropy_threads=entropy_threads)
 
 
 def _inverse_key(tcp):
@@ -220,7 +242,9 @@ def _inverse_key(tcp):
 
 
 def decompress_distributed(data, params=None, mesh=None,
-                           device_irreversible: bool | None = None):
+                           device_irreversible: bool | None = None,
+                           entropy_workers: int | None = None,
+                           entropy_threads: int | None = None):
     """Distributed decode over a tile mesh; output identical to
     decompress() under the platform-gated default.
 
@@ -290,7 +314,10 @@ def decompress_distributed(data, params=None, mesh=None,
         from ..core.cpu import host_threads, set_tile_threads
 
         nw = min(host_threads(p.num_threads), len(all_tiles), 16)
-        per_tile = max(1, host_threads(p.num_threads) // nw)
+        if entropy_workers is not None:
+            nw = max(1, min(entropy_workers, len(all_tiles)))
+        per_tile = entropy_threads or max(
+            1, host_threads(p.num_threads) // nw)
 
         def stage_one(ti):
             set_tile_threads(per_tile if nw > 1 else 0)
