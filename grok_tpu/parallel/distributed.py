@@ -93,6 +93,41 @@ def _tile_fingerprint(siz, tcp, ti):
     return tuple(key)
 
 
+def _mesh_key(mesh):
+    return tuple(getattr(d, "id", i)
+                 for i, d in enumerate(np.ravel(mesh.devices)))
+
+
+def _fwd_key(siz, tcp):
+    """Everything the jitted forward program depends on besides the tile
+    fingerprint (program cache key half)."""
+    mat = getattr(tcp, "_mct_enc_matrix", None)
+    return (
+        tcp.mct,
+        None if mat is None else np.asarray(mat, np.float64).tobytes(),
+        tuple(
+            (t.num_resolutions, t.irreversible, int(t.quant_style),
+             t.guard_bits, tuple(t.step_exps), tuple(t.step_mants),
+             t.roi_shift)
+            for t in tcp.tccps
+        ),
+        tuple((c.prec, c.signed, c.dx, c.dy) for c in siz.comps),
+    )
+
+
+_PROG_CACHE: dict = {}
+_PROG_CACHE_MAX = 64
+
+
+def _prog_cache_get(key, build):
+    fn = _PROG_CACHE.get(key)
+    if fn is None:
+        if len(_PROG_CACHE) >= _PROG_CACHE_MAX:
+            _PROG_CACHE.clear()
+        fn = _PROG_CACHE[key] = build()
+    return fn
+
+
 def transform_tiles_on_mesh(image, siz, tcp, params, tiles, mesh,
                             device_irreversible: bool | None = None):
     """Run the forward transform chain (DC shift -> MCT -> DWT -> quant)
@@ -103,7 +138,9 @@ def transform_tiles_on_mesh(image, siz, tcp, params, tiles, mesh,
     local step of the multi-host encoder (parallel/multihost.py). Tiles
     that cannot batch (subsampled components, irreversible flows on a
     platform where the float chain isn't bit-stable) are simply absent
-    from the result — the caller's host path covers them."""
+    from the result — the caller's host path covers them. Compiled
+    shard_map programs are cached on (fingerprint, transform params,
+    mesh), so steady-state frame/strip loops pay zero retrace cost."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -123,53 +160,134 @@ def transform_tiles_on_mesh(image, siz, tcp, params, tiles, mesh,
     coeff_map: dict[int, list[np.ndarray]] = {}
     if subsampled or (irrev and not device_irreversible):
         return coeff_map
+    fwd_key = _fwd_key(siz, tcp)
+    mesh_key = _mesh_key(mesh)
     for ti in tiles:
         groups.setdefault(_tile_fingerprint(siz, tcp, ti), []).append(ti)
 
-    for batch_tiles in groups.values():
+    for fp, batch_tiles in groups.items():
         t0 = batch_tiles[0]
-        tp0 = TileProcessor(siz, tcp, t0, enc_params=params)
-        for c in range(siz.num_comps):
-            apply_band_quant(tp0.geoms[c], tcp.tccps[c], tp0._comp_prec(c))
-        fwd_one = jax_pipeline.make_forward_fn(
-            tp0.geoms, tcp.tccps, siz.comps, tcp.mct
-        )
 
-        def batched(stack, fwd_one=fwd_one):  # [T_local, C, H, W]
-            def one(tile):
-                outs = fwd_one(*[tile[c] for c in range(tile.shape[0])])
-                return jnp.stack(outs, axis=0)
-
-            return jax.vmap(one)(stack)
-
-        sharded = jax.jit(
-            shard_map(
-                batched, mesh=mesh,
-                in_specs=(P("tile"),), out_specs=P("tile"),
+        def build(t0=t0):
+            tp0 = TileProcessor(siz, tcp, t0, enc_params=params)
+            for c in range(siz.num_comps):
+                apply_band_quant(tp0.geoms[c], tcp.tccps[c],
+                                 tp0._comp_prec(c))
+            fwd_one = jax_pipeline.make_forward_fn(
+                tp0.geoms, tcp.tccps, siz.comps, tcp.mct
             )
-        )
 
-        stack = np.stack(
-            [
-                np.stack(
-                    [a.astype(np.int32) for a in _extract_tile(image, siz, ti)],
+            def batched(stack):  # [T_local, C, H, W]
+                def one(tile):
+                    outs = fwd_one(*[tile[c] for c in range(tile.shape[0])])
+                    return jnp.stack(outs, axis=0)
+
+                return jax.vmap(one)(stack)
+
+            return jax.jit(
+                shard_map(
+                    batched, mesh=mesh,
+                    in_specs=(P("tile"),), out_specs=P("tile"),
+                )
+            )
+
+        sharded = _prog_cache_get(("fwd", fp, fwd_key, mesh_key), build)
+
+        # chunked async dispatch (P6 overlap): one mesh-full of tiles per
+        # dispatch, submitted back-to-back without waiting — the caller
+        # fetches each chunk lazily via the returned getter, so the host
+        # entropy stage for chunk k runs while the device transforms
+        # chunk k+1 (on real TPU this also hides the D2H DMA)
+        chunk = max(n_dev, 1)
+        for c0 in range(0, len(batch_tiles), chunk):
+            sub = batch_tiles[c0:c0 + chunk]
+            stack = np.stack(
+                [
+                    np.stack(
+                        [a.astype(np.int32)
+                         for a in _extract_tile(image, siz, ti)],
+                        axis=0,
+                    )
+                    for ti in sub
+                ],
+                axis=0,
+            )
+            pad = (-len(sub)) % n_dev
+            if pad:
+                stack = np.concatenate(
+                    [stack, np.zeros((pad, *stack.shape[1:]), np.int32)],
                     axis=0,
                 )
-                for ti in batch_tiles
-            ],
-            axis=0,
-        )
-        # pad the batch to a multiple of the mesh size
-        t_total = stack.shape[0]
-        pad = (-t_total) % n_dev
-        if pad:
-            stack = np.concatenate(
-                [stack, np.zeros((pad, *stack.shape[1:]), np.int32)], axis=0
-            )
-        out = np.asarray(sharded(jnp.asarray(stack)))
-        for i, ti in enumerate(batch_tiles):
-            coeff_map[ti] = [out[i, c] for c in range(out.shape[1])]
-    return coeff_map
+            dev_out = sharded(jnp.asarray(stack))  # async dispatch
+            h = _ChunkHandle(dev_out, sub)
+            for ti in sub:
+                coeff_map[ti] = h
+    return _CoeffMapView(coeff_map)
+
+
+class _ChunkHandle:
+    """One dispatched transform chunk; fetched on first use."""
+
+    __slots__ = ("dev", "tiles", "planes", "lock")
+
+    def __init__(self, dev, tiles):
+        import threading
+
+        self.dev = dev
+        self.tiles = tiles
+        self.planes = None
+        self.lock = threading.Lock()
+
+    def get(self, ti):
+        with self.lock:
+            if self.planes is None:
+                out = np.asarray(self.dev)  # blocks until the chunk lands
+                self.dev = None
+                self.planes = {
+                    t: [out[i, c] for c in range(out.shape[1])]
+                    for i, t in enumerate(self.tiles)
+                }
+        return self.planes[ti]
+
+
+class _InvChunkHandle:
+    """One dispatched inverse chunk; fetched on first paste."""
+
+    __slots__ = ("outs", "tiles", "cache", "lock")
+
+    def __init__(self, outs, tiles):
+        import threading
+
+        self.outs = outs
+        self.tiles = tiles
+        self.cache = None
+        self.lock = threading.Lock()
+
+    def get(self, ti):
+        with self.lock:
+            if self.cache is None:
+                host = [np.asarray(o) for o in self.outs]  # blocks
+                self.outs = None
+                self.cache = {
+                    t: [np.ascontiguousarray(host[c][i])
+                        for c in range(len(host))]
+                    for i, t in enumerate(self.tiles)
+                }
+        return self.cache[ti]
+
+
+class _CoeffMapView:
+    """dict-like front over chunk handles (tile_coeff_fn target)."""
+
+    def __init__(self, chunk_of):
+        self._chunks = chunk_of
+
+    def get(self, ti):
+        h = self._chunks.get(ti)
+        return None if h is None else h.get(ti)
+
+    def __bool__(self):
+        return bool(self._chunks)
 
 
 def compress_distributed(image, params: CompressParams | None = None,
@@ -203,18 +321,22 @@ def compress_distributed(image, params: CompressParams | None = None,
 
         apply_profile(params, image)
 
+    from ..core import trace
+
     siz = build_siz(image, params)
     tcp = build_tcp(image, params)
     mesh = mesh or _make_mesh()
     coeff_map = {}
     if siz.num_tiles > 1:
-        coeff_map = transform_tiles_on_mesh(
-            image, siz, tcp, params, range(siz.num_tiles), mesh,
-            device_irreversible)
+        with trace.span("dist.transform_mesh"):
+            coeff_map = transform_tiles_on_mesh(
+                image, siz, tcp, params, range(siz.num_tiles), mesh,
+                device_irreversible)
 
-    return _compress(image, params, tile_coeff_fn=coeff_map.get,
-                     entropy_workers=entropy_workers,
-                     entropy_threads=entropy_threads)
+    with trace.span("dist.entropy_t2_assemble"):
+        return _compress(image, params, tile_coeff_fn=coeff_map.get,
+                         entropy_workers=entropy_workers,
+                         entropy_threads=entropy_threads)
 
 
 def _inverse_key(tcp):
@@ -285,9 +407,11 @@ def decompress_distributed(data, params=None, mesh=None,
         device_irreversible = _device_irrev_default()
     dec = Decoder(data, params)
     p = dec.params
+    if entropy_workers is not None and not p.num_threads:
+        # per-shard resource model: the paste pool follows the mesh width
+        p.num_threads = entropy_workers
     siz = dec.header.siz
 
-    arrays_of: dict[int, list[np.ndarray]] = {}
     groups: dict[tuple, list[int]] = {}
     parsed: dict[int, tuple] = {}
     if p.window is None and siz.num_tiles > 1:
@@ -306,21 +430,27 @@ def decompress_distributed(data, params=None, mesh=None,
             groups.setdefault(k, []).append(ti)
 
     all_tiles = [ti for tiles in groups.values() for ti in tiles]
-    staged: dict[int, object] = {}
-    tps: dict[int, TileProcessor] = {}
+    handles: dict[int, _InvChunkHandle] = {}
     if all_tiles:
+        import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
+        from ..core import trace
         from ..core.cpu import host_threads, set_tile_threads
 
+        mesh = mesh or _make_mesh()
+        n_dev = mesh.shape["tile"]
+        ncomp = siz.num_comps
         nw = min(host_threads(p.num_threads), len(all_tiles), 16)
         if entropy_workers is not None:
             nw = max(1, min(entropy_workers, len(all_tiles)))
         per_tile = entropy_threads or max(
             1, host_threads(p.num_threads) // nw)
+        tps: dict[int, TileProcessor] = {}
 
         def stage_one(ti):
-            set_tile_threads(per_tile if nw > 1 else 0)
+            set_tile_threads(
+                per_tile if (nw > 1 or entropy_threads) else 0)
             tcp, body, packed = parsed[ti]
             tp = TileProcessor(siz, tcp, ti)
             try:
@@ -333,50 +463,84 @@ def decompress_distributed(data, params=None, mesh=None,
             tps[ti] = tp
             return ti, st
 
-        if nw > 1:
-            with ThreadPoolExecutor(max_workers=nw) as ex:
-                staged = dict(ex.map(stage_one, all_tiles))
-        else:
-            staged = dict(stage_one(ti) for ti in all_tiles)
+        # chunked pipeline (P6 overlap, the decode mirror of the encode
+        # path): stage one mesh-full of tiles on the host pool, dispatch
+        # its inverse program WITHOUT waiting, stage the next chunk while
+        # the mesh works; fetches happen lazily inside the paste loop
+        chunk = max(n_dev, 1)
+        ex = ThreadPoolExecutor(max_workers=nw) if nw > 1 else None
+        t_stage = t_disp = 0.0
+        try:
+            for gkey, batch in groups.items():
+                sharded = None
+                for c0 in range(0, len(batch), chunk):
+                    sub = batch[c0:c0 + chunk]
+                    _t0 = _time.perf_counter()
+                    if ex is not None:
+                        res = dict(ex.map(stage_one, sub))
+                    else:
+                        res = dict(stage_one(ti) for ti in sub)
+                    t_stage += _time.perf_counter() - _t0
+                    valid = [ti for ti in sub if res.get(ti) is not None]
+                    if not valid:
+                        continue
+                    _t0 = _time.perf_counter()
+                    if sharded is None:
+                        tp0 = tps[valid[0]]  # band quant applied by staging
+                        tcp0 = parsed[valid[0]][0]
 
-    for batch in groups.values():
-        batch = [ti for ti in batch if staged.get(ti) is not None]
-        if not batch:
-            continue
-        mesh = mesh or _make_mesh()
-        n_dev = mesh.shape["tile"]
-        tp0 = tps[batch[0]]  # band quant applied by its staging decode
-        tcp0 = parsed[batch[0]][0]
-        ncomp = siz.num_comps
-        inv_one = jax_pipeline.make_inverse_fn(
-            tp0.geoms, tcp0.tccps, siz.comps, tcp0.mct, p.reduce,
-            mct_dec_matrix=tcp0.mct_dec_matrix, mct_offsets=tcp0.mct_offsets,
-        )
+                        def build(tp0=tp0, tcp0=tcp0):
+                            inv_one = jax_pipeline.make_inverse_fn(
+                                tp0.geoms, tcp0.tccps, siz.comps, tcp0.mct,
+                                p.reduce,
+                                mct_dec_matrix=tcp0.mct_dec_matrix,
+                                mct_offsets=tcp0.mct_offsets,
+                            )
 
-        def batched(*stacks, inv_one=inv_one):  # stacks[c]: [T_local, Hc, Wc]
-            return jax.vmap(lambda *planes: inv_one(*planes))(*stacks)
+                            def batched(*stacks):  # [T_local, Hc, Wc] each
+                                return jax.vmap(
+                                    lambda *planes: inv_one(*planes))(*stacks)
 
-        sharded = jax.jit(
-            shard_map(batched, mesh=mesh,
-                      in_specs=P("tile"), out_specs=P("tile"))
-        )
-        pad = (-len(batch)) % n_dev
-        stacks = []
-        for c in range(ncomp):
-            planes = [staged[ti][c] for ti in batch]
-            planes += [np.zeros_like(planes[0])] * pad
-            stacks.append(jnp.asarray(np.stack(planes, axis=0)))
-        outs = sharded(*stacks)
-        outs = [np.asarray(o) for o in outs]
-        for i, ti in enumerate(batch):
-            arrays_of[ti] = [
-                np.ascontiguousarray(outs[c][i]) for c in range(ncomp)
-            ]
+                            return jax.jit(
+                                shard_map(batched, mesh=mesh,
+                                          in_specs=P("tile"),
+                                          out_specs=P("tile"))
+                            )
 
-    if not arrays_of:
+                        # gkey = (inverse key, fingerprint) — with reduce +
+                        # comps + mesh it pins everything the program reads
+                        sharded = _prog_cache_get(
+                            ("inv", gkey, p.reduce,
+                             tuple((c.prec, c.signed, c.dx, c.dy)
+                                   for c in siz.comps),
+                             _mesh_key(mesh)), build)
+                    pad = (-len(valid)) % n_dev
+                    stacks = []
+                    for c in range(ncomp):
+                        planes = [res[ti][c] for ti in valid]
+                        planes += [np.zeros_like(planes[0])] * pad
+                        stacks.append(jnp.asarray(np.stack(planes, axis=0)))
+                    outs = sharded(*stacks)  # async dispatch
+                    h = _InvChunkHandle(outs, valid)
+                    for ti in valid:
+                        handles[ti] = h
+                    t_disp += _time.perf_counter() - _t0
+        finally:
+            if ex is not None:
+                ex.shutdown(wait=True)
+        if trace.enabled():
+            trace.add("dist.entropy_decode", t_stage)
+            trace.add("dist.inverse_mesh", t_disp)
+
+    if not handles:
         dec._move_tiles = True
         return dec.decompress()
-    return dec.decompress(tile_arrays_fn=arrays_of.get)
+
+    def tile_arrays_fn(ti):
+        h = handles.get(ti)
+        return None if h is None else h.get(ti)
+
+    return dec.decompress(tile_arrays_fn=tile_arrays_fn)
 
 
 def compress_frames(images, params: CompressParams | None = None,

@@ -489,7 +489,8 @@ def decode_cleanup_batch(data, lengths, heights, widths, bh, bw):
     out[~ok_hdr] = 0
 
     # host redo for flagged blocks (device limits exceeded / bad codeword)
-    for i in np.nonzero(ok_hdr & ~ok_dev)[0]:
+    redo = np.nonzero(ok_hdr & ~ok_dev)[0]
+    for i in redo:
         hi, wi = int(heights[i]), int(widths[i])
         out[i] = 0
         try:
@@ -497,4 +498,16 @@ def decode_cleanup_batch(data, lengths, heights, widths, bh, bw):
                 bytes(data[i, : lengths[i]]), hi, wi)
         except ValueError:
             pass
+    # running stats for harnesses/artifacts (tools/ht_device_e2e.py)
+    STATS["calls"] += 1
+    STATS["blocks"] += int(n)
+    STATS["host_fallbacks"] += int(len(redo))
     return out
+
+
+STATS = {"calls": 0, "blocks": 0, "host_fallbacks": 0}
+
+
+def reset_stats():
+    for k in STATS:
+        STATS[k] = 0

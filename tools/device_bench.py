@@ -247,8 +247,11 @@ def main():
     # harder, but wrapping the chain in lax.fori_loop faults the axon
     # TPU worker — a platform miscompile, not a capacity issue: the
     # identical body runs fine as a standalone program.)
-    def loop_time(fn, args, k, reps=3):
+    def loop_time(fn, args, k, label, reps=3):
+        t0 = time.perf_counter()
         _fetch(fn(*args))  # compile + warm
+        print(f"  {label}: compiled+warm in {time.perf_counter()-t0:.1f}s",
+              flush=True)
         def run(n):
             t0 = time.perf_counter()
             out = None
@@ -258,16 +261,20 @@ def main():
             return time.perf_counter() - t0
         run(2)
         tk = t2k = float("inf")
-        for _ in range(reps):
+        for r in range(reps):
             tk = min(tk, run(k))
             t2k = min(t2k, run(2 * k))
+            print(f"  {label}: rep {r}: K={k} {tk:.2f}s 2K {t2k:.2f}s",
+                  flush=True)
         return max((t2k - tk) / k, 1e-9), tk, t2k
 
     K = args.loops
     e2e_s, e2e_tk, e2e_t2k = loop_time(
-        loops["chain"], (hs_dev, ws_dev, *comps_dev), K)
-    fwd_s, fwd_tk, fwd_t2k = loop_time(loops["fwd"], tuple(comps_dev), K)
-    t1_s, t1_tk, t1_t2k = loop_time(loops["t1"], (batch_dev, hs_dev, ws_dev), K)
+        loops["chain"], (hs_dev, ws_dev, *comps_dev), K, "chain")
+    fwd_s, fwd_tk, fwd_t2k = loop_time(loops["fwd"], tuple(comps_dev), K,
+                                       "fwd")
+    t1_s, t1_tk, t1_t2k = loop_time(loops["t1"], (batch_dev, hs_dev, ws_dev),
+                                    K, "t1")
     raw_loops = {
         "chain_Ks_2Ks": [round(e2e_tk, 4), round(e2e_t2k, 4)],
         "fwd_Ks_2Ks": [round(fwd_tk, 4), round(fwd_t2k, 4)],
@@ -339,17 +346,16 @@ def main():
              else np.asarray(out[k]) for k in out},
             meta["n_blocks"], meta["heights"], meta["widths"])
         batch_host = np.asarray(batch_dev)
+        nb = meta["n_blocks"]
+        ref = ht.encode_cblks(  # batched native host coder (fast oracle)
+            batch_host.astype(np.int64), meta["heights"].astype(np.int64),
+            meta["widths"].astype(np.int64), np.zeros(nb, np.int64),
+            device=False)
         bad = 0
-        for i in range(meta["n_blocks"]):
-            hi, wi = int(meta["heights"][i]), int(meta["widths"][i])
-            blk = batch_host[i, :hi, :wi].astype(np.int64)
-            if np.abs(blk).max(initial=0) == 0:
-                ok = segs[i] == b""
-            else:
-                ok = segs[i] == ht.encode_cleanup(
-                    batch_host[i].astype(np.int64), hi, wi)
+        for i in range(nb):
+            ok = segs[i] == bytes(ref.data[i, : ref.lengths[i]])
             bad += not ok
-        result["check"] = {"blocks": meta["n_blocks"], "mismatches": bad}
+        result["check"] = {"blocks": nb, "mismatches": bad}
         print(f"check: {bad} mismatches / {meta['n_blocks']} blocks")
         assert bad == 0
 
