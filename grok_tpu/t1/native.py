@@ -147,6 +147,12 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_int64, i32p, ctypes.c_int32,
         ]
         lib.ht_decode_cblks_c.restype = ctypes.c_int
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.ht_stuff_words.argtypes = [
+            u32p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, u8p, i64p, u32p, i32p, u8p, ctypes.c_int32,
+        ]
+        lib.ht_stuff_words.restype = ctypes.c_int
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         dwt_args = [ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
                     ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
@@ -353,6 +359,29 @@ def ht_decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
         log.warn("HT decode reported block errors")
     planes = np.asarray(numbps, dtype=np.int64).copy()
     return out, planes
+
+
+_STUFF_KIND = {"ms": 0, "mel": 1, "vlc": 2}
+
+
+def ht_stuff_words(words, totals, kind, num_threads: int = 0):
+    """Host byte-stuffing of device-packed bit streams (see ht_coder.cpp
+    ht_stuff_words): returns (bytes [n, cap], n_emit, partial, rem, fprev)
+    with the same semantics the on-device fixpoint produced."""
+    lib = get_lib()
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    totals = np.ascontiguousarray(totals, dtype=np.int64)
+    n, nw = words.shape
+    cap = nw * 32 // 7 + 2
+    # np.empty: only the emitted prefix is written and read
+    out = np.empty((n, cap), dtype=np.uint8)
+    n_emit = np.zeros(n, dtype=np.int64)
+    partial = np.zeros(n, dtype=np.uint32)
+    rem = np.zeros(n, dtype=np.int32)
+    fprev = np.zeros(n, dtype=np.uint8)
+    lib.ht_stuff_words(words, nw, totals, n, _STUFF_KIND[kind], cap, out,
+                       n_emit, partial, rem, fprev, _nthreads(num_threads))
+    return out, n_emit, partial, rem, fprev
 
 
 def available() -> bool:

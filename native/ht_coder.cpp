@@ -702,4 +702,64 @@ int ht_decode_cblks_c(const uint8_t* data, const int64_t* lengths,
     return rc;
 }
 
+// Byte-stuff device-packed bit streams (the host half of the device HT
+// encoder): ht_jax._encode_device packs MagSgn/MEL/VLC items into LSB-first
+// uint32 word arrays on the TPU (the FLOP-parallel part); this linear pass
+// maps each lane's unstuffed bit sequence to the stuffed byte stream plus
+// the partial-byte state ht_jax._compact feeds into segment termination.
+// kind: 0 = ms (byte after 0xFF holds 7 bits), 1 = mel (same rule, bytes
+// emitted MSB-first), 2 = vlc (7 bits only when they are 0x7F; sentinel
+// 0xFF precedes the stream). Bit-exact with the per-sample encoders above
+// (tests/test_ht_device.py drives both against ht.encode_cleanup).
+int ht_stuff_words(const uint32_t* words, int64_t n_words,
+                   const int64_t* totals, int64_t n, int32_t kind,
+                   int64_t cap_bytes, uint8_t* out_bytes, int64_t* n_emit,
+                   uint32_t* out_partial, int32_t* out_rem,
+                   uint8_t* out_fprev, int32_t num_threads) {
+#ifdef _OPENMP
+    if (num_threads > 0) omp_set_num_threads(num_threads);
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t b = 0; b < n; b++) {
+        const uint32_t* w = words + b * n_words;
+        uint8_t* out = out_bytes + b * cap_bytes;
+        const int64_t total = totals[b];
+        auto read_bits = [&](int64_t p) -> uint32_t {
+            // bits [p, p+8) LSB-first; zero past the word array
+            int64_t wi = p >> 5;
+            int sh = (int)(p & 31);
+            uint64_t lo = wi < n_words ? w[wi] : 0u;
+            uint64_t hi = wi + 1 < n_words ? w[wi + 1] : 0u;
+            return (uint32_t)(((lo | (hi << 32)) >> sh) & 0xFF);
+        };
+        int64_t p = 0, emit = 0;
+        bool prev = kind == 2;  // vlc: sentinel 0xFF precedes the stream
+        bool fprev = prev;
+        while (emit < cap_bytes) {
+            uint32_t raw8 = read_bits(p);
+            bool seven = kind == 2 ? (prev && (raw8 & 0x7F) == 0x7F) : prev;
+            uint32_t byte = seven ? (raw8 & 0x7F) : raw8;
+            int nbits = seven ? 7 : 8;
+            if (p + nbits > total) break;
+            bool f = kind == 2 ? byte > 0x8F : byte == 0xFF;
+            if (kind == 1) {  // mel bytes are MSB-first: reverse low nbits
+                uint32_t r = 0;
+                for (int i = 0; i < nbits; i++)
+                    r |= ((byte >> i) & 1u) << (nbits - 1 - i);
+                byte = r;
+            }
+            out[emit++] = (uint8_t)byte;
+            p += nbits;
+            prev = f;
+            fprev = f;
+        }
+        n_emit[b] = emit;
+        int rem = (int)(total - p);
+        out_rem[b] = rem;
+        out_partial[b] = read_bits(p) & (uint32_t)((1u << rem) - 1u);
+        out_fprev[b] = emit > 0 ? (uint8_t)fprev : (uint8_t)(kind == 2);
+    }
+    return 0;
+}
+
 }  // extern "C"
