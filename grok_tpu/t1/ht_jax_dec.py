@@ -416,12 +416,17 @@ def _decode_device(data, ms_len, scup, heights, widths, bh, bw, caps):
 
 
 @functools.lru_cache(maxsize=64)
-def _build(n, L, bh, bw):
+def _build(n, L, bh, bw, ms_cap, scup_cap):
+    """ms_cap/scup_cap: bucketed batch maxima of the MagSgn / suffix chunk
+    byte lengths — the dense `_extract` reads inside the scan cost
+    O(N * cap_words) each, so capacities track the batch, not the
+    worst-case segment length L."""
     import jax
 
-    scup_cap = min(L, 4096)
+    scup_cap = min(scup_cap, L, 4096)
+    ms_cap = min(ms_cap, L)
     caps = {
-        "ms_words": (8 * (L + 8) + 31) // 32 + 1,
+        "ms_words": (8 * (ms_cap + 8) + 31) // 32 + 1,
         "mel_bytes": scup_cap + 8,
         "mel_words": (8 * (scup_cap + 8) + 31) // 32 + 1,
         "vlc_items": scup_cap,
@@ -465,13 +470,29 @@ def decode_cleanup_batch(data, lengths, heights, widths, bh, bw):
         ok_hdr[i] = True
     ms_len = np.where(ok_hdr, lengths.astype(np.int32) - scup, 0)
 
-    # bucket L and N to limit recompiles
+    # bucket L and N (and the chunk caps) to limit recompiles
     Lc = 64
     while Lc < L:
         Lc *= 2
     Nc = 64
     while Nc < n:
         Nc *= 2
+    msc = 64
+    while msc < int(ms_len.max(initial=0)):
+        msc *= 2
+    scc = 64
+    while scc < int(scup.max(initial=0)):
+        scc *= 2
+    # The axon TPU platform pays a pathological one-time program-load cost
+    # when the suffix-chunk capacity shrinks below 4096 (measured: first
+    # execution 7 s at scup_cap=4096 but 312 s at 2048 and 475 s at 1024,
+    # identical program structure, warm times equal) — keep the known-good
+    # floor unless explicitly asked to tighten (steady-state services that
+    # amortize the load can opt in).
+    import os as _os
+
+    if _os.environ.get("GROK_TPU_HT_DEC_TIGHT_CAPS", "0") != "1":
+        scc = max(scc, min(Lc, 4096))
     if Lc > L or Nc > n:
         data = np.pad(data, ((0, n_pad := Nc - n), (0, Lc - L)))
         scup = np.pad(scup, (0, n_pad))
@@ -480,7 +501,7 @@ def decode_cleanup_batch(data, lengths, heights, widths, bh, bw):
         widths_p = np.pad(widths, (0, n_pad))
     else:
         heights_p, widths_p = heights, widths
-    fn = _build(Nc, Lc, bh, bw)
+    fn = _build(Nc, Lc, bh, bw, msc, scc)
     out_dev, ok_dev = fn(jnp.asarray(data), jnp.asarray(ms_len),
                          jnp.asarray(scup), jnp.asarray(heights_p),
                          jnp.asarray(widths_p))
