@@ -277,3 +277,32 @@ def test_decode_garbage_segments_match_host():
         except ValueError:
             pass
         assert np.array_equal(out[i], ref), f"lane {i}"
+
+
+def test_stuff_host_native_matches_python_fallback(monkeypatch):
+    """ht_stuff_words (native/ht_coder.cpp) and _stuff_host's python
+    fallback must agree bit-for-bit on bytes, counts and partial state —
+    including 0xFF-dense content that cascades stuffing events."""
+    from grok_tpu.t1 import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(1)
+    words = rng.integers(0, 2 ** 32, size=(6, 40), dtype=np.uint64).astype(
+        np.uint32)
+    words[2] = 0xFFFFFFFF
+    words[3, ::2] = 0xFF00FF00
+    totals = np.array([0, 5, 40 * 32, 1000, 1001, 777], dtype=np.int64)
+    for kind in ("ms", "mel", "vlc"):
+        a = native.ht_stuff_words(words, totals, kind)
+        monkeypatch.setattr(native, "available", lambda: False)
+        b = ht_jax._stuff_host(words, totals, kind)
+        monkeypatch.undo()
+        for i in range(len(totals)):
+            assert a[1][i] == b[1][i], (kind, i, "n_emit")
+            assert np.array_equal(a[0][i, : a[1][i]], b[0][i, : b[1][i]]), (
+                kind, i, "bytes")
+            assert (a[2][i], a[3][i], a[4][i]) == (
+                b[2][i], b[3][i], b[4][i]), (kind, i, "tail state")
