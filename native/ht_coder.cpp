@@ -11,6 +11,7 @@
 
 #ifdef _OPENMP
 #include <omp.h>
+#include "omp_util.h"
 #endif
 
 namespace ht {
@@ -632,7 +633,7 @@ int ht_encode_cblks_c(const int32_t* coeffs, const int32_t* heights,
                       double* out_dist, int32_t num_threads) {
     if (!ht::g_tables_ready) return -1;
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel
 #endif
     {
@@ -681,7 +682,7 @@ int ht_decode_cblks_c(const uint8_t* data, const int64_t* lengths,
     if (!ht::g_tables_ready) return -1;
     int rc = 0;
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel
 #endif
     {
@@ -717,7 +718,7 @@ int ht_stuff_words(const uint32_t* words, int64_t n_words,
                    uint32_t* out_partial, int32_t* out_rem,
                    uint8_t* out_fprev, int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t b = 0; b < n; b++) {

@@ -18,6 +18,7 @@
 
 #ifdef _OPENMP
 #include <omp.h>
+#include "omp_util.h"
 #endif
 
 namespace {
@@ -391,7 +392,7 @@ extern "C" {
 int dwt53_forward(int32_t* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
                   int64_t y1, int32_t levels, int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #endif
     if (x1 <= x0 || y1 <= y0 || levels < 0 || levels > 38 ||
         x1 - x0 > 0x7FFFFFFF || y1 - y0 > 0x7FFFFFFF)
@@ -425,7 +426,7 @@ int dwt53_forward(int32_t* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
 int dwt53_inverse(int32_t* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
                   int64_t y1, int32_t levels, int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #endif
     if (x1 <= x0 || y1 <= y0 || levels < 0 || levels > 38 ||
         x1 - x0 > 0x7FFFFFFF || y1 - y0 > 0x7FFFFFFF)
@@ -460,7 +461,7 @@ int dwt53_inverse(int32_t* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
 int dwt97_forward(float* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
                   int64_t y1, int32_t levels, int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #endif
     if (x1 <= x0 || y1 <= y0 || levels < 0 || levels > 38 ||
         x1 - x0 > 0x7FFFFFFF || y1 - y0 > 0x7FFFFFFF)
@@ -494,7 +495,7 @@ int dwt97_forward(float* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
 int dwt97_inverse(float* arr, int32_t W, int64_t x0, int64_t y0, int64_t x1,
                   int64_t y1, int32_t levels, int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #endif
     if (x1 <= x0 || y1 <= y0 || levels < 0 || levels > 38 ||
         x1 - x0 > 0x7FFFFFFF || y1 - y0 > 0x7FFFFFFF)
@@ -533,7 +534,7 @@ int quant_bands(const float* src, int32_t* dst, int32_t W, int32_t nbands,
                 const int32_t* ws, const float* steps, int32_t roi_shift,
                 int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(dynamic)
 #endif
     for (int b = 0; b < nbands; b++) {
@@ -557,7 +558,7 @@ int dequant_bands(const int32_t* src, float* dst, int32_t W, int32_t nbands,
                   const int32_t* oys, const int32_t* oxs, const int32_t* hs,
                   const int32_t* ws, const float* steps, int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(dynamic)
 #endif
     for (int b = 0; b < nbands; b++) {
@@ -580,7 +581,7 @@ int dequant_bands(const int32_t* src, float* dst, int32_t W, int32_t nbands,
 int roi_unshift(int32_t* a, int64_t n, int32_t shift, int32_t num_threads) {
     int32_t thresh = 1 << shift;
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t i = 0; i < n; i++) {
@@ -596,7 +597,7 @@ int roi_unshift(int32_t* a, int64_t n, int32_t shift, int32_t num_threads) {
 int finish_irrev(const float* a, int32_t* out, int64_t n, float add,
                  int32_t lo, int32_t hi, int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t i = 0; i < n; i++) {
@@ -614,7 +615,7 @@ int finish_irrev(const float* a, int32_t* out, int64_t n, float add,
 int finish_rev(const int32_t* a, int32_t* out, int64_t n, int32_t add,
                int32_t lo, int32_t hi, int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t i = 0; i < n; i++) {
@@ -630,7 +631,7 @@ int hull_slopes(const int64_t* rates, const double* dists,
                 const int32_t* npasses, int64_t n, int32_t pmax,
                 double* slopes, int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel
 #endif
     {
@@ -697,7 +698,7 @@ int rct_dc_forward(const int32_t* r, const int32_t* g, const int32_t* b,
                    int32_t dc0, int32_t dc1, int32_t dc2,
                    int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t i = 0; i < n; i++) {
@@ -713,7 +714,7 @@ int rct_inverse_c(const int32_t* y, const int32_t* cb, const int32_t* cr,
                   int32_t* r, int32_t* g, int32_t* b, int64_t n,
                   int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t i = 0; i < n; i++) {
@@ -735,7 +736,7 @@ int ict_dc_forward(const int32_t* r, const int32_t* g, const int32_t* b,
     const float m10 = -0.168736f, m11 = -0.331264f, m12 = 0.5f;
     const float m20 = 0.5f, m21 = -0.418688f, m22 = -0.081312f;
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t i = 0; i < n; i++) {
@@ -753,7 +754,7 @@ int ict_inverse_c(const float* y, const float* cb, const float* cr, float* r,
     const float m02 = 1.402f, m11 = -0.344136f, m12 = -0.714136f,
                 m21 = 1.772f;
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t i = 0; i < n; i++) {
@@ -787,7 +788,7 @@ int scatter_rows(const int32_t* batch, int32_t BH, int32_t BW,
                  const int32_t* x0s, const int32_t* hs, const int32_t* ws,
                  int32_t* dst, int32_t dstW, int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(dynamic, 16)
 #endif
     for (int64_t i = 0; i < nrows; i++) {
@@ -806,7 +807,7 @@ int gather_rows(const int32_t* src, int32_t srcW, const int32_t* rows,
                 const int32_t* hs, const int32_t* ws, int32_t* batch,
                 int32_t BH, int32_t BW, int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(dynamic, 16)
 #endif
     for (int64_t i = 0; i < nrows; i++) {
@@ -825,7 +826,7 @@ int rct_finish(const int32_t* y, const int32_t* cb, const int32_t* cr,
                int32_t* r, int32_t* g, int32_t* b, int64_t n, int32_t add,
                int32_t lo, int32_t hi, int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t i = 0; i < n; i++) {
@@ -846,7 +847,7 @@ int ict_finish(const float* y, const float* cb, const float* cr, int32_t* r,
     const float m02 = 1.402f, m11 = -0.344136f, m12 = -0.714136f,
                 m21 = 1.772f;
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(static)
 #endif
     for (int64_t i = 0; i < n; i++) {
@@ -880,7 +881,7 @@ int scatter_rows_dequant(const int32_t* batch, int32_t BH, int32_t BW,
                          const float* steps, float* dst, int32_t dstW,
                          int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #pragma omp parallel for schedule(dynamic, 16)
 #endif
     for (int64_t i = 0; i < nrows; i++) {
@@ -908,7 +909,7 @@ int scatter_rows_dequant(const int32_t* batch, int32_t BH, int32_t BW,
 int minmax_i32(const int32_t* a, int64_t n, int32_t* out_minmax,
                int32_t num_threads) {
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
+    omp_set_num_threads(ompshared::resolve_threads(num_threads));
 #endif
     int32_t mn = 0, mx = 0;  // zero-initialized: matches max(initial=0)
 #ifdef _OPENMP

@@ -14,6 +14,7 @@
 #include <algorithm>
 
 #include "mq_decoder.h"
+#include "omp_util.h"
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -38,6 +39,10 @@ using mqshared::CTX_UNI;
 // codeblock style flags (T.800 Table A-19)
 constexpr int STY_BYPASS = 0x01, STY_RESET = 0x02, STY_TERMALL = 0x04,
               STY_VSC = 0x08, STY_PTERM = 0x10, STY_SEGSYM = 0x20;
+
+#ifdef _OPENMP
+using ompshared::resolve_threads;  // non-sticky thread resolution
+#endif
 
 struct MQEncoder {
     uint32_t a = 0x8000, c = 0;
@@ -846,8 +851,8 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
     const int64_t words_sz = (int64_t)(smax + 2) * ws;
 
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
-#pragma omp parallel
+    const int nth = resolve_threads(num_threads);
+#pragma omp parallel num_threads(nth)
 #endif
     {
         // per-thread workspace: stripe words + magnitude plane
@@ -992,8 +997,8 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
     const int64_t words_sz = (int64_t)(smax + 2) * ws;
 
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
-#pragma omp parallel
+    const int nth = resolve_threads(num_threads);
+#pragma omp parallel num_threads(nth)
 #endif
     {
         uint64_t* words = new uint64_t[words_sz];
@@ -1120,8 +1125,8 @@ int t1_pack_symbols(const uint8_t* sym, const int64_t* mag_sxk,
     const int64_t ncol = (int64_t)ns * wd;      // quad columns (CUP)
     const int64_t stride = max_bytes + 2;
 #ifdef _OPENMP
-    if (num_threads > 0) omp_set_num_threads(num_threads);
-#pragma omp parallel for schedule(dynamic)
+#pragma omp parallel for schedule(dynamic) \
+    num_threads(resolve_threads(num_threads))
 #endif
     for (int64_t l = 0; l < n; l++) {
         const int nb = numbps_a[l];
