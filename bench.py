@@ -72,6 +72,37 @@ def photo_image(h, w, nc=3):
     return np.stack(chans, axis=-1).astype(np.int32)
 
 
+def _busy_fraction(dt=0.25):
+    """Instantaneous host busy fraction from /proc/stat (this process is
+    idle while sampling, so this measures EXTERNAL load)."""
+    def snap():
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+    t0, i0 = snap()
+    time.sleep(dt)
+    t1, i1 = snap()
+    tot = t1 - t0
+    return 1.0 - (i1 - i0) / tot if tot > 0 else 0.0
+
+
+def wait_quiet(max_wait=None, thresh=0.30):
+    """Hold off until the host looks quiet (or the wait budget runs out).
+
+    Driver captures have repeatedly landed on contention troughs (r04:
+    photo HT enc 0.856x while a quiet rerun measured >1.2x); refusing to
+    start while another build/test is saturating the cores is cheaper
+    than any amount of statistical repair afterwards."""
+    if max_wait is None:
+        max_wait = float(os.environ.get("BENCH_QUIET_WAIT", "90"))
+    t0 = time.time()
+    busy = _busy_fraction()
+    while busy >= thresh and time.time() - t0 < max_wait:
+        time.sleep(1.0)
+        busy = _busy_fraction()
+    return round(busy, 3)
+
+
 def _grk_bin():
     for cand in ("/tmp/grok-build/bin", "/usr/local/bin"):
         if os.path.exists(os.path.join(cand, "grk_compress")):
@@ -105,34 +136,41 @@ def run_configs(gk, arr, configs, reps, grk):
 
             PImage.fromarray(arr.astype(np.uint8)).save(src)
         for name, (params, gargs) in configs.items():
-            t_enc = t_dec = float("inf")
-            g_enc = g_dec = float("inf")
+            samples = {k: [] for k in ("enc", "dec", "g_enc", "g_dec")}
             j2k = os.path.join(td, f"{name}.j2k")
             dec = os.path.join(td, f"{name}_dec.ppm")
             stream = gk.compress(im, params)  # warm (jit/native/page cache)
             out = gk.decompress(stream)
 
             def _ours():
-                nonlocal stream, out, t_enc, t_dec
+                nonlocal stream, out
                 t0 = time.perf_counter()
                 stream = gk.compress(im, params)
-                t_enc = min(t_enc, time.perf_counter() - t0)
+                samples["enc"].append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 out = gk.decompress(stream)
-                t_dec = min(t_dec, time.perf_counter() - t0)
+                samples["dec"].append(time.perf_counter() - t0)
 
             def _theirs():
-                nonlocal g_enc, g_dec
-                g_enc = min(g_enc, _grk_run(
+                samples["g_enc"].append(_grk_run(
                     [os.path.join(grk, "grk_compress"), "-i", src,
                      "-o", j2k, "-v", *gargs], "compress"))
-                g_dec = min(g_dec, _grk_run(
+                samples["g_dec"].append(_grk_run(
                     [os.path.join(grk, "grk_decompress"), "-i", j2k,
                      "-o", dec, "-v"], "decompress"))
 
-            for it in range(reps):
-                # alternate sampling order: background-load drift within an
-                # iteration otherwise systematically favors one side
+            # adaptive sampling: alternate the two sides inside each
+            # iteration (both sample the same load window) and keep going
+            # until neither side's best time has improved for two
+            # consecutive iterations — a contention burst then costs extra
+            # reps instead of a biased capture (r04 driver trough: 0.856x
+            # on 3 photo reps; quiet rerun >1.2x)
+            max_reps = max(reps, 12)
+            hard_cap = max_reps + 8
+            it = stale = 0
+            while True:
+                prev = {k: min(v) if v else float("inf")
+                        for k, v in samples.items()}
                 if grk and it % 2:
                     _theirs()
                     _ours()
@@ -140,21 +178,44 @@ def run_configs(gk, arr, configs, reps, grk):
                     _ours()
                     if grk:
                         _theirs()
+                improved = any(
+                    v and min(v) < prev[k] * 0.99
+                    for k, v in samples.items())
+                stale = 0 if improved else stale + 1
+                it += 1
+                # external load during this iteration taints it: don't let
+                # it count toward convergence, wait for quiet, sample more
+                # (bounded by hard_cap)
+                if it < hard_cap and _busy_fraction(0.15) >= 0.35:
+                    stale = 0
+                    max_reps = min(max_reps + 1, hard_cap)
+                    wait_quiet(max_wait=20)
+                if it >= reps and (stale >= 2 or it >= max_reps):
+                    break
             ok = True
             if "lossless" in name:
                 want = arr if arr.ndim == 3 else arr[:, :, None]
                 ok = bool(np.array_equal(out.to_array(), want))
+
+            def med_over_min(v):
+                return round(sorted(v)[len(v) // 2] / min(v), 3) if v else None
+
             ours[name] = {
-                "enc_mps": round(mp / t_enc, 3),
-                "dec_mps": round(mp / t_dec, 3),
+                "enc_mps": round(mp / min(samples["enc"]), 3),
+                "dec_mps": round(mp / min(samples["dec"]), 3),
                 "bytes": len(stream),
                 "lossless_ok": ok,
+                "reps": it,
+                "spread": [med_over_min(samples["enc"]),
+                           med_over_min(samples["dec"])],
             }
             if grk:
                 ref[name] = {
-                    "enc_mps": round(mp / g_enc, 3),
-                    "dec_mps": round(mp / g_dec, 3),
+                    "enc_mps": round(mp / min(samples["g_enc"]), 3),
+                    "dec_mps": round(mp / min(samples["g_dec"]), 3),
                     "bytes": os.path.getsize(j2k) if os.path.exists(j2k) else 0,
+                    "spread": [med_over_min(samples["g_enc"]),
+                               med_over_min(samples["g_dec"])],
                 }
     return ours, ref
 
@@ -179,25 +240,29 @@ def main():
         ),
     }
     grk = _grk_bin()
+    load0 = wait_quiet()
+
+    def vs_table(o, r):
+        return {
+            name: {
+                "enc": round(o[name]["enc_mps"] / r[name]["enc_mps"], 3),
+                "dec": round(o[name]["dec_mps"] / r[name]["dec_mps"], 3),
+            }
+            for name in configs
+        }
+
     ours, ref = run_configs(gk, arr, configs, reps, grk)
 
     # photographic-statistics corpus (entropy coding is content-dependent;
     # record a real-photo-like number next to the synthetic headline)
     photo = None
     if not os.environ.get("BENCH_NO_PHOTO"):
+        wait_quiet(max_wait=30)
         p_ours, p_ref = run_configs(
-            gk, photo_image(h, w, nc), configs, max(3, reps // 2), grk)
+            gk, photo_image(h, w, nc), configs, max(5, reps // 2), grk)
         photo = {"ours": p_ours, "grok_reference": p_ref}
         if p_ref:
-            photo["vs_ref"] = {
-                name: {
-                    "enc": round(p_ours[name]["enc_mps"]
-                                 / p_ref[name]["enc_mps"], 3),
-                    "dec": round(p_ours[name]["dec_mps"]
-                                 / p_ref[name]["dec_mps"], 3),
-                }
-                for name in configs
-            }
+            photo["vs_ref"] = vs_table(p_ours, p_ref)
 
     def agg(r):
         vals = []
@@ -217,8 +282,10 @@ def main():
                 "vs_baseline": round(vs, 4),
                 "detail": {
                     "size": f"{w}x{h}x{nc}",
+                    "start_busy_fraction": load0,
                     "ours": ours,
                     "grok_reference": ref,
+                    "vs_ref": vs_table(ours, ref) if ref else None,
                     "photo_corpus": photo,
                 },
             }

@@ -14,6 +14,10 @@ idiomatic Python):
     image = gk.decompress(stream, gk.DecompressParams(...))
 """
 
+from .core.cpu import tune_malloc as _tune_malloc
+
+_tune_malloc()  # arena reuse for per-frame plane allocations (see cpu.py)
+
 from .core.image import Component, Image
 from .core.params import (
     CompressParams,

@@ -175,8 +175,12 @@ def _extract(words_padded, p, nbits_mask, dense=None):
         w1 = jnp.sum(jnp.where(sel1, wp, np.uint32(0)), axis=-1,
                      dtype=jnp.uint32)
     else:
-        w0 = jnp.take_along_axis(words_padded, wi, axis=1)
-        w1 = jnp.take_along_axis(words_padded, wi + 1, axis=1)
+        # clamp like the dense path: out-of-range positions read the zero
+        # pad word (take_along_axis out-of-range behavior is
+        # backend-dependent — wrapped reads measured on the v5e)
+        w0 = jnp.take_along_axis(words_padded, jnp.clip(wi, 0, last), axis=1)
+        w1 = jnp.take_along_axis(words_padded, jnp.clip(wi + 1, 0, last),
+                                 axis=1)
     chunk = jnp.right_shift(w0, sh) | jnp.left_shift(
         jnp.left_shift(w1, np.uint32(31) - sh), np.uint32(1))
     return chunk & nbits_mask
@@ -400,9 +404,6 @@ def _build(n, bh, bw, mmax):
         "ms_words": (ms_bits + 31) // 32 + 1,
         "vlc_words": (vlc_bits + 31) // 32 + 1,
         "mel_words": (mel_bits + 31) // 32 + 1,
-        "ms_bytes": ms_bits // 7 + 2,
-        "vlc_bytes": vlc_bits // 7 + 2,
-        "mel_bytes": mel_bits // 7 + 2,
     }
 
     def run(coeffs, heights, widths):

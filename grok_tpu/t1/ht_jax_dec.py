@@ -402,9 +402,13 @@ def _decode_device(data, ms_len, scup, heights, widths, bh, bw, caps):
     qys = jnp.arange(qh, dtype=jnp.int32)
     carry_f, rows = jax.lax.scan(row_body, carry0, (qys, qys == 0))
     ok = carry_f[-1]
-    vpos_f, ms_pos_f = carry_f[0], carry_f[5]
+    vpos_f, mel_pos_f, ms_pos_f = carry_f[0], carry_f[1], carry_f[5]
     ok = ok & (vpos_f <= 32 * caps["vlc_words"])
     ok = ok & (ms_pos_f <= 32 * caps["ms_words"])
+    # under GROK_TPU_HT_DEC_TIGHT_CAPS the MEL pad region shrinks like the
+    # VLC/MagSgn ones do, so corrupt lanes over-reading MEL must fall back
+    # to the host path the same way (keeps garbage-lane host parity)
+    ok = ok & (mel_pos_f <= 32 * caps["mel_words"])
 
     out = rows.transpose(1, 0, 2, 3).reshape(n, 2 * qh, 2 * qw)
     out = out[:, :bh, :bw]

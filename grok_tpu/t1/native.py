@@ -101,6 +101,17 @@ def bind_t1_abi(lib: ctypes.CDLL) -> None:
         ctypes.c_int32, ctypes.c_int32,
     ]
     lib.t1_encode_cblks.restype = ctypes.c_int
+    if hasattr(lib, "t1_encode_cblks_v2"):
+        # v2 = plugin ABI + per-block plane_limits (rate-control skip);
+        # optional so third-party T1 plugins keep loading
+        lib.t1_encode_cblks_v2.argtypes = [
+            i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            u8p, ctypes.c_int64,
+            i64p, i32p, i32p, i64p, _f64p_or_null,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.t1_encode_cblks_v2.restype = ctypes.c_int
     lib.t1_decode_cblks.argtypes = [
         u8p, i64p, i32p, i32p, i32p, i32p, i32p, i32p,
         i64p, ctypes.c_int32,
@@ -369,6 +380,8 @@ def ht_stuff_words(words, totals, kind, num_threads: int = 0):
     ht_stuff_words): returns (bytes [n, cap], n_emit, partial, rem, fprev)
     with the same semantics the on-device fixpoint produced."""
     lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native lib unavailable (ht_stuff_words)")
     words = np.ascontiguousarray(words, dtype=np.uint32)
     totals = np.ascontiguousarray(totals, dtype=np.int64)
     n, nw = words.shape
@@ -396,6 +409,7 @@ def encode_cblks(
     num_threads: int = 0,
     styles: np.ndarray | None = None,
     want_dist: bool = True,
+    plane_limits: np.ndarray | None = None,
     _lib: ctypes.CDLL | None = None,
 ) -> T1EncodeResult:
     lib = _lib if _lib is not None else get_lib()
@@ -408,6 +422,9 @@ def encode_cblks(
     styles32 = np.ascontiguousarray(
         styles if styles is not None else np.zeros(n), dtype=np.int32
     )
+    limits32 = None
+    if plane_limits is not None and hasattr(lib, "t1_encode_cblks_v2"):
+        limits32 = np.ascontiguousarray(plane_limits, dtype=np.int32)
 
     # worst-case magnitude bitplanes bound the buffer/pass sizes
     # (one fused OMP min/max pass; numpy .max()+.min() costs two
@@ -426,12 +443,23 @@ def encode_cblks(
     dists = np.zeros((n, max_passes), dtype=np.float64)
     dists_arg = dists if want_dist else None  # NULL = skip dist accounting
 
-    lib.t1_encode_cblks(
-        coeffs, heights32, widths32, orients32, styles32,
-        n, h, w, data, max_bytes,
-        lengths, numbps, npasses, rates, dists_arg,
-        max_passes, _nthreads(num_threads),
-    )
+    def _call(data, max_bytes, lengths):
+        if limits32 is not None:
+            lib.t1_encode_cblks_v2(
+                coeffs, heights32, widths32, orients32, styles32, limits32,
+                n, h, w, data, max_bytes,
+                lengths, numbps, npasses, rates, dists_arg,
+                max_passes, _nthreads(num_threads),
+            )
+        else:
+            lib.t1_encode_cblks(
+                coeffs, heights32, widths32, orients32, styles32,
+                n, h, w, data, max_bytes,
+                lengths, numbps, npasses, rates, dists_arg,
+                max_passes, _nthreads(num_threads),
+            )
+
+    _call(data, max_bytes, lengths)
     if (lengths < 0).any():
         # the coder flagged a buffer overflow (heuristic bound exceeded):
         # retry once with a provably sufficient worst-case bound
@@ -439,12 +467,7 @@ def encode_cblks(
         max_bytes = max(max_bytes * 4, pmax * h * w + 256)
         data = np.empty((n, max_bytes), dtype=np.uint8)
         lengths[:] = 0
-        lib.t1_encode_cblks(
-            coeffs, heights32, widths32, orients32, styles32,
-            n, h, w, data, max_bytes,
-            lengths, numbps, npasses, rates, dists_arg,
-            max_passes, _nthreads(num_threads),
-        )
+        _call(data, max_bytes, lengths)
         if (lengths < 0).any():
             from ..core.errors import GrokTpuError
 

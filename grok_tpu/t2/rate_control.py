@@ -102,6 +102,7 @@ def allocate_layers(
     header_overhead_fn=None,
     exact_rate_fn=None,
     dist_targets: list[float | None] | None = None,
+    lam_out: list | None = None,
 ) -> np.ndarray:
     """Compute per-block cumulative pass counts per layer.
 
@@ -112,6 +113,10 @@ def allocate_layers(
     compressPacketsSimulate) — used instead of the heuristic when given.
     dist_targets: per-layer residual-distortion ceilings (fixed-quality /
     PSNR layers); a layer may carry either a rate or a distortion target.
+    lam_out: when a list is passed, the accepted slope threshold of each
+    layer is appended (0.0 for take-everything layers, inf when nothing
+    beyond the previous layer fit) — the plane-skip safety check in
+    tile_processor needs the final lambda.
     Returns [L, N] cumulative pass counts (non-decreasing across layers).
     """
     n, pmax = rates.shape
@@ -126,6 +131,7 @@ def allocate_layers(
     prev_rows: list[np.ndarray] = []
     for li, target in enumerate(layer_targets):
         dtarget = dist_targets[li] if dist_targets else None
+        lam_used = 0.0
         if target is None and dtarget is None:
             k = npasses.astype(np.int64)
         elif dtarget is not None:
@@ -140,6 +146,7 @@ def allocate_layers(
                 else:
                     b = mid
             k = passes_for_threshold(slopes, a)
+            lam_used = a
         elif exact_rate_fn is not None:
             # hybrid: narrow with the cheap body-rate bisection, then find
             # the exact threshold with a bracketed geometric bisection on
@@ -217,6 +224,7 @@ def allocate_layers(
                     else:
                         lam_inf = mid
             k = k_b
+            lam_used = lam_feas if lam_feas is not None else float("inf")
         else:
             overhead = header_overhead_fn(prev) if header_overhead_fn else 0.0
             budget = max(target * 0.998 - overhead, 0.0)
@@ -230,6 +238,9 @@ def allocate_layers(
                 else:
                     a = mid
             k = passes_for_threshold(slopes, b)
+            lam_used = b
+        if lam_out is not None:
+            lam_out.append(lam_used)
         k = np.maximum(k, prev)
         out[li] = k
         prev = k

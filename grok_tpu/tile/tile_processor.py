@@ -26,6 +26,7 @@ from ..core import trace
 from ..ops import dwt as dwt_ops
 from ..ops import mct as mct_ops
 from ..t1 import select_backend
+from ..t1.ebcot_np import T1EncodeResult
 from ..t2.packets import CblkDec, CblkEnc, PrecinctCtx, decode_packet, encode_packet
 from ..t2.progression import packet_order
 from .geometry import BAND_LL, TileCompGeom, cached_tile_comp_geometry
@@ -42,6 +43,54 @@ def _band_origin_in_packed(geom: TileCompGeom, res_idx: int, orient: int):
     if orient == 2:  # LH
         return ph, 0
     return ph, pw  # HH
+
+
+def _reencode_blocks(t1res, mask, sub):
+    """Splice a re-encoded subset (rows where mask is True) into a batched
+    T1 result, widening the data / per-pass arrays if the deeper encode
+    needs more room."""
+    idx = np.flatnonzero(mask)
+    n, mb = t1res.data.shape
+    mb2 = sub.data.shape[1]
+    raw, off = t1res.raw_data
+    if mb2 > mb:
+        raw2 = np.zeros((n, mb2 + off), dtype=np.uint8)
+        raw2[:, : mb + off] = raw
+        raw = raw2
+    p1 = t1res.pass_rates.shape[1]
+    p2 = sub.pass_rates.shape[1]
+    rates, dists = t1res.pass_rates, t1res.pass_dist
+    if p2 > p1:
+        rates = np.zeros((n, p2), dtype=rates.dtype)
+        rates[:, :p1] = t1res.pass_rates
+        dists = np.zeros((n, p2), dtype=dists.dtype)
+        dists[:, :p1] = t1res.pass_dist
+    sraw, soff = sub.raw_data
+    raw[idx, off : off + sub.data.shape[1]] = sraw[:, soff:]
+    rates[idx] = 0
+    rates[idx, : p2] = sub.pass_rates
+    dists[idx] = 0.0
+    dists[idx, : p2] = sub.pass_dist
+    lengths = t1res.lengths.copy()
+    lengths[idx] = sub.lengths
+    numbps = t1res.numbps.copy()
+    numbps[idx] = sub.numbps
+    npasses = t1res.npasses.copy()
+    npasses[idx] = sub.npasses
+    return T1EncodeResult(
+        data=raw[:, off:], raw_data=(raw, off), lengths=lengths,
+        numbps=numbps, npasses=npasses, pass_rates=rates, pass_dist=dists)
+
+
+def _batch_sq_sums(batch: np.ndarray) -> np.ndarray:
+    """Per-block sum of squared coefficients (float64 exact for < 2^53),
+    chunked so the float64 staging stays a few MB."""
+    n = batch.shape[0]
+    out = np.empty(n, dtype=np.float64)
+    for i in range(0, n, 256):
+        b = batch[i:i + 256].astype(np.float64)
+        out[i:i + 256] = np.einsum("nij,nij->n", b, b)
+    return out
 
 
 def _repair_pass_rates(t1res) -> None:
@@ -299,8 +348,11 @@ class TileProcessor:
             nl = tccp.num_resolutions - 1
             a = shifted[c]
             if irrev:
-                a = a.astype(np.float32)
-            packed = dwt_ops.forward(np, a.copy(), g.rect, nl, irrev)
+                a = a.astype(np.float32, copy=False)
+            # every shifted[c] is an owned temporary (fused-MCT output /
+            # dc_shift copy), so the DWT may scramble it in place — the
+            # defensive .copy() here cost a full plane of memory traffic
+            packed = dwt_ops.forward(np, a, g.rect, nl, irrev)
             apply_band_quant(g, tccp, self._comp_prec(c))
             if irrev:
                 # deadzone scalar quantization per band
@@ -437,44 +489,168 @@ class TileProcessor:
         if trace.enabled():
             trace.add("enc.gather", _time.perf_counter() - _t_gather,
                       bytes_moved=2 * batch.nbytes)
-        with trace.span("enc.t1", bytes_moved=batch.nbytes):
-            if tcp.tccps[0].cblk_style & 0x40:
-                from ..t1 import ht as t1
+        use_ht = bool(tcp.tccps[0].cblk_style & 0x40)
+        t1 = None if use_ht else select_backend()
+        targets = self._layer_targets()
 
-                refine = bool(getattr(self.enc_params, "ht_refine", False))
-                t1res = t1.encode_cblks(batch, heights, widths, orients,
-                                        refine=refine)
-            else:
-                t1 = select_backend()
-                _check_styles_supported(styles, t1)
-                # pass distortions feed only the PCRD layer search; a
-                # single-layer untargeted encode takes every pass, so skip
-                # the per-event distortion accounting entirely
-                t1res = t1.encode_cblks(
-                    batch, heights, widths, orients, styles=styles,
-                    want_dist=self._needs_pass_dist())
-            _repair_pass_rates(t1res)
+        # ---- rate-control plane skip: with byte budgets, the deep
+        # magnitude bitplanes are coded only to be discarded by PCRD.
+        # Encode the top K planes only; the coded pass data/rates/dists
+        # are bit-identical to the full encode's prefix (plane p coding
+        # never reads bits below p), then VERIFY per block that no
+        # uncoded pass could have entered the allocation: the cut vertex
+        # survives any extension iff the best possible slope from it to
+        # an uncoded point — residual distortion over remaining-rate
+        # floor — stays below the accepted lambda (convexity makes the
+        # cut-vertex condition sufficient; see _plane_skip_unsafe).
+        # Blocks that fail are re-encoded deeper and PCRD reruns.
+        from ..t1 import native as _t1n
+
+        plane_limits = None
+        if (
+            not use_ht
+            and t1 is _t1n
+            and _t1n.get_lib() is not None
+            and hasattr(_t1n.get_lib(), "t1_encode_cblks_v2")
+            and targets is not None
+            and all(t is not None for t in targets)
+            and not np.any(styles)
+            # opt-in: at 1 bpp the deep planes are already quantized
+            # away (measured: limited blocks 261/6321, T1 saving ~3%) and
+            # the verify/deepen reallocation rounds cost more than they
+            # save; higher-precision/higher-rate workloads with many deep
+            # blocks are where this pays
+            and os.environ.get("GROK_TPU_RATE_SKIP", "0") == "1"
+        ):
+            samples = int((heights * widths).sum())
+            bpp = 8.0 * float(targets[-1]) / max(samples, 1)
+            plane_limits = np.full(
+                len(heights), max(3, int(np.ceil(bpp)) + 5), dtype=np.int32)
+
+        def _encode(limits):
+            with trace.span("enc.t1", bytes_moved=batch.nbytes):
+                if use_ht:
+                    from ..t1 import ht as t1h
+
+                    refine = bool(getattr(self.enc_params, "ht_refine",
+                                          False))
+                    res = t1h.encode_cblks(batch, heights, widths, orients,
+                                           refine=refine)
+                else:
+                    _check_styles_supported(styles, t1)
+                    kw = {"plane_limits": limits} if limits is not None else {}
+                    # pass distortions feed only the PCRD layer search; a
+                    # single-layer untargeted encode takes every pass, so
+                    # skip the per-event distortion accounting entirely
+                    res = t1.encode_cblks(
+                        batch, heights, widths, orients, styles=styles,
+                        want_dist=self._needs_pass_dist(), **kw)
+                _repair_pass_rates(res)
+                return res
+
+        def _encode_subset(mask, limits):
+            # re-encode only the flagged blocks (typically a few deep
+            # low-frequency ones); the caller splices them back
+            idx = np.flatnonzero(mask)
+            return t1.encode_cblks(
+                np.ascontiguousarray(batch[idx]), heights[idx], widths[idx],
+                orients[idx], styles=np.asarray(styles)[idx],
+                want_dist=self._needs_pass_dist(),
+                plane_limits=limits[idx])
+
+        t1res = _encode(plane_limits)
+        sq_sums = None
 
         # ---- PCRD layer allocation (iterative: re-run with a tightened
         # budget if the emitted packets overshoot the rate target, mirroring
         # the reference's simulate-then-write loop)
-        targets = self._layer_targets()
-        shrink = 0
         with trace.span("enc.pcrd_t2"):
-            for _attempt in range(4):
-                cum_passes = self._allocate_layers(refs, t1res,
-                                                   extra_margin=shrink)
-                if packed_headers is not None:
-                    packed_headers.clear()
-                body, pkt_lens = self._emit_packets(refs, t1res, cum_passes,
-                                                    packed_headers)
-                if targets is None or targets[-1] is None:
+            for _round in range(4):
+                lam_out: list = []
+                w2_out: list = []
+                shrink = 0
+                for _attempt in range(4):
+                    lam_out.clear()
+                    w2_out.clear()
+                    cum_passes = self._allocate_layers(
+                        refs, t1res, extra_margin=shrink,
+                        lam_out=lam_out, w2_out=w2_out)
+                    if packed_headers is not None:
+                        packed_headers.clear()
+                    body, pkt_lens = self._emit_packets(
+                        refs, t1res, cum_passes, packed_headers)
+                    if targets is None or targets[-1] is None:
+                        break
+                    total = len(body)
+                    if total <= targets[-1]:
+                        break
+                    shrink += total - targets[-1] + 16
+                if plane_limits is None:
                     break
-                total = len(body)
-                if total <= targets[-1]:
+                if sq_sums is None:
+                    sq_sums = _batch_sq_sums(batch)
+                bad = self._plane_skip_unsafe(
+                    sq_sums, t1res, cum_passes, lam_out, w2_out)
+                if not bad.any():
                     break
-                shrink += total - targets[-1] + 16
+                plane_limits = plane_limits.copy()
+                if _round >= 2:
+                    # give up on the stragglers: code them in full
+                    plane_limits[bad] = np.asarray(
+                        t1res.numbps, dtype=np.int64)[bad].astype(np.int32)
+                else:
+                    plane_limits[bad] += 3
+                t1res = _reencode_blocks(
+                    t1res, bad,
+                    _encode_subset(bad, plane_limits))
         return body, pkt_lens
+
+    def _plane_skip_unsafe(self, sq_sums, t1res, cum_passes, lam_out,
+                           w2_out):
+        """Blocks whose plane-limited encode might have changed the PCRD
+        outcome: the final cut reached the coded ceiling, or an uncoded
+        pass could present a hull slope >= the accepted lambda. The slope
+        of ANY uncoded point u seen from the cut vertex is at most
+        (residual distortion at the cut) / (R_ceiling - R_cut), because
+        u's rate >= the ceiling rate and its distortion >= 0; when that
+        bound < lambda the cut vertex's outgoing slope stays < lambda, so
+        by convexity the included set is exactly the full encode's."""
+        numbps = np.asarray(t1res.numbps)
+        coded_np = np.asarray(t1res.npasses)
+        full_np = np.where(numbps > 0, 3 * numbps - 2, 0)
+        limited = coded_np < full_np
+        n = len(coded_np)
+        if not limited.any():
+            return np.zeros(n, dtype=bool)
+        lams = [l for l in lam_out if l is not None and np.isfinite(l)]
+        lam = min(lams) if lams else 0.0
+        if lam <= 0.0:
+            return limited  # cannot verify: deepen every limited block
+        w2 = w2_out[-1] if w2_out else np.ones(n)
+        cut = np.asarray(cum_passes[-1], dtype=np.int64)
+        rates = t1res.pass_rates
+        idx_cut = np.maximum(cut - 1, 0)[:, None]
+        R_cut = np.where(
+            cut > 0, np.take_along_axis(rates, idx_cut, axis=1)[:, 0], 0)
+        idx_ceil = np.maximum(coded_np - 1, 0)[:, None]
+        R_ceil = np.where(
+            coded_np > 0,
+            np.take_along_axis(rates, idx_ceil.astype(np.int64),
+                               axis=1)[:, 0], 0)
+        wd = t1res.pass_dist * w2[:, None]
+        csum = np.cumsum(wd, axis=1)
+        D_gain = np.where(
+            cut > 0, np.take_along_axis(csum, idx_cut, axis=1)[:, 0], 0.0)
+        # sq_sums slightly overestimates the true residual (mid-bin
+        # reconstruction leaves sub-unit error) -> bound is conservative
+        resid = np.maximum(sq_sums * w2 - D_gain, 0.0)
+        headroom = (R_ceil - R_cut).astype(np.float64)
+        bound = resid / np.maximum(headroom, 1e-9)
+        # headroom <= 0 also covers cuts sitting on a rate the limited
+        # encode clamped to its own final length: those prefixes include
+        # flush-touched bytes and must never be emitted
+        return limited & ((cut >= coded_np) | (headroom <= 0)
+                          | (bound >= lam * 0.99))
 
     def _emit_packets(self, refs, t1res, cum_passes, packed_headers=None):
         siz, tcp = self.siz, self.tcp
@@ -583,7 +759,9 @@ class TileProcessor:
         psnrs = getattr(p, "layer_psnrs", None) if p is not None else None
         return not (self.tcp.num_layers == 1 and not rates and not psnrs)
 
-    def _allocate_layers(self, refs, t1res, extra_margin: float = 0.0) -> np.ndarray:
+    def _allocate_layers(self, refs, t1res, extra_margin: float = 0.0,
+                         lam_out: list | None = None,
+                         w2_out: list | None = None) -> np.ndarray:
         """PCRD: cumulative pass counts per layer [L, N] (parity:
         TileProcessor.cpp rateAllocate/pcrdBisectFeasible)."""
         from ..t2.rate_control import allocate_layers
@@ -623,6 +801,8 @@ class TileProcessor:
             for i, ref in enumerate(refs):
                 w2[i] = band_w2(ref.comp, ref.res, ref.band_i)
         dists = t1res.pass_dist * w2[:, None]
+        if w2_out is not None:
+            w2_out.append(w2)
 
         # cumulative byte targets per layer (minus any measured overshoot)
         targets = self._layer_targets() or [None] * num_layers
@@ -680,6 +860,7 @@ class TileProcessor:
         return allocate_layers(
             t1res.pass_rates, dists, t1res.npasses, targets, header_overhead,
             exact_rate_fn=exact_rate_fn, dist_targets=dist_targets,
+            lam_out=lam_out,
         )
 
     def _mct_weights(self) -> list[float]:

@@ -838,14 +838,24 @@ static void dec_cup(BlockCtx2& B, MQDecoder& mq_io, int plane, bool segsym) {
 
 extern "C" {
 
-int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
-                    const int32_t* widths, const int32_t* orients,
-                    const int32_t* styles, int64_t n,
-                    int32_t H, int32_t W, uint8_t* out_data, int64_t max_bytes,
-                    int64_t* out_lengths, int32_t* out_numbps,
-                    int32_t* out_npasses, int64_t* out_pass_rates,
-                    double* out_pass_dist, int32_t max_passes,
-                    int32_t num_threads) {
+// impl shared by the plugin-ABI entry (no plane limits) and the rate-
+// control-aware v2 entry: plane_limits[b] > 0 codes only the top
+// plane_limits[b] magnitude bitplanes of block b. Coded pass data, rates
+// and distortions are byte/bit-identical to the full encode's first
+// 3*planes-2 passes (coding of plane p never reads magnitude bits below
+// p, and the conservative safe-rate boundaries exclude bytes later
+// passes could still touch), so PCRD over the coded prefix matches the
+// full run wherever its cut stays strictly above the limit (the caller
+// verifies that and deepens blocks that fail — tile_processor.py).
+static int t1_encode_cblks_impl(
+    const int32_t* coeffs, const int32_t* heights,
+    const int32_t* widths, const int32_t* orients,
+    const int32_t* styles, const int32_t* plane_limits, int64_t n,
+    int32_t H, int32_t W, uint8_t* out_data, int64_t max_bytes,
+    int64_t* out_lengths, int32_t* out_numbps,
+    int32_t* out_npasses, int64_t* out_pass_rates,
+    double* out_pass_dist, int32_t max_passes,
+    int32_t num_threads) {
     const int ws = W + 2;
     const int smax = (H + 3) / 4;
     const int64_t words_sz = (int64_t)(smax + 2) * ws;
@@ -883,7 +893,11 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
             }
             int numbps = 0;
             while (maxmag >> numbps) numbps++;
-            int npasses = numbps > 0 ? 3 * numbps - 2 : 0;
+            int limit = plane_limits ? plane_limits[b] : 0;
+            int floor_p =
+                (limit > 0 && limit < numbps) ? numbps - limit : 0;
+            int npasses =
+                numbps > 0 ? 3 * (numbps - floor_p) - 2 : 0;
             out_numbps[b] = numbps;
             out_npasses[b] = npasses;
             for (int i = 0; i < max_passes; i++) {
@@ -919,7 +933,7 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
             int pass_i = 0;
             bool in_raw = false;
             bool last_term = false;
-            for (int plane = numbps - 1; plane >= 0; plane--) {
+            for (int plane = numbps - 1; plane >= floor_p; plane--) {
                 double d;
                 auto end_pass = [&](double dd) {
                     bool term = term_after(pass_i);
@@ -982,6 +996,40 @@ int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
         delete[] colact;
     }
     return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int t1_encode_cblks(const int32_t* coeffs, const int32_t* heights,
+                    const int32_t* widths, const int32_t* orients,
+                    const int32_t* styles, int64_t n,
+                    int32_t H, int32_t W, uint8_t* out_data, int64_t max_bytes,
+                    int64_t* out_lengths, int32_t* out_numbps,
+                    int32_t* out_npasses, int64_t* out_pass_rates,
+                    double* out_pass_dist, int32_t max_passes,
+                    int32_t num_threads) {
+    return t1_encode_cblks_impl(coeffs, heights, widths, orients, styles,
+                                nullptr, n, H, W, out_data, max_bytes,
+                                out_lengths, out_numbps, out_npasses,
+                                out_pass_rates, out_pass_dist, max_passes,
+                                num_threads);
+}
+
+int t1_encode_cblks_v2(const int32_t* coeffs, const int32_t* heights,
+                       const int32_t* widths, const int32_t* orients,
+                       const int32_t* styles, const int32_t* plane_limits,
+                       int64_t n, int32_t H, int32_t W, uint8_t* out_data,
+                       int64_t max_bytes, int64_t* out_lengths,
+                       int32_t* out_numbps, int32_t* out_npasses,
+                       int64_t* out_pass_rates, double* out_pass_dist,
+                       int32_t max_passes, int32_t num_threads) {
+    return t1_encode_cblks_impl(coeffs, heights, widths, orients, styles,
+                                plane_limits, n, H, W, out_data, max_bytes,
+                                out_lengths, out_numbps, out_npasses,
+                                out_pass_rates, out_pass_dist, max_passes,
+                                num_threads);
 }
 
 int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,

@@ -306,3 +306,45 @@ def test_stuff_host_native_matches_python_fallback(monkeypatch):
                 kind, i, "bytes")
             assert (a[2][i], a[3][i], a[4][i]) == (
                 b[2][i], b[3][i], b[4][i]), (kind, i, "tail state")
+
+
+def test_pack_extract_dense_gather_parity():
+    """_pack_bits/_extract dense (TPU) vs gather (CPU) formulations must
+    agree on any backend — without this the dense arithmetic is only ever
+    executed when a TPU is attached (ADVICE r04)."""
+    import jax.numpy as jnp
+
+    from grok_tpu.t1 import ht_jax
+
+    rng = np.random.default_rng(7)
+    n, m, cap = 5, 64, 24
+    lens = rng.integers(0, 33, size=(n, m)).astype(np.int32)
+    vals = rng.integers(0, 2 ** 32, size=(n, m), dtype=np.uint64).astype(
+        np.uint32)
+    # keep totals within capacity so both layouts are fully in-range
+    lens = np.minimum(lens, np.maximum(
+        0, cap * 32 - np.cumsum(lens, axis=1) + lens)).astype(np.int32)
+    w_d, t_d = ht_jax._pack_bits(jnp.asarray(vals), jnp.asarray(lens), cap,
+                                 dense=True)
+    w_g, t_g = ht_jax._pack_bits(jnp.asarray(vals), jnp.asarray(lens), cap,
+                                 dense=False)
+    assert np.array_equal(np.asarray(w_d), np.asarray(w_g))
+    assert np.array_equal(np.asarray(t_d), np.asarray(t_g))
+
+    words = np.pad(np.asarray(w_d), ((0, 0), (0, 1)))
+    # in-range positions (the documented clamp semantics only guarantees
+    # out-of-range reads land in the zero pad word)
+    p = rng.integers(0, cap * 32 - 32, size=(n, 13)).astype(np.int32)
+    mask = np.uint32(0xFFFF)
+    e_d = ht_jax._extract(jnp.asarray(words), jnp.asarray(p), mask,
+                          dense=True)
+    e_g = ht_jax._extract(jnp.asarray(words), jnp.asarray(p), mask,
+                          dense=False)
+    assert np.array_equal(np.asarray(e_d), np.asarray(e_g))
+    # past-the-end positions: both paths must clamp into the zero pad word
+    p_hi = np.full((n, 4), (cap + 1) * 32, dtype=np.int32)
+    e_dh = ht_jax._extract(jnp.asarray(words), jnp.asarray(p_hi), mask,
+                           dense=True)
+    e_gh = ht_jax._extract(jnp.asarray(words), jnp.asarray(p_hi), mask,
+                           dense=False)
+    assert np.array_equal(np.asarray(e_dh), np.asarray(e_gh))

@@ -113,9 +113,6 @@ def build_chain(h, w, nc, nres, mmax):
         "ms_words": (ms_bits + 31) // 32 + 1,
         "vlc_words": (vlc_bits + 31) // 32 + 1,
         "mel_words": (mel_bits + 31) // 32 + 1,
-        "ms_bytes": ms_bits // 7 + 2,
-        "vlc_bytes": vlc_bits // 7 + 2,
-        "mel_bytes": mel_bits // 7 + 2,
     }
     # NOTE: heights/widths must stay runtime arguments — baking them in as
     # closed-over constants lets XLA constant-fold the size masks, which
