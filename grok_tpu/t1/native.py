@@ -355,7 +355,8 @@ def ht_decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
     lib = get_lib()
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
-    out = np.zeros((n, block_h, block_w), dtype=np.int32)
+    # np.empty: the native decoder clears/writes every block's dst plane
+    out = np.empty((n, block_h, block_w), dtype=np.int32)
     rc = lib.ht_decode_cblks_c(
         data,
         np.ascontiguousarray(lengths, dtype=np.int64),
@@ -503,7 +504,8 @@ def decode_cblks(
     assert lib is not None
     data = np.ascontiguousarray(data, dtype=np.uint8)
     n = data.shape[0]
-    out = np.zeros((n, block_h, block_w), dtype=np.int32)
+    # np.empty: the native decoder clears/writes every block's dst plane
+    out = np.empty((n, block_h, block_w), dtype=np.int32)
     if seg_lengths is None:
         seg_lengths = np.zeros((n, 1), dtype=np.int64)
     seg_lengths = np.ascontiguousarray(seg_lengths, dtype=np.int64)

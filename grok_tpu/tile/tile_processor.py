@@ -928,6 +928,12 @@ class TileProcessor:
         keep = (entry_np > 0) & want_entry
         sel = np.nonzero(keep)[0]
         n = len(sel)
+        # staging planes are np.empty on this path: every wanted entry
+        # must be written. Blocks whose packets were rate-truncated to
+        # zero passes (entry_np == 0) never reach the T1 scatter, so
+        # their rects get a zero plane scattered here.
+        self._scatter_zero_holes(lib, flat, want_entry & (entry_np == 0),
+                                 staging, cbh, cbw, fused_deq)
         if n == 0:
             return
         row_of = np.full(te, -1, dtype=np.int32)
@@ -1031,6 +1037,40 @@ class TileProcessor:
         if trace.enabled():
             trace.add("dec.scatter", _time.perf_counter() - _t_scatter,
                       bytes_moved=2 * coeffs.nbytes)
+
+    @staticmethod
+    def _scatter_zero_holes(lib, flat, hole_mask, staging, cbh, cbw,
+                            fused_deq):
+        holes = np.nonzero(hole_mask & (flat.e_h > 0) & (flat.e_w > 0))[0]
+        if len(holes) == 0:
+            return
+        zero_plane = np.zeros((1, cbh, cbw), dtype=np.int32)
+        zrows = np.zeros(len(holes), dtype=np.int32)
+        for c in np.unique(flat.e_comp[holes]):
+            m = flat.e_comp[holes] == c
+            if not isinstance(staging[c], np.ndarray):
+                continue  # sparse canvas: unwritten chunks read as zero
+            if fused_deq:
+                lib.scatter_rows_dequant(
+                    zero_plane, cbh, cbw,
+                    np.ascontiguousarray(zrows[m]), int(m.sum()),
+                    np.ascontiguousarray(flat.e_py[holes][m]),
+                    np.ascontiguousarray(flat.e_px[holes][m]),
+                    np.ascontiguousarray(flat.e_h[holes][m]),
+                    np.ascontiguousarray(flat.e_w[holes][m]),
+                    np.zeros(int(m.sum()), dtype=np.float32),
+                    staging[c], staging[c].shape[1], 0,
+                )
+            else:
+                lib.scatter_rows(
+                    zero_plane, cbh, cbw,
+                    np.ascontiguousarray(zrows[m]), int(m.sum()),
+                    np.ascontiguousarray(flat.e_py[holes][m]),
+                    np.ascontiguousarray(flat.e_px[holes][m]),
+                    np.ascontiguousarray(flat.e_h[holes][m]),
+                    np.ascontiguousarray(flat.e_w[holes][m]),
+                    staging[c], staging[c].shape[1], 0,
+                )
 
     @staticmethod
     def _pkt_skip_mask(flat, want_entry):
@@ -1299,7 +1339,14 @@ class TileProcessor:
 
                 coeff_arrays.append(SparseCanvas((rr.height, rr.width), dt))
             else:
-                coeff_arrays.append(np.zeros((rr.height, rr.width), dtype=dt))
+                # np.empty on the flat path: the packed canvas is exactly
+                # tiled by band rects, each tiled by its codeblock grid,
+                # and the flat scatter writes every selected block
+                # (missing/truncated blocks scatter the decoder's zero
+                # plane), so every element is covered. The object path
+                # writes only blocks that carried packet data -> zeros.
+                alloc = np.empty if lib is not None else np.zeros
+                coeff_arrays.append(alloc((rr.height, rr.width), dtype=dt))
         # fused scatter+dequant: decoded blocks land directly in the float
         # plane at their band step (no int32 staging pass); falls back when
         # ROI/window/object paths need the staged integers
@@ -1330,7 +1377,8 @@ class TileProcessor:
             staging = (
                 coeff_arrays
                 if not irrev or fused_deq
-                else [np.zeros(a.shape, dtype=np.int32) for a in coeff_arrays]
+                else [(np.empty if lib is not None else np.zeros)(
+                    a.shape, dtype=np.int32) for a in coeff_arrays]
             )
 
         comp_windows = None

@@ -1062,11 +1062,14 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
             int h = heights[b], w = widths[b];
             int S = (h + 3) / 4;
             int32_t* dst = out_coeffs + b * (int64_t)H * W;
-            std::memset(dst, 0, (int64_t)H * W * sizeof(int32_t));
-
             int nb = numbps[b];
             int np = npasses[b];
-            if (nb <= 0 || np <= 0) continue;
+            if (nb <= 0 || np <= 0 || h < H || w < W) {
+                // the final writeout covers rows [0,h) x cols [0,w) only;
+                // clear the padding (or the whole plane for empty blocks)
+                std::memset(dst, 0, (int64_t)H * W * sizeof(int32_t));
+                if (nb <= 0 || np <= 0) continue;
+            }
 
             std::memset(words, 0, (int64_t)(S + 2) * ws * sizeof(uint64_t));
             std::memset(mag, 0, (int64_t)h * W * sizeof(uint32_t));
