@@ -113,6 +113,7 @@ def build_chain(h, w, nc, nres, mmax):
         "ms_words": (ms_bits + 31) // 32 + 1,
         "vlc_words": (vlc_bits + 31) // 32 + 1,
         "mel_words": (mel_bits + 31) // 32 + 1,
+        "mmax": mmax,  # enables quad chunking in the MagSgn pack
     }
     # NOTE: heights/widths must stay runtime arguments — baking them in as
     # closed-over constants lets XLA constant-fold the size masks, which
@@ -174,6 +175,45 @@ def build_chain(h, w, nc, nres, mmax):
             loops, meta)
 
 
+def _trace_device_ms(fn, args, iters=4):
+    """Per-iteration device-stream time from a jax.profiler trace.
+
+    The queued-dispatch differencing includes this rig's per-execution
+    tunnel dispatch cost (measured ~2x the device time at 4K batch
+    shapes); the profiler's device-lane jit spans time what the CHIP
+    actually spends — the production-relevant number (a PCIe/ICI attach
+    has us-class dispatch)."""
+    import glob
+    import gzip
+    import json as _json
+    import tempfile
+
+    import jax
+
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            _fetch(fn(*args))
+            with jax.profiler.trace(td):
+                out = None
+                for _ in range(iters):
+                    out = fn(*args)
+                _fetch(out)
+            files = glob.glob(
+                os.path.join(td, "plugins", "profile", "*",
+                             "*.trace.json.gz"))
+            if not files:
+                return None
+            d = _json.load(gzip.open(sorted(files)[-1]))
+            tot = 0
+            for e in d.get("traceEvents", []):
+                if (e.get("ph") == "X" and "dur" in e
+                        and str(e.get("name", "")).startswith("jit")):
+                    tot += e["dur"]
+            return tot / iters / 1000.0 if tot else None
+    except Exception:
+        return None
+
+
 def _fetch(x):
     """Value fetch = the only real synchronization on the axon platform:
     block_until_ready returns immediately there (measured: a 48-iteration
@@ -207,13 +247,30 @@ def main():
     img = natural_image(h, w, nc)
     samples = h * w * nc
 
-    # magnitude bound: Mb from the signalled quant (MAGB discipline)
+    # magnitude bound: the production encoder (ht_jax.encode_cleanup_batch)
+    # sizes the MagSgn capacity from the ACTUAL batch maximum, not the
+    # signalled MAGB bound — the pack stage cost scales with that
+    # capacity, so the bench must match production. Run the transform
+    # once under the conservative bound to read the real maximum, then
+    # build the measured chain with it.
     _, tccps, _ = build_setup(h, w, nc, args.nres)
-    mmax = max(max(t.step_exps) + t.guard_bits - 1 for t in tccps) + 1
+    mmax_sig = max(max(t.step_exps) + t.guard_bits - 1 for t in tccps) + 1
 
     t_build0 = time.perf_counter()
     chain, transform_only, t1_only, loops, meta = build_chain(
-        h, w, nc, args.nres, mmax)
+        h, w, nc, args.nres, mmax_sig)
+    import jax.numpy as _jnp
+
+    _probe = transform_only(*[
+        jax.device_put(np.ascontiguousarray(img[..., c], dtype=np.int32))
+        for c in range(nc)])
+    mx_actual = int(_jnp.abs(_probe).max())
+    mmax = max(int(2 * mx_actual - 1).bit_length(), 1) if mx_actual else 1
+    if mmax != mmax_sig:
+        print(f"actual-content mmax {mmax} (signalled bound {mmax_sig}); "
+              "rebuilding the measured chain", flush=True)
+        chain, transform_only, t1_only, loops, meta = build_chain(
+            h, w, nc, args.nres, mmax)
     comps_np = [np.ascontiguousarray(img[..., c], dtype=np.int32)
                 for c in range(nc)]
 
@@ -278,6 +335,64 @@ def main():
         "t1_Ks_2Ks": [round(t1_tk, 4), round(t1_t2k, 4)],
     }
 
+    # ---- decode stage: compact the encoded segments on the host (the
+    # production split) and time the device cleanup-decode program
+    from grok_tpu.t1 import ht_jax, ht_jax_dec
+
+    out_enc = chain(*chain_args)
+    segs = ht_jax._compact(
+        {k: [np.asarray(x) for x in out_enc[k]]
+         if k in ("ms", "mel", "vlc") else np.asarray(out_enc[k])
+         for k in out_enc},
+        meta["n_blocks"], meta["heights"], meta["widths"])
+    nb = meta["n_blocks"]
+    dlens = np.array([len(s) for s in segs], dtype=np.int64)
+    L = max(int(dlens.max(initial=1)), 1)
+    ddata = np.zeros((nb, L), dtype=np.uint8)
+    for i, s in enumerate(segs):
+        ddata[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    scup = np.zeros(nb, dtype=np.int32)
+    for i in range(nb):
+        ln = int(dlens[i])
+        if ln >= 2:
+            scup[i] = (int(ddata[i, ln - 1]) << 4) | (int(ddata[i, ln - 2]) & 0xF)
+    ms_len = np.maximum(dlens.astype(np.int32) - scup, 0)
+    Lc = 64
+    while Lc < L:
+        Lc *= 2
+    Nc = 64
+    while Nc < nb:
+        Nc *= 2
+    msc = 64
+    while msc < int(ms_len.max(initial=0)):
+        msc *= 2
+    scc = max(4096, 64)
+    ddata_p = np.pad(ddata, ((0, Nc - nb), (0, Lc - L)))
+    scup_p = np.pad(scup, (0, Nc - nb))
+    ms_len_p = np.pad(ms_len, (0, Nc - nb))
+    hs_p = np.pad(meta["heights"].astype(np.int32), (0, Nc - nb))
+    ws_p = np.pad(meta["widths"].astype(np.int32), (0, Nc - nb))
+    dec_fn = ht_jax_dec._build(Nc, Lc, 64, 64, msc, scc)
+    import jax.numpy as __jnp
+
+    dec_args = tuple(jax.device_put(__jnp.asarray(x)) for x in
+                     (ddata_p, ms_len_p, scup_p, hs_p, ws_p))
+
+    def dec_digest(*a):
+        out, ok = dec_fn(*a)
+        return out.sum(dtype=__jnp.int32) + ok.sum(dtype=__jnp.int32)
+
+    dec_jit = jax.jit(dec_digest)
+    dec_s, dec_tk, dec_t2k = loop_time(dec_jit, dec_args, max(K // 4, 4),
+                                       "dec")
+    dev_dec_ms = _trace_device_ms(dec_jit, dec_args)
+
+    # device-only times from the profiler trace (see _trace_device_ms)
+    dev_chain_ms = _trace_device_ms(
+        loops["chain"], (hs_dev, ws_dev, *comps_dev))
+    dev_fwd_ms = _trace_device_ms(loops["fwd"], tuple(comps_dev))
+    dev_t1_ms = _trace_device_ms(loops["t1"], (batch_dev, hs_dev, ws_dev))
+
     # single-dispatch wall time (includes the launch + fetch floor)
     _fetch(loops["chain"](*chain_args))
     e2e_1 = float("inf")
@@ -309,7 +424,23 @@ def main():
         "stages": {
             "transform_dc_mct_dwt_quant": mk(fwd_s, fwd_bytes),
             "t1_ht_cleanup_encode": mk(t1_s, t1_bytes),
+            "t1_ht_cleanup_decode": mk(dec_s, t1_bytes),
             "end_to_end_chain": mk(e2e_s, fwd_bytes + t1_bytes),
+        },
+        "device_only_trace": {
+            "method": "jax.profiler device-lane jit spans per iteration; "
+                      "excludes this rig's per-dispatch tunnel overhead "
+                      "(production attach is PCIe/ICI with us dispatch)",
+            "chain_ms": round(dev_chain_ms, 3) if dev_chain_ms else None,
+            "transform_ms": round(dev_fwd_ms, 3) if dev_fwd_ms else None,
+            "t1_ht_ms": round(dev_t1_ms, 3) if dev_t1_ms else None,
+            "t1_ht_mp_s": round(samples / dev_t1_ms / 1e3, 1)
+            if dev_t1_ms else None,
+            "t1_ht_dec_ms": round(dev_dec_ms, 3) if dev_dec_ms else None,
+            "t1_ht_dec_mp_s": round(samples / dev_dec_ms / 1e3, 1)
+            if dev_dec_ms else None,
+            "chain_mp_s": round(samples / dev_chain_ms / 1e3, 1)
+            if dev_chain_ms else None,
         },
         "timing": {
             "method": f"queued-dispatch (2K-K)/K difference, K={K}; "

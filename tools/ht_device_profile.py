@@ -112,12 +112,10 @@ def main():
             return init, (jnp.zeros((steps, 3, nl), jnp.uint32),
                           jnp.zeros((steps, 3, nl), jnp.int32))
         lax.scan = scan_stub
-        ht_jax.jax.lax.scan = scan_stub
         try:
             out = ht_jax._encode_device(c, h, w, bh, bw, caps)
         finally:
             lax.scan = orig_scan
-            ht_jax.jax.lax.scan = orig_scan
         return digest(out)
     variants["no_mel_scan"] = no_mel
 
