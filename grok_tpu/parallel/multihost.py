@@ -20,14 +20,20 @@ across ``jax.distributed`` processes:
   ``gk.compress`` (asserted by tools/multihost_run.py and
   tests/test_multihost.py).
 
-Payload note: tile bodies are exchanged through the coordination
-service, which is plenty for control-plane-sized shards and makes the
-layer dependency-free; a production deployment writing multi-GB streams
-would point every process at a shared filesystem / object store and
-exchange only (offset, length) records — the assembly protocol
-(contiguous shards, tile-order concatenation, TLM patch at close) is
-identical, and the strip/TileEncoder machinery already covers the
-ordered-write side.
+Data planes:
+
+- ``compress_multihost(...)`` — tile bodies ride the coordination
+  service's KV store (chunked). Control-plane simple, fine for tests
+  and small shards.
+- ``compress_multihost_shared(..., out_path=...)`` — the production
+  plane: only LENGTH RECORDS cross the DCN. Every process computes the
+  identical main header locally (it is a pure function of geometry +
+  params), publishes its shard's byte length, reads the others',
+  derives its absolute offset by prefix sum, and pwrites its tile
+  bodies directly into the shared output file. Process 0 writes the
+  header, patches TLM from the exchanged per-tile lengths, and appends
+  EOC. No tile byte ever transits the coordinator. Byte-identical to
+  single-host ``gk.compress`` (tests/test_multihost.py).
 """
 
 from __future__ import annotations
@@ -222,6 +228,147 @@ def compress_multihost(image, params: CompressParams | None = None,
     out += tiles_blob
     out += mk._u16(mk.EOC)
     return bytes(out)
+
+
+def compress_multihost_shared(image, params: CompressParams | None = None,
+                              out_path: str | None = None,
+                              tile_provider=None,
+                              use_local_mesh: bool = True,
+                              timeout_ms: int = 600_000) -> int | None:
+    """Shared-filesystem N-process encode (the production data plane).
+
+    Every process encodes its contiguous tile shard and pwrites the
+    bodies straight into ``out_path`` at an offset derived from the
+    exchanged shard lengths; only (length, TLM/PLM record) metadata
+    crosses the coordinator (reference analogue: the ordered stream
+    writer, CodeStreamCompress.cpp:615-699, with the serialization
+    replaced by offset arithmetic). Returns the stream length on
+    process 0, None elsewhere; the bytes in ``out_path`` are
+    byte-identical to single-host ``gk.compress``."""
+    import jax
+
+    params = params or CompressParams()
+    params.validate()
+    image.finalize()
+    if params.profile:
+        from ..codestream.profile import apply_profile
+
+        apply_profile(params, image)
+    if out_path is None:
+        raise ValueError("compress_multihost_shared requires out_path")
+
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    client = _client()
+    _EPOCH[0] += 1
+    ep = _EPOCH[0]
+
+    siz = build_siz(image, params)
+    tcp = build_tcp(image, params)
+    if params.ht:
+        siz.rsiz |= 0x4000
+    if params.mct_matrix is not None:
+        siz.rsiz |= 0x8100
+
+    my_tiles = list(tile_shard(siz.num_tiles, nproc, pid))
+
+    coeff_map = {}
+    if use_local_mesh and my_tiles and tile_provider is None \
+            and siz.num_tiles > 1:
+        from jax.sharding import Mesh
+
+        from .distributed import transform_tiles_on_mesh
+
+        local = jax.local_devices()
+        mesh = Mesh(np.array(local), ("tile",))
+        coeff_map = transform_tiles_on_mesh(
+            image, siz, tcp, params, my_tiles, mesh)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..core.cpu import host_threads, set_tile_threads
+
+    def enc_one(ti):
+        coeffs = coeff_map.get(ti)
+        if coeffs is None and tile_provider is not None:
+            comp_arrays = tile_provider(ti)
+        elif coeffs is None:
+            from ..codestream.compress import _extract_tile
+
+            comp_arrays = _extract_tile(image, siz, ti)
+        else:
+            comp_arrays = None
+        return encode_tile_to_blob(siz, tcp, params, ti, comp_arrays, coeffs)
+
+    results = []
+    if my_tiles:
+        nw = min(host_threads(params.num_threads), len(my_tiles), 8)
+        per_tile = max(1, host_threads(params.num_threads) // nw)
+
+        def work(ti):
+            set_tile_threads(per_tile)
+            return enc_one(ti)
+
+        if nw > 1:
+            with ThreadPoolExecutor(max_workers=nw) as ex:
+                results = list(ex.map(work, my_tiles))
+        else:
+            results = [work(ti) for ti in my_tiles]
+
+    shard_len = sum(len(blob) for blob, _, _ in results)
+
+    # metadata (small, control-plane): shard length + TLM/PLM records
+    meta = pickle.dumps(
+        (shard_len,
+         [pl for _, pl, _ in results],
+         [plm for _, _, plm in results]),
+        protocol=pickle.HIGHEST_PROTOCOL)
+    _kv_put(client, f"gkmh/{ep}/meta/{pid}", meta, timeout_ms)
+    client.wait_at_barrier(f"gkmh/{ep}/meta_ready", timeout_in_ms=timeout_ms)
+
+    metas = []
+    for p in range(nproc):
+        if p == pid:
+            metas.append((shard_len, [pl for _, pl, _ in results],
+                          [plm for _, _, plm in results]))
+        else:
+            metas.append(pickle.loads(
+                _kv_get(client, f"gkmh/{ep}/meta/{p}", timeout_ms)))
+
+    # every process derives the SAME header (and so the same offsets)
+    out, tlm_offset = write_main_header(siz, tcp, params, image)
+    if params.write_plm:
+        plm_all = [pp for m in metas for plms in m[2] for pp in plms]
+        out += mk.write_plm(plm_all)
+    header_len = len(out)
+    my_off = header_len + sum(m[0] for m in metas[:pid])
+    total_len = header_len + sum(m[0] for m in metas) + 2  # + EOC
+
+    # pwrite the local shard at its absolute offset (no cross-host bytes)
+    import os as _os
+
+    fd = _os.open(out_path, _os.O_RDWR | _os.O_CREAT, 0o644)
+    try:
+        _os.ftruncate(fd, total_len)
+        off = my_off
+        for blob, _, _ in results:
+            _os.pwrite(fd, bytes(blob), off)
+            off += len(blob)
+        if pid == 0:
+            if params.write_tlm and tlm_offset is not None:
+                tile_part_lengths = [
+                    tp for m in metas for pls in m[1] for tp in pls]
+                tlm = mk.write_tlm(
+                    tile_part_lengths,
+                    st=1 if siz.num_tiles <= 255 else 2)
+                out[tlm_offset:tlm_offset + len(tlm)] = tlm
+            _os.pwrite(fd, bytes(out), 0)
+            _os.pwrite(fd, mk._u16(mk.EOC), total_len - 2)
+        _os.fsync(fd)
+    finally:
+        _os.close(fd)
+    client.wait_at_barrier(f"gkmh/{ep}/written", timeout_in_ms=timeout_ms)
+    return total_len if pid == 0 else None
 
 
 def decompress_multihost(data: bytes, params=None,

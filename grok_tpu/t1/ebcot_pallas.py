@@ -387,305 +387,12 @@ def _build_kernel_wide(Hp: int, W: int, NL: int, SUB: int, PMAXC: int,
     return _jax.jit(run)
 
 
-def _build_kernel(Hp: int, W: int, N: int, PMAXC: int, interpret: bool):
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    NS = Hp // 4
-    Wp = W + 2
-    R = (Hp + 2) * Wp
-    S_SPP, S_MRP, S_CUP, S_PAD = _slot_counts(NS, W)
-    # debug-only: restrict which pass bodies are traced (crash bisection)
-    _passes = os.environ.get("GROK_TPU_PALLAS_PASSES", "spp,mrp,cup").split(",")
-
-    def zc_ctx(up, mid, dn, upc, dnc, orient):
-        """ZC context + neighbor count from flag row triples.
-
-        up/mid/dn: [3, N] i32 flag words of rows y-1/y/y+1 at x-1..x+1;
-        upc/dnc: VSC cut masks [1, N] (bool) for the row above/below."""
-        s = lambda t, i: t[i : i + 1] & 1
-        blw = lambda i: jnp.where(dnc, 0, s(dn, i))
-        h = s(mid, 0) + s(mid, 2)
-        v = jnp.where(upc, 0, s(up, 1)) + blw(1)
-        d = (
-            jnp.where(upc, 0, s(up, 0) + s(up, 2))
-            + blw(0)
-            + blw(2)
-        )
-        # normal table (LL/LH); HL swaps h and v roles
-        hn = jnp.where(orient == 1, v, h)
-        vn = jnp.where(orient == 1, h, v)
-        nrm = jnp.where(
-            hn == 2,
-            8,
-            jnp.where(
-                hn == 1,
-                jnp.where(vn >= 1, 7, jnp.where(d >= 1, 6, 5)),
-                jnp.where(
-                    vn == 2,
-                    4,
-                    jnp.where(
-                        vn == 1, 3, jnp.where(d >= 2, 2, jnp.where(d == 1, 1, 0))
-                    ),
-                ),
-            ),
-        )
-        a = h + v
-        hh = jnp.where(
-            d >= 3,
-            8,
-            jnp.where(
-                d == 2,
-                jnp.where(a >= 1, 7, 6),
-                jnp.where(
-                    d == 1,
-                    jnp.where(a >= 2, 5, jnp.where(a == 1, 4, 3)),
-                    jnp.where(a >= 2, 2, jnp.where(a == 1, 1, 0)),
-                ),
-            ),
-        )
-        return jnp.where(orient == 3, hh, nrm), h + v + d
-
-    def sc_ctx(up, mid, dn, cup, cmid, cdn, upc, dnc):
-        """Sign context + xor from flag triples and coefficient triples."""
-        con = lambda f, c, i: (f[i : i + 1] & 1) * (
-            1 - 2 * (c[i : i + 1] < 0).astype(jnp.int32)
-        )
-        below = jnp.where(dnc, 0, con(dn, cdn, 1))
-        above = jnp.where(upc, 0, con(up, cup, 1))
-        hb = jnp.clip(con(mid, cmid, 0) + con(mid, cmid, 2), -1, 1)
-        vb = jnp.clip(above + below, -1, 1)
-        ctx = jnp.where(hb == 0, 9 + jnp.abs(vb), 12 + hb * vb)
-        xr = jnp.where(hb == 0, (vb < 0).astype(jnp.int32), (hb < 0).astype(jnp.int32))
-        return ctx, xr
-
-    def kernel(coef_ref, lane_ref, sym_ref, flags_ref):
-        p = pl.program_id(0)
-        q = pl.program_id(1)
-        plane = (PMAXC - 1) - p
-
-        @pl.when((p == 0) & (q == 0))
-        def _():
-            flags_ref[:] = jnp.zeros_like(flags_ref)
-
-        sym_ref[:] = jnp.zeros_like(sym_ref)
-
-        nbps = lane_ref[0:1, :]
-        hgt = lane_ref[1:2, :]
-        wid = lane_ref[2:3, :]
-        orient = lane_ref[3:4, :]
-        vsc = lane_ref[4:5, :] != 0
-        segsym = lane_ref[5:6, :] != 0
-        bypass = lane_ref[6:7, :] != 0
-
-        spp_m = (nbps - 1) > plane
-        cup_m = (nbps - 1) >= plane
-        rel = nbps - 1 - plane
-
-        def lpi(kind):
-            return jnp.where(rel <= 0, 0, (rel - 1) * 3 + 1 + kind)
-
-        raw_spp = bypass & (lpi(0) >= 10)
-        raw_mrp = bypass & (lpi(1) >= 10)
-
-        def rows3(ref, r):
-            return ref[pl.ds(r - 1, 3), :]
-
-        def load_env(r, k):
-            """Neighborhood triples + VSC cut masks for padded flat pos r."""
-            fu, fm, fd = rows3(flags_ref, r - Wp), rows3(flags_ref, r), rows3(
-                flags_ref, r + Wp
-            )
-            cu, cm, cd = rows3(coef_ref, r - Wp), rows3(coef_ref, r), rows3(
-                coef_ref, r + Wp
-            )
-            # stripe-causal VSC: the row below a stripe bottom (k==3) is cut;
-            # the row above a stripe top (k==0) belongs to the stripe above,
-            # whose samples are visible (T.800 D.7 cuts only the *next*
-            # stripe), so no upper cut.
-            dnc = vsc & (k == 3)
-            upc = jnp.zeros_like(dnc)
-            return fu, fm, fd, cu, cm, cd, upc, dnc
-
-        def rec(valid, raw, bit, ctx):
-            return (
-                (valid.astype(jnp.int32) << 7)
-                | ((raw & valid).astype(jnp.int32) << 6)
-                | ((bit.astype(jnp.int32) & 1) << 5)
-                | ctx.astype(jnp.int32)
-            )
-
-        def put(slot, v):
-            sym_ref[0, 0, pl.ds(slot, 1), :] = v
-
-        def spp_pos(s, x, k):
-            y = 4 * s + k
-            r = (y + 1) * Wp + (x + 1)
-            fu, fm, fd, cu, cm, cd, upc, dnc = load_env(r, k)
-            ctx, ncnt = zc_ctx(fu, fm, fd, upc, dnc, orient)
-            selff = fm[1:2]
-            cvec = cm[1:2]
-            mag = jnp.abs(cvec)
-            sgn = (cvec < 0).astype(jnp.int32)
-            inb = (y < hgt) & (x < wid) & spp_m
-            code = inb & ((selff & 1) == 0) & (ncnt > 0)
-            bit = (mag >> plane) & 1
-            slot0 = ((s * W + x) * 4 + k) * 2
-            put(slot0, rec(code, raw_spp, bit, ctx))
-            became = code & (bit == 1)
-            scc, xr = sc_ctx(fu, fm, fd, cu, cm, cd, upc, dnc)
-            sbit = jnp.where(raw_spp, sgn, sgn ^ xr)
-            put(slot0 + 1, rec(became, raw_spp, sbit, scc))
-            newf = selff | became.astype(jnp.int32) | (code.astype(jnp.int32) << 1)
-            flags_ref[pl.ds(r, 1), :] = newf
-
-        def mrp_pos(s, x, k):
-            y = 4 * s + k
-            r = (y + 1) * Wp + (x + 1)
-            fu, fm, fd, cu, cm, cd, upc, dnc = load_env(r, k)
-            _, ncnt = zc_ctx(fu, fm, fd, upc, dnc, orient)
-            selff = fm[1:2]
-            sig_v = (selff & 1) != 0
-            vis = (selff & 2) != 0
-            refn = (selff & 4) != 0
-            inb = (y < hgt) & (x < wid) & spp_m
-            code = inb & sig_v & ~vis
-            ctx = jnp.where(
-                refn, CTX_MR0 + 2, jnp.where(ncnt > 0, CTX_MR0 + 1, CTX_MR0)
-            )
-            mag = jnp.abs(cm[1:2])
-            bit = (mag >> plane) & 1
-            put((s * W + x) * 4 + k, rec(code, raw_mrp, bit, ctx))
-            flags_ref[pl.ds(r, 1), :] = selff | (code.astype(jnp.int32) << 2)
-
-        def cup_col(s, x):
-            y0 = 4 * s
-            base = (s * W + x) * 11
-            full_stripe = (y0 + 4) <= hgt
-            col_ok = full_stripe & (x < wid) & cup_m
-
-            # Rows are python-unrolled: this device's Mosaic miscompiles any
-            # VMEM address that is not affine in a SINGLE loop induction
-            # variable (nested fori vars, loop carries, SMEM-table scalars
-            # and program_id combinations all fault at runtime), so the only
-            # traced address variable anywhere is the column fori index.
-            rl = col_ok
-            for k in range(4):
-                r = (y0 + k + 1) * Wp + (x + 1)
-                fu, fm, fd, _, _, _, upc, dnc = load_env(r, k)
-                _, ncnt = zc_ctx(fu, fm, fd, upc, dnc, orient)
-                selff = fm[1:2]
-                rl = rl & ((selff & 3) == 0) & (ncnt == 0)
-
-            fk = jnp.full((1, N), 4, dtype=jnp.int32)
-            for k in range(3, -1, -1):
-                r = (y0 + k + 1) * Wp + (x + 1)
-                bit = (jnp.abs(coef_ref[pl.ds(r, 1), :]) >> plane) & 1
-                fk = jnp.where(rl & (bit == 1), k, fk)
-            rl_bit = (rl & (fk < 4)).astype(jnp.int32)
-            put(base, rec(rl, jnp.zeros_like(rl), rl_bit,
-                          jnp.full((1, N), CTX_RL, jnp.int32)))
-            sigcol = rl & (rl_bit == 1)
-            uni = jnp.full((1, N), CTX_UNI, jnp.int32)
-            put(base + 1, rec(sigcol, jnp.zeros_like(rl), (fk >> 1) & 1, uni))
-            put(base + 2, rec(sigcol, jnp.zeros_like(rl), fk & 1, uni))
-            skip_rl0 = rl & (rl_bit == 0)
-
-            for k in range(4):
-                y = y0 + k
-                r = (y + 1) * Wp + (x + 1)
-                fu, fm, fd, cu, cm, cd, upc, dnc = load_env(r, k)
-                selff = fm[1:2]
-                inb = (y < hgt) & (x < wid) & cup_m
-                bse = inb & ((selff & 3) == 0) & ~skip_rl0
-                pre_run = sigcol & (k < fk)
-                implied = sigcol & (k == fk)
-                zc_code = bse & ~pre_run & ~implied
-                ctx, _n = zc_ctx(fu, fm, fd, upc, dnc, orient)
-                cvec = cm[1:2]
-                mag = jnp.abs(cvec)
-                sgn = (cvec < 0).astype(jnp.int32)
-                bit = (mag >> plane) & 1
-                put(base + 3 + 2 * k, rec(zc_code, jnp.zeros_like(rl), bit, ctx))
-                became = (zc_code & (bit == 1)) | implied
-                scc, xr = sc_ctx(fu, fm, fd, cu, cm, cd, upc, dnc)
-                put(base + 4 + 2 * k,
-                    rec(became, jnp.zeros_like(rl), sgn ^ xr, scc))
-                flags_ref[pl.ds(r, 1), :] = selff | became.astype(jnp.int32)
-
-        # Loop structure everywhere: python-unrolled stripes and rows, ONE
-        # fori over columns — see the Mosaic single-induction-variable
-        # address constraint noted in cup_col.
-        @pl.when(q == 0)
-        def _spp():
-            if "spp" not in _passes:
-                return
-            for s in range(NS):
-                def colb(x, _, s=s):
-                    for k in range(4):
-                        spp_pos(s, x, k)
-                    return 0
-
-                jax.lax.fori_loop(0, W, colb, 0)
-
-        @pl.when(q == 1)
-        def _mrp():
-            if "mrp" not in _passes:
-                return
-            for s in range(NS):
-                def colb(x, _, s=s):
-                    for k in range(4):
-                        mrp_pos(s, x, k)
-                    return 0
-
-                jax.lax.fori_loop(0, W, colb, 0)
-
-        @pl.when(q == 2)
-        def _cup():
-            if "cup" not in _passes:
-                return
-            for s in range(NS):
-                def colb(x, _, s=s):
-                    cup_col(s, x)
-                    return 0
-
-                jax.lax.fori_loop(0, W, colb, 0)
-            seg = segsym & cup_m
-            uni = jnp.full((1, N), CTX_UNI, jnp.int32)
-            z = jnp.zeros_like(seg)
-            for j, b in enumerate((1, 0, 1, 0)):
-                put(NS * W * 11 + j,
-                    rec(seg, z, jnp.full((1, N), b, jnp.int32), uni))
-            # end of plane: clear 'visited' for the next plane
-            flags_ref[:] = flags_ref[:] & ~jnp.int32(2)
-
-        del _spp, _mrp, _cup
-
-    call = pl.pallas_call(
-        kernel,
-        grid=(PMAXC, 3),
-        in_specs=[
-            pl.BlockSpec((R, N), lambda p, q: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, N), lambda p, q: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, S_PAD, N), lambda p, q: (p, q, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((PMAXC, 3, S_PAD, N), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((R, N), jnp.int32)],
-        interpret=interpret,
-    )
-    return jax.jit(call)
-
-
-def _get_kernel(Hp: int, W: int, N: int, PMAXC: int, interpret: bool):
-    key = (Hp, W, N, PMAXC, interpret)
-    fn = _KERNELS.get(key)
-    if fn is None:
-        fn = _KERNELS[key] = _build_kernel(Hp, W, N, PMAXC, interpret)
-    return fn
+# The "narrow" one-block-per-lane kernel layout that used to live here was
+# quarantined in round 5: it stopped lowering on the current Mosaic
+# toolchain ("cannot statically prove that index in dimension 0 is a
+# multiple of 8"; PALLAS_HW_r04.json) and the wide multi-block-per-sublane
+# layout with adaptive SUB is strictly faster and is the only supported
+# Pallas path. History: git log -S _build_kernel_narrow.
 
 
 # ============================================================== host packer
@@ -1020,39 +727,8 @@ def encode_cblks(
     import jax.numpy as jnp
 
     interpret = _use_interpret()
-    if os.environ.get("GROK_TPU_PALLAS_WIDE", "1") != "0":
-        return _encode_wide(coeffs, heights, widths, orients, numbps,
-                            styles, interpret)
-    Hp = _round_up(h, 4)
-    PMAXC = _round_up(pmax, 4)
-    lane_q = 128 if not interpret else 8
-    N = _round_up(n, lane_q)
-    Wp = w + 2
-    R = (Hp + 2) * Wp
-
-    flat = np.zeros((Hp + 2, Wp, N), dtype=np.int32)
-    flat[1 : h + 1, 1 : w + 1, :n] = coeffs.transpose(1, 2, 0)
-    lane_tab = np.zeros((8, N), dtype=np.int32)
-    sty = np.zeros(n, dtype=np.int64) if styles is None else np.asarray(styles)
-    lane_tab[0, :n] = numbps
-    lane_tab[1, :n] = heights
-    lane_tab[2, :n] = widths
-    lane_tab[3, :n] = orients
-    lane_tab[4, :n] = (sty & 0x08) != 0
-    lane_tab[5, :n] = (sty & 0x20) != 0
-    lane_tab[6, :n] = (sty & 0x01) != 0
-
-    fn = _get_kernel(Hp, w, N, PMAXC, interpret)
-    sym = np.asarray(fn(jnp.asarray(flat.reshape(R, N)), jnp.asarray(lane_tab)))
-    sym_u8 = (sym[:, :, :, :n] & 0xFF).astype(np.uint8)
-    if os.environ.get("GROK_TPU_PALLAS_PACKER") != "numpy":
-        res = _pack_symbols_nat(
-            np.ascontiguousarray(sym_u8.transpose(3, 0, 1, 2)),
-            mag, numbps, styles, Hp,
-        )
-        if res is not None:
-            return res
-    return _pack_symbols(sym_u8, mag, numbps, heights, widths, styles, Hp)
+    return _encode_wide(coeffs, heights, widths, orients, numbps,
+                        styles, interpret)
 
 
 def decode_cblks(*args, **kwargs):

@@ -37,3 +37,17 @@ def test_tile_shard_partition():
             assert flat == list(range(nt))  # contiguous, ordered, complete
             sizes = [len(s) for s in shards]
             assert max(sizes) - min(sizes) <= 1  # balanced
+
+
+def test_multihost_shared_plane_identical():
+    """The shared-filesystem offset-exchange plane (production data
+    plane: only length records cross the coordinator) must produce the
+    same bytes as single-host compress AND as the KV plane."""
+    h = w = 512
+    im = gk.Image.from_array(mh.make_image(h, w))
+    ref = gk.compress(im, mh.build_params("lossless53"))
+    stream, info = mh.run_group(2, "lossless53", h, w, decode=True,
+                                plane="shared", timeout=600)
+    assert stream == ref
+    assert info.get("plane") == "shared"
+    assert info.get("dec_identical") is True
