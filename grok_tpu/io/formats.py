@@ -124,6 +124,24 @@ def load_image(path: str, **raw_kw) -> Image:
         return read_pnm(path)
     if ext in (".raw", ".rawl"):
         return read_raw(path, big_endian=(ext == ".raw"), **raw_kw)
+    if ext in (".tif", ".tiff"):
+        # native strip codec first (8/16-bit, chunky+planar, either
+        # endianness — the Cinema/IMF workflow envelope PIL does not
+        # guarantee); compressed/packed/tiled variants fall back to PIL
+        from . import tiff as _tiff
+
+        try:
+            arr, info = _tiff.read(path)
+            img = Image.from_array(
+                arr.astype(np.int32), prec=info.bps)
+            if info.signed:
+                for c in img.components:
+                    c.signed = True
+            if info.icc:
+                img.icc_profile = info.icc
+            return img
+        except _tiff.TiffUnsupported:
+            pass
     from PIL import Image as PImage
 
     pil = PImage.open(path)
@@ -182,15 +200,24 @@ def save_image(path: str, image: Image, **save_kw) -> None:
     if ext in (".raw", ".rawl"):
         write_raw(path, image, big_endian=(ext == ".raw"))
         return
-    from PIL import Image as PImage
-
     arr = image.to_array()
     prec = image.components[0].prec
+    if ext in (".tif", ".tiff"):
+        # native strip writer: the only path that covers 16-bit
+        # multi-component (and planar) output
+        from . import tiff as _tiff
+
+        _tiff.write(path, arr, bps=16 if prec > 8 else 8,
+                    icc=getattr(image, "icc_profile", None),
+                    signed=bool(image.components[0].signed), **save_kw)
+        return
+    from PIL import Image as PImage
+
     if prec <= 8:
         arr8 = arr.astype(np.uint8)
         pil = PImage.fromarray(arr8.squeeze(-1) if arr8.shape[2] == 1 else arr8)
     else:
         if arr.shape[2] != 1:
-            raise ValueError(f"16-bit multi-component {ext} output unsupported; use .ppm/.tif")
+            raise ValueError(f"16-bit multi-component {ext} output unsupported; use .tif")
         pil = PImage.fromarray(arr[:, :, 0].astype(np.uint16), mode="I;16")
     pil.save(path, **save_kw)
