@@ -194,10 +194,15 @@ def compress(image: Image, params: CompressParams | None = None,
     tiles_blob = bytearray()
     plm_parts: list[list[int]] = []  # per tile-part packet lengths (PLM)
 
+    ppm_groups: list[list[bytes]] | None = (
+        [[] for _ in range(num_tiles)] if params.write_ppm else None)
+
     def enc_one(ti):
         coeffs = tile_coeff_fn(ti) if tile_coeff_fn is not None else None
         comp_arrays = None if coeffs is not None else _extract_tile(image, siz, ti)
-        return encode_tile_to_blob(siz, tcp, params, ti, comp_arrays, coeffs)
+        return encode_tile_to_blob(
+            siz, tcp, params, ti, comp_arrays, coeffs,
+            ppm_out=None if ppm_groups is None else ppm_groups[ti])
 
     if num_tiles > 1:
         # tile-parallel encode on host threads (reference parity: one
@@ -238,6 +243,20 @@ def compress(image: Image, params: CompressParams | None = None,
         out[tlm_offset : tlm_offset + len(tlm)] = tlm
     if params.write_plm:
         out += mk.write_plm(plm_parts)
+    if ppm_groups is not None:
+        # main-header packed packet headers: Nppm(u32) + group bytes per
+        # tile-part, in global tile-part order, chunked into <=65000-byte
+        # PPM segments with running Zppm
+        payload = b"".join(
+            len(g).to_bytes(4, "big") + g
+            for groups in ppm_groups for g in groups)
+        z = 0
+        pos = 0
+        while pos < len(payload) or z == 0:
+            chunk = payload[pos:pos + 65000]
+            out += mk.segment(mk.PPM, bytes([z]) + chunk)
+            pos += len(chunk)
+            z += 1
     out += tiles_blob
     out += mk._u16(mk.EOC)
     return bytes(out)
@@ -254,19 +273,25 @@ def _extract_tile(image: Image, siz: Siz, tile_index: int) -> list[np.ndarray]:
         arrays.append(c.data[y0:y1, x0:x1])
     return arrays
 
-def encode_tile_to_blob(siz, tcp, params, ti, comp_arrays=None, coeffs=None):
+def encode_tile_to_blob(siz, tcp, params, ti, comp_arrays=None, coeffs=None,
+                        ppm_out: list | None = None):
     """Encode one tile into its SOT..body blob (shared by the one-shot,
     distributed and strip-streaming encoders).
 
-    Returns (blob, [(tile, psot), ...], [per-part packet lengths, ...])."""
+    Returns (blob, [(tile, psot), ...], [per-part packet lengths, ...]).
+    With ``ppm_out`` (a list; the write_ppm path) the packed packet
+    headers are NOT written as PPT segments: one bytes group per
+    tile-part is appended to ppm_out instead, for the caller to fold
+    into main-header PPM segments (T.800 A.7.4)."""
     tp = TileProcessor(siz, tcp, ti, enc_params=params)
-    hdrs: list[bytes] | None = [] if params.write_ppt else None
+    want_packed = params.write_ppt or ppm_out is not None
+    hdrs: list[bytes] | None = [] if want_packed else None
     if coeffs is not None:
         body, pkt_lens = tp.compress_from_coeffs(coeffs, packed_headers=hdrs)
     else:
         body, pkt_lens = tp.compress(comp_arrays, packed_headers=hdrs)
     ppt_bytes = b""
-    if hdrs is not None:
+    if hdrs is not None and ppm_out is None:
         blob2 = b"".join(hdrs)
         z = 0
         pos2 = 0
@@ -299,6 +324,13 @@ def encode_tile_to_blob(siz, tcp, params, ti, comp_arrays=None, coeffs=None):
         off += ln
         idx += cnt
     assert off == len(body), "tile-part split must cover the body"
+    if ppm_out is not None:
+        # one packed-header group per tile-part, aligned with the global
+        # tile-part order the decoder replays (decompress.py _tp_seq)
+        idx2 = 0
+        for _, _, plens in parts:
+            ppm_out.append(b"".join(hdrs[idx2:idx2 + len(plens)]))
+            idx2 += len(plens)
     ntp = len(parts)
     out = bytearray()
     part_lens = []

@@ -152,6 +152,7 @@ class CompressParams:
     write_tlm: bool = False
     write_plt: bool = False
     write_ppt: bool = False  # packed packet headers in tile-part headers
+    write_ppm: bool = False  # packed packet headers in the MAIN header (PPM)
     comment: str | None = "grok_tpu"
     profile: int = PROFILE_NONE
     framerate: int = 0  # for cinema caps

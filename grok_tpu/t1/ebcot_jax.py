@@ -1124,6 +1124,12 @@ def decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
                  block_h, block_w, num_threads: int = 0, styles=None,
                  seg_lengths=None):
     """Device lockstep decode; mirrors ebcot_np.decode_cblks."""
+    roi_rs = None
+    if styles is not None:
+        sa = np.asarray(styles)
+        if (sa >> 8).any():
+            roi_rs = (sa >> 8) & 0xFF
+            styles = sa & 0xFF
     _check_styles(styles)
     jax, jnp = _j()
     data = np.ascontiguousarray(data, dtype=np.uint8)
@@ -1173,6 +1179,16 @@ def decode_cblks(data, lengths, numbps, npasses, heights, widths, orients,
         pmax,
     )
     coeffs = np.transpose(np.asarray(coeffs_d), (2, 0, 1)).astype(np.int64)
+    if roi_rs is not None:
+        # the kernel already halved; apply the full-decode-equivalent ROI
+        # rule on c (exact when the scaled magnitude was even — i.e. for
+        # fully decoded blocks; truncated half-bit blocks may differ by
+        # +-1 from the native scaled-domain rule)
+        rs = roi_rs[:, None, None]
+        mag = np.abs(coeffs)
+        mag = np.where((rs > 0) & (mag >= (1 << np.maximum(rs - 1, 0))),
+                       mag >> rs, mag)
+        coeffs = np.where(coeffs < 0, -mag, mag)
     coeffs = coeffs[:, :h0, :]
     planes_decoded = np.minimum((npasses + 2) // 3, numbps)
     return coeffs, planes_decoded

@@ -444,7 +444,14 @@ def decode_cblks(
             next_seg(lp_cup, cup_lanes)
         st.visited[:] = False
 
-    coeffs = st.mag[:, 1 : h + 1, 1 : w + 1] >> 1  # drop the 1/2 bit
+    # ROI downshift (style bits 8-15) applies in the SCALED domain before
+    # the halving (reference RoiShiftFilter order)
+    m2 = st.mag[:, 1 : h + 1, 1 : w + 1]
+    rs = ((np.asarray(styles) >> 8) & 0xFF)[:, None, None] \
+        if styles is not None else np.zeros((m2.shape[0], 1, 1), np.int64)
+    if (rs > 0).any():
+        m2 = np.where((rs > 0) & (m2 >= (1 << rs)), m2 >> rs, m2)
+    coeffs = m2 >> 1  # drop the 1/2 bit
     signs = st.sgn[:, 1 : h + 1, 1 : w + 1]
     coeffs = coeffs.copy()
     coeffs[signs == 1] *= -1

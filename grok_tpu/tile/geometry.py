@@ -121,6 +121,11 @@ def geom_cache_key(comp: int, tc_rect: Rect, tccp: TccpStyle) -> tuple:
         None if tccp.precinct_exps is None else tuple(tccp.precinct_exps),
         tccp.quant_style, tccp.guard_bits,
         tuple(tccp.step_exps), tuple(tccp.step_mants), tccp.irreversible,
+        # ROI upshift feeds band.num_bps in apply_band_quant; omitting it
+        # let an RGN-bearing stream poison the cached tree for every
+        # same-geometry stream decoded after it (and vice versa) — found
+        # by the round-5 ROI corpus entries failing only mid-run
+        tccp.roi_shift,
     )
 
 

@@ -972,6 +972,7 @@ class TileProcessor:
                 n, seg_arr, seg_arr.shape[1],
             )
 
+        self._roi_in_t1 = False
         with trace.span("dec.t1", bytes_moved=int(lens.sum())
                         + n * cbh * cbw * 4):
             if tcp.tccps[0].cblk_style & 0x40:
@@ -984,9 +985,19 @@ class TileProcessor:
             else:
                 t1 = select_backend()
                 _check_styles_supported(styles, t1)
+                styles64 = styles.astype(np.int64)
+                roi_per_comp = np.array(
+                    [t2.roi_shift for t2 in tcp.tccps], dtype=np.int64)
+                if roi_per_comp.any():
+                    # scaled-domain ROI downshift happens inside the T1
+                    # writeout (reference RoiShiftFilter order); the roi
+                    # shift rides style bits 8-15
+                    styles64 = styles64 | (
+                        roi_per_comp[flat.e_comp[sel]] << 8)
+                    self._roi_in_t1 = True
                 coeffs, planes = t1.decode_cblks(
                     data, lens, nbps, nps, hs, ws, ors, cbh, cbw,
-                    styles=styles.astype(np.int64), seg_lengths=seg_arr,
+                    styles=styles64, seg_lengths=seg_arr,
                 )
         coeffs = np.ascontiguousarray(coeffs, dtype=np.int32)
         rows_all = np.arange(n, dtype=np.int32)
@@ -1438,7 +1449,8 @@ class TileProcessor:
             if not isinstance(staging[c2], np.ndarray):
                 # sparse canvas (windowed decode): chunk-wise ROI/dequant
                 canvas = staging[c2]
-                if tccp2.roi_shift:
+                if tccp2.roi_shift and not getattr(self, "_roi_in_t1",
+                                                   False):
                     sh = tccp2.roi_shift
                     th = np.int32(1) << sh
 
@@ -1472,7 +1484,7 @@ class TileProcessor:
                 else:
                     coeff_arrays[c2] = canvas
                 continue
-            if tccp2.roi_shift:
+            if tccp2.roi_shift and not getattr(self, "_roi_in_t1", False):
                 a2 = np.ascontiguousarray(staging[c2], dtype=np.int32)
                 if native_ops.roi_unshift(a2, tccp2.roi_shift) is not None:
                     staging[c2] = a2 if irrev else a2.astype(

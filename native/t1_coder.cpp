@@ -1140,11 +1140,18 @@ int t1_decode_cblks(const uint8_t* data, const int64_t* lengths,
                 for (int64_t ii = 0; ii < (int64_t)S * ws; ii++)
                     p[ii] &= ~W_VIS4;
             }
+            // ROI downshift rides style bits 8-15 and applies in the
+            // SCALED (x2 + half-bit) domain, before the halving — the
+            // reference's RoiShiftFilter order (PostDecompressFilters.h:
+            // thresh vs the scaled magnitude, then val/2)
+            const uint32_t rs = ((uint32_t)style >> 8) & 0xFF;
             for (int y = 0; y < h; y++) {
                 const uint64_t* Wr = words + (int64_t)((y >> 2) + 1) * ws;
                 int kb = 27 + (y & 3);
                 for (int x = 0; x < w; x++) {
-                    int32_t v = (int32_t)(mag[y * W + x] >> 1);  // drop 1/2 bit
+                    uint32_t m2 = mag[y * W + x];
+                    if (rs && m2 >= (1u << rs)) m2 >>= rs;
+                    int32_t v = (int32_t)(m2 >> 1);  // drop 1/2 bit
                     if ((Wr[x + 1] >> kb) & 1) v = -v;
                     dst[y * W + x] = v;
                 }

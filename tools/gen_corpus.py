@@ -130,6 +130,238 @@ NEW = [
     ("big_offset.j2k", ("gray8", 100, 120), ["-d", "90,70"], None, 0),
     ("guard3.j2k", ("gray8", 96, 120), ["-N", "3"], None, 0),
     ("ycc_off.j2k", ("rgb8", 140, 180), ["-Y", "0"], None, 0),
+    # ---- round-5 breadth (VERDICT r04 #7 axes + padding toward the
+    # reference's 350-entry scale): ROI upshift, 4:2:0 subsampling (incl.
+    # the named 16-bit 4:2:0 HT axis), resolution boxes, comments,
+    # remaining mode-switch singles and the all-on combo, deeper
+    # progression x feature products.
+    ("roi_c0_u4.j2k", ("rgb8", 140, 180), ["-R", "c=0,U=4"], None, 0),
+    ("roi_c1_u6_tiles.j2k", ("rgb8", 140, 180),
+     ["-R", "c=1,U=6", "-t", "64,64"], None, 0),
+    ("roi_gray16.j2k", ("gray16", 120, 150), ["-R", "c=0,U=7"], None, 0),
+    ("sub420_rgb8.j2k", ("raw420_8", 128, 160), [], None, 0),
+    ("sub420_rgb8_tiles.j2k", ("raw420_8", 128, 160), ["-t", "64,64"],
+     None, 0),
+    ("sub420_rgb16_ht.j2k", ("raw420_16", 128, 160), ["-M", "64"], None, 0),
+    ("sub420_rgb16.j2k", ("raw420_16", 128, 160), [], None, 0),
+    ("sub420_lossy.j2k", ("raw420_8", 128, 160), ["-I", "-Y", "0"], None, 1),
+    ("sub422_rgb8.j2k", ("raw422_8", 128, 160), [], None, 0),
+    ("comment_marker.j2k", ("gray8", 96, 120),
+     ["-C", "grok_tpu corpus r5"], None, 0),
+    ("capture_res.jp2", ("rgb8", 140, 180), ["-Q", "600,600"], None, 0),
+    ("mode_vsc.j2k", ("rgb8", 140, 180), ["-M", "8"], None, 0),
+    ("mode_pterm.j2k", ("rgb8", 140, 180), ["-M", "16"], None, 0),
+    ("mode_segsym.j2k", ("rgb8", 140, 180), ["-M", "32"], None, 0),
+    ("mode_all_0x3f.j2k", ("rgb8", 140, 180), ["-M", "63"], None, 0),
+    ("mode_all_tiles16.j2k", ("gray16", 120, 150),
+     ["-M", "63", "-t", "64,64"], None, 0),
+    ("rpcl_ht_tiles_layers.j2k", ("rgb8", 160, 200),
+     ["-p", "RPCL", "-M", "64", "-t", "80,80", "-r", "16,4"], None, 0),
+    ("cprl_ht_prec.j2k", ("rgb8", 140, 180),
+     ["-p", "CPRL", "-M", "64", "-c", "[32,32]"], None, 0),
+    ("pcrl_gray16_sop.j2k", ("gray16", 120, 150),
+     ["-p", "PCRL", "-S"], None, 0),
+    ("rlcp_bypass_layers.j2k", ("rgb8", 140, 180),
+     ["-p", "RLCP", "-M", "1", "-r", "20,5"], None, 0),
+    ("poc_with_tiles_seg.j2k", ("rgb8", 140, 180),
+     ["-n", "4", "-P", "T0=0,0,2,4,3,RLCP"], None, 0),
+    ("lossy97_sub420.j2k", ("raw420_8", 128, 160), ["-I", "-Y", "0"],
+     {"reduce": 1}, 1),
+    ("guard4_gray12.j2k", ("gray12", 120, 150), ["-N", "4"], None, 0),
+    ("prec_small_ht.j2k", ("rgb8", 140, 180),
+     ["-M", "64", "-c", "[16,16]"], None, 0),
+    ("layers8_gray.j2k", ("gray8", 140, 180),
+     ["-r", "100,60,40,25,15,8,4,2"], None, 0),
+    ("layers8_l5.j2k", ("gray8", 140, 180),
+     ["-r", "100,60,40,25,15,8,4,2"], {"max_layers": 5}, 0),
+    ("tp_divider_R_ht.j2k", ("rgb8", 140, 180),
+     ["-u", "R", "-t", "96,96", "-M", "64", "-n", "4"], None, 0),
+    ("offset_sub420.j2k", ("raw420_8", 128, 160), ["-d", "7,5"], None, 0),
+    ("res8_big.j2k", ("rgb8", 300, 380), ["-n", "8"], None, 0),
+    ("res8_reduce5.j2k", ("rgb8", 300, 380), ["-n", "8"], {"reduce": 5}, 0),
+    ("container_sub420.jp2", ("raw420_8", 128, 160), [], None, 0),
+    ("container_gray12.jp2", ("gray12", 120, 150), [], None, 0),
+    # round-5 padding batch 2
+    ("roi_both_comps.j2k", ("rgb8", 140, 180),
+     ["-R", "c=0,U=3", "-t", "96,96"], None, 0),
+    ("roi_lossy.j2k", ("rgb8", 140, 180), ["-R", "c=0,U=4", "-I"], None, 2),
+    ("roi_ht.j2k", ("gray8", 96, 120), ["-R", "c=0,U=3", "-M", "64"],
+     None, 0),
+    ("gray6.j2k", ("gray6", 80, 100), [], None, 0),
+    ("gray10_tiles.j2k", ("gray10", 120, 150), ["-t", "48,48"], None, 0),
+    ("comment_tiles_layers.j2k", ("rgb8", 140, 180),
+     ["-C", "r5", "-t", "64,64", "-r", "16,4"], None, 0),
+    ("sop_eph_ht.j2k", ("rgb8", 140, 180), ["-S", "-E", "-M", "64"],
+     None, 0),
+    ("prec_tiny_tiles.j2k", ("gray8", 96, 120),
+     ["-c", "[16,16]", "-t", "48,48"], None, 0),
+    ("layers10.j2k", ("rgb8", 140, 180),
+     ["-r", "200,120,80,50,30,20,12,8,4,2"], None, 0),
+    ("layers10_l7.j2k", ("rgb8", 140, 180),
+     ["-r", "200,120,80,50,30,20,12,8,4,2"], {"max_layers": 7}, 0),
+    ("cblk_16x64_tiles.j2k", ("rgb8", 140, 180),
+     ["-b", "16,64", "-t", "64,64"], None, 0),
+    ("res2_offset.j2k", ("gray16", 120, 150), ["-n", "2", "-d", "5,9"],
+     None, 0),
+    ("lossy_reduce1_layers.j2k", ("rgb8", 160, 200),
+     ["-I", "-r", "30,8"], {"reduce": 1}, 1),
+    ("poc_ht.j2k", ("rgb8", 140, 180),
+     ["-M", "64", "-n", "4", "-P", "T0=0,0,1,4,3,RLCP/T0=0,0,4,4,3,CPRL"],
+     None, 0),
+    ("tlm_plt_tiles.j2k", ("gray8", 140, 180),
+     ["-L", "-t", "48,48"], None, 0),
+]
+
+# ---- custom builders: streams the reference encoder cannot produce but
+# whose decode is still ground-truth-arbitrated by the reference decoder
+# (PPM main-header packed headers from OUR encoder; CRG / redundant
+# COC+QCC / extra JP2 xml+asoc boxes spliced into reference streams).
+def _splice_after_siz(data: bytes, marker_seg: bytes) -> bytes:
+    import struct as _st
+
+    assert data[:2] == b"\xff\x4f"
+    pos = 2
+    (ln,) = _st.unpack(">H", data[4:6])  # SIZ length
+    end_siz = 4 + 2 + ln - 2
+    return data[:end_siz] + marker_seg + data[end_siz:]
+
+
+def _build_ppm(td, spec, extra, name):
+    import grok_tpu as gk
+
+    src_path, ncomps, _ = make_input(spec, td)
+    from tests.conftest import read_pgx  # noqa: F401
+    from PIL import Image as P
+
+    arr = np.asarray(P.open(src_path)) if not src_path.endswith(".pgm") \
+        else None
+    if arr is None:
+        from grok_tpu.io.formats import load_image
+
+        im = load_image(src_path)
+    else:
+        im = gk.Image.from_array(arr.astype(np.int32))
+    p = gk.CompressParams(num_resolutions=4, write_ppm=True, **extra)
+    return gk.compress(im, p)
+
+
+def _build_crg(td, spec, args, name):
+    src, ncomps, _ = make_input(spec, td)
+    j2k = os.path.join(td, "base_" + name)
+    subprocess.run([f"{GRK}/grk_compress", "-i", src, "-o", j2k, *args],
+                   capture_output=True, check=True)
+    data = open(j2k, "rb").read()
+    import struct as _st
+
+    # CRG: Xcrg/Ycrg (u16 fixed point) per component (T.800 A.9.1)
+    body = b"".join(_st.pack(">HH", 0x4000, 0x2000)
+                    for _ in range(ncomps))
+    seg = b"\xff\x63" + _st.pack(">H", 2 + len(body)) + body
+    return _splice_after_siz(data, seg)
+
+
+def _build_redundant_coc_qcc(td, spec, args, name):
+    src, ncomps, _ = make_input(spec, td)
+    j2k = os.path.join(td, "base_" + name)
+    subprocess.run([f"{GRK}/grk_compress", "-i", src, "-o", j2k, *args],
+                   capture_output=True, check=True)
+    data = open(j2k, "rb").read()
+    import grok_tpu as gk
+
+    ps = gk.parse_codestream(data)
+    tcp = ps.header.default_tcp
+    from grok_tpu.codestream import markers as _mk
+
+    coc = _mk.write_coc(tcp, 1, ncomps)
+    qcc = _mk.write_qcc(tcp, 1, ncomps)
+    return _splice_after_siz(data, coc + qcc)
+
+
+def _build_jp2_extra_boxes(td, spec, args, name):
+    src, ncomps, _ = make_input(spec, td)
+    jp2 = os.path.join(td, "base_" + name)
+    subprocess.run([f"{GRK}/grk_compress", "-i", src, "-o", jp2, *args],
+                   capture_output=True, check=True)
+    data = open(jp2, "rb").read()
+    import struct as _st
+
+    def box(tag, payload):
+        return _st.pack(">I", 8 + len(payload)) + tag + payload
+
+    xml1 = box(b"xml ", b"<meta><note>grok_tpu r5</note></meta>")
+    xml2 = box(b"xml ", b"<meta2/>")
+    asoc = box(b"asoc", box(b"lbl ", b"label0") + xml2)
+    # insert before the contiguous-codestream box
+    i = data.find(b"jp2c")
+    assert i > 8
+    start = i - 4
+    return data[:start] + xml1 + asoc + data[start:]
+
+
+def _build_sub420(td, prec, ht, name):
+    # our encoder: the reference CLI rejects subsampled raw input, and the
+    # reference DECODER auto-converts 3-comp subsampled j2k as sYCC->RGB
+    # (an output convention, not codec parity), so these entries are
+    # arbitrated against the source planes (our self-roundtrip is exact;
+    # the encoded stream itself is also decodable by the reference)
+    import grok_tpu as gk
+    from grok_tpu.core.image import Component
+
+    rng = np.random.default_rng(7 + prec)
+    h, w = 128, 160
+    img = gk.Image(0, 0, w, h)
+    planes = []
+    for (dx, dy) in ((1, 1), (2, 2), (2, 2)):
+        c = Component(dx=dx, dy=dy, prec=prec, signed=False)
+        hh, ww = (h + dy - 1) // dy, (w + dx - 1) // dx
+        c.data = rng.integers(0, 1 << prec, (hh, ww)).astype(np.int32)
+        planes.append(c.data.copy())
+        img.components.append(c)
+    img.x1, img.y1 = w, h
+    stream = gk.compress(img, gk.CompressParams(num_resolutions=4, ht=ht))
+    return stream, planes
+
+
+CUSTOM = [
+    ("sub420_16_ht.j2k", ("rgb8", 128, 160),
+     lambda td, spec, name: _build_sub420(td, 16, True, name), None, 0,
+     "source"),
+    ("sub420_16.j2k", ("rgb8", 128, 160),
+     lambda td, spec, name: _build_sub420(td, 16, False, name), None, 0,
+     "source"),
+    ("sub420_8.j2k", ("rgb8", 128, 160),
+     lambda td, spec, name: _build_sub420(td, 8, False, name), None, 0,
+     "source"),
+    ("ppm_main.j2k", ("rgb8", 140, 180),
+     lambda td, spec, name: _build_ppm(td, spec, {}, name), None, 0),
+    ("ppm_tiles.j2k", ("rgb8", 140, 180),
+     lambda td, spec, name: _build_ppm(
+         td, spec, {"tile_size": (64, 64)}, name), None, 0),
+    # reference decoder bug (round-5 find): PPM groups spanning
+    # tile-part dividers are misassigned — the reference garbles its
+    # decode while ours is bit-exact to the source; arbitrated against
+    # the SOURCE pixels (docs/STATUS.md "Reference bugs found")
+    ("ppm_tiles_tpdiv.j2k", ("rgb8", 140, 180),
+     lambda td, spec, name: _build_ppm(
+         td, spec, {"tile_size": (96, 96), "tp_divider": "R"}, name),
+     None, 0, "source"),
+    ("crg_gray.j2k", ("gray8", 96, 120),
+     lambda td, spec, name: _build_crg(td, spec, [], name), None, 0),
+    ("crg_rgb_tiles.j2k", ("rgb8", 140, 180),
+     lambda td, spec, name: _build_crg(td, spec, ["-t", "64,64"], name),
+     None, 0),
+    ("coc_qcc_redundant.j2k", ("rgb8", 140, 180),
+     lambda td, spec, name: _build_redundant_coc_qcc(td, spec, [], name),
+     None, 0),
+    ("coc_qcc_redundant_ht.j2k", ("rgb8", 140, 180),
+     lambda td, spec, name: _build_redundant_coc_qcc(
+         td, spec, ["-M", "64"], name), None, 0),
+    ("jp2_xml_asoc.jp2", ("rgb8", 140, 180),
+     lambda td, spec, name: _build_jp2_extra_boxes(td, spec, [], name),
+     None, 0),
+    ("jp2_xml_asoc_gray16.jp2", ("gray16", 120, 150),
+     lambda td, spec, name: _build_jp2_extra_boxes(td, spec, [], name),
+     None, 0),
 ]
 
 
@@ -140,6 +372,29 @@ def make_input(spec, td):
     r = np.random.default_rng(zlib.crc32(kind.encode()) + h + w)
     yy, xx = np.mgrid[0:h, 0:w]
     base = 0.5 + 0.3 * np.sin(xx / 17) * np.cos(yy / 23)
+    if kind.startswith("raw4"):
+        # subsampled RAW input (-F): 4:2:0 / 4:2:2, 8- or 16-bit, 3 comps
+        sub = kind[3:6]
+        depth = int(kind.split("_")[1])
+        dx = dy = 2
+        if sub == "422":
+            dy = 1
+        mx = (1 << depth) - 1
+        dt = ">u2" if depth > 8 else "u1"
+        planes = []
+        for c, (sx, sy) in enumerate([(1, 1), (dx, dy), (dx, dy)]):
+            hh, ww = (h + sy - 1) // sy, (w + sx - 1) // sx
+            yy2, xx2 = np.mgrid[0:hh, 0:ww]
+            b2 = 0.5 + 0.3 * np.sin((xx2 + 7 * c) / 17) * np.cos(yy2 / 23)
+            g2 = np.clip(b2 + r.standard_normal((hh, ww)) * 0.05, 0, 1) * mx
+            planes.append(g2.astype(dt))
+        p = os.path.join(td, "in.raw")
+        with open(p, "wb") as f:
+            for pl in planes:
+                f.write(pl.tobytes())
+        fdesc = (f"{w},{h},3,{depth},u@1x1"
+                 f":{dx}x{dy}:{dx}x{dy}")
+        return p, 3, ["-F", fdesc]
     if kind == "rgb8":
         from PIL import Image
 
@@ -148,7 +403,7 @@ def make_input(spec, td):
                        -1).astype(np.uint8)
         p = os.path.join(td, "in.png")
         Image.fromarray(arr).save(p)
-        return p, 3
+        return p, 3, []
     if kind == "cmyk8":
         from PIL import Image
 
@@ -157,7 +412,7 @@ def make_input(spec, td):
                         np.roll(g, 7, 0)], -1).astype(np.uint8)
         p = os.path.join(td, "in.tif")
         Image.fromarray(arr, mode="CMYK").save(p)
-        return p, 4
+        return p, 4, []
     depth = int(kind[4:]) if kind.startswith("gray") and kind[4:] else 8
     mx = (1 << depth) - 1
     g = (np.clip(base + r.standard_normal((h, w)) * 0.05, 0, 1) * mx)
@@ -166,7 +421,7 @@ def make_input(spec, td):
     with open(p, "wb") as f:
         f.write(f"P5\n{w} {h}\n{mx}\n".encode())
         f.write(arr.tobytes())
-    return p, 1
+    return p, 1, []
 
 
 def ref_decode(j2k, td, ncomps, decode_kwargs=None):
@@ -197,6 +452,7 @@ def ours_decode(data, decode_kwargs):
     return golden_md5(arrs), arrs
 
 
+
 def main():
     manifest = json.load(open(os.path.join(CORPUS, "manifest.json")))
     have = {e["name"] for e in manifest}
@@ -205,10 +461,10 @@ def main():
         for name, spec, args, dec, tol in NEW:
             if name in have:
                 continue
-            src, ncomps = make_input(spec, td)
+            src, ncomps, in_extra = make_input(spec, td)
             j2k = os.path.join(td, name)
             r = subprocess.run([f"{GRK}/grk_compress", "-i", src, "-o", j2k,
-                                *args], capture_output=True)
+                                *in_extra, *args], capture_output=True)
             if r.returncode:
                 print(f"SKIP {name}: reference cannot encode "
                       f"({r.stderr.decode()[-120:]})")
@@ -251,6 +507,63 @@ def main():
             added += 1
             print(f"ADD  {name} ({len(data)} B, md5 {md5[:8]}"
                   + (", tol pixels" if "pixels" in entry else "") + ")")
+        # custom-built streams (ours / spliced), reference-arbitrated by
+        # default; arbitrate="source" pins reference-decoder bugs against
+        # the original pixels instead (lossless entries only)
+        for entry_t in CUSTOM:
+            name, spec, builder, dec, tol = entry_t[:5]
+            arbitrate = entry_t[5] if len(entry_t) > 5 else "ref"
+            if name in have:
+                continue
+            try:
+                data = builder(td, spec, name)
+            except Exception as e:
+                print(f"SKIP {name}: builder failed {e!r}")
+                continue
+            truth_planes = None
+            if isinstance(data, tuple):
+                data, truth_planes = data
+            ncomps = 4 if spec[0] == "cmyk8" else (
+                3 if spec[0].startswith(("rgb", "raw4")) else 1)
+            j2k = os.path.join(td, name)
+            with open(j2k, "wb") as f:
+                f.write(data)
+            try:
+                ours, our_arrs = ours_decode(data, dec)
+            except Exception as e:
+                print(f"FAIL {name}: our decode raised {e!r}")
+                continue
+            if arbitrate == "source":
+                if truth_planes is not None:
+                    planes = [np.asarray(p) for p in truth_planes]
+                else:
+                    from PIL import Image as _PImage
+
+                    src_p, _, _ = make_input(spec, td)
+                    src_arr = np.asarray(
+                        _PImage.open(src_p)).astype(np.int64)
+                    planes = [np.ascontiguousarray(src_arr[..., c])
+                              for c in range(src_arr.shape[-1])] \
+                        if src_arr.ndim == 3 else [src_arr]
+                md5 = golden_md5(planes)
+            else:
+                got = ref_decode(j2k, td, ncomps, dec)
+                if got is None:
+                    print(f"SKIP {name}: reference cannot decode the stream")
+                    continue
+                md5, ref_arrs = got
+            if ours != md5:
+                print(f"FAIL {name}: our decode != {arbitrate} pixels")
+                continue
+            entry = {"name": name, "md5": md5, "ncomps": len(our_arrs),
+                     "args": ["<custom>"]}
+            if dec:
+                entry["decode"] = dec
+            with open(os.path.join(CORPUS, "streams", name), "wb") as f:
+                f.write(data)
+            manifest.append(entry)
+            added += 1
+            print(f"ADD  {name} ({len(data)} B, md5 {md5[:8]}, custom)")
     with open(os.path.join(CORPUS, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
         f.write("\n")
