@@ -30,7 +30,8 @@ import functools
 import numpy as np
 
 from .ht import DEC_TBL, MEL_EXP
-from .ht_jax import _bitlen, _bitrev, _extract, _mask_u32, _pack_bits
+from .ht_jax import (_bitlen, _bitrev, _chunk_items, _extract, _mask_u32,
+                     _pack_bits)
 
 # ---------------------------------------------------------------- tables
 
@@ -69,54 +70,61 @@ def _unstuff_ms(data, ms_len, cap_words):
     prev = jnp.pad(b, ((0, 0), (1, 0)))[:, :L]  # first byte: no 0xFF before
     nbits = jnp.where(prev == 255, 7, 8).astype(jnp.int32)
     vals = b & _mask_u32(nbits)
-    return _pack_bits(vals, nbits, cap_words)
+    # 4 bytes -> one <=32-bit chunk: the pack cost follows item count
+    pad = (-vals.shape[1]) % 4
+    cv, cl = _chunk_items(jnp.pad(vals, ((0, 0), (0, pad))),
+                          jnp.pad(nbits, ((0, 0), (0, pad))), 4)
+    return _pack_bits(cv, cl, cap_words)
 
 
-def _unstuff_mel(data, ms_len, scup, cap_bytes, cap_words):
-    """MEL chunk (forward MSB-first) -> dense LSB-first bitstream."""
+def _unstuff_mel(mel_region, scup, cap_words):
+    """MEL chunk (forward MSB-first) -> dense LSB-first bitstream.
+
+    mel_region: [N, cap_bytes] uint8, HOST-presliced as
+    data[i, ms_len_i + j] — the per-lane shift used to be a device
+    take_along_axis costing ~90 ms per 2048-lane batch (the axon v5e
+    gathers at ~10 ns/element); a numpy slice is memory-speed."""
     import jax.numpy as jnp
 
-    n = data.shape[0]
+    cap_bytes = mel_region.shape[1]
     idx = jnp.arange(cap_bytes, dtype=jnp.int32)[None, :]
-    src = ms_len[:, None] + idx
-    gathered = jnp.take_along_axis(
-        data, jnp.clip(src, 0, data.shape[1] - 1), axis=1)
-    b = jnp.where(idx < scup[:, None], gathered, 255).astype(jnp.uint32)
+    b = jnp.where(idx < scup[:, None], mel_region, 255).astype(jnp.uint32)
     prev = jnp.pad(b, ((0, 0), (1, 0)))[:, :cap_bytes]
     nbits = jnp.where(prev == 255, 7, 8).astype(jnp.int32)
     # MelDec reads each byte's payload MSB-first: LSB-first stream takes the
     # bit-reversed payload
     vals = _bitrev(b & _mask_u32(nbits), nbits, 8)
-    return _pack_bits(vals, nbits, cap_words)
+    pad = (-vals.shape[1]) % 4
+    cv, cl = _chunk_items(jnp.pad(vals, ((0, 0), (0, pad))),
+                          jnp.pad(nbits, ((0, 0), (0, pad))), 4)
+    return _pack_bits(cv, cl, cap_words)
 
 
-def _unstuff_vlc(data, ms_len, scup, cap_items, cap_words):
+def _unstuff_vlc(vlc_rev, nib_byte, scup, cap_words):
     """VLC chunk (backward LSB-first from the segment end) -> bitstream.
 
-    Item 0 is the high nibble of byte scup-2 (3 payload bits when its low
-    3 bits are all ones — the encoder's stuffed sentinel), then bytes
-    scup-3 .. 0; a byte after one reading > 0x8F carries 7 bits when its
-    low 7 bits are 0x7F (VlcDec._read_byte)."""
+    Item 0 is the high nibble of the byte at scup-2 (3 payload bits when
+    its low 3 bits are all ones — the encoder's stuffed sentinel), then
+    bytes scup-3 .. 0; a byte after one reading > 0x8F carries 7 bits
+    when its low 7 bits are 0x7F (VlcDec._read_byte).
+
+    vlc_rev: [N, cap_items-1] uint8, HOST-presliced reversed suffix
+    (vlc_rev[i, j] = data[i, ms_len_i + scup_i - 3 - j], zero out of
+    range); nib_byte: [N] uint8 = data[i, ms_len_i + scup_i - 2]. The
+    per-lane backward shifts used to be two ~90 ms device gathers."""
     import jax.numpy as jnp
 
-    n = data.shape[0]
-    last = ms_len + scup - 2  # index of the nibble byte
-    d = jnp.take_along_axis(
-        data, jnp.clip(last, 0, data.shape[1] - 1)[:, None],
-        axis=1).astype(jnp.uint32)[:, 0]
+    d = nib_byte.astype(jnp.uint32)
     nib = d >> 4
     nib_bits = jnp.where((nib & 7) == 7, 3, 4).astype(jnp.int32)
 
+    cap_items = vlc_rev.shape[1] + 1
     idx = jnp.arange(cap_items - 1, dtype=jnp.int32)[None, :]
-    src = last[:, None] - 1 - idx  # scup-3, scup-4, ... (absolute)
-    in_rng = src >= ms_len[:, None]
-    bcur = jnp.where(
-        in_rng,
-        jnp.take_along_axis(data, jnp.clip(src, 0, data.shape[1] - 1),
-                            axis=1), 0).astype(jnp.uint32)
-    bprev = jnp.take_along_axis(
-        data, jnp.clip(src + 1, 0, data.shape[1] - 1),
-        axis=1).astype(jnp.uint32)  # byte read just before this one
+    in_rng = idx < (scup[:, None] - 2)  # src >= ms_len  <=>  j <= scup-3
+    bcur = jnp.where(in_rng, vlc_rev, 0).astype(jnp.uint32)
+    # byte read just before this one = previous item in read order
+    bprev = jnp.concatenate(
+        [nib_byte[:, None].astype(jnp.uint32), bcur[:, :-1]], axis=1)
     seven = (bprev > 0x8F) & ((bcur & 0x7F) == 0x7F)
     nbits = jnp.where(in_rng, jnp.where(seven, 7, 8), 8).astype(jnp.int32)
     vals = jnp.where(in_rng, bcur & _mask_u32(nbits), 0)
@@ -124,7 +132,33 @@ def _unstuff_vlc(data, ms_len, scup, cap_items, cap_words):
     all_vals = jnp.concatenate([(nib & _mask_u32(nib_bits))[:, None], vals],
                                axis=1)
     all_lens = jnp.concatenate([nib_bits[:, None], nbits], axis=1)
-    return _pack_bits(all_vals, all_lens, cap_words)
+    pad = (-all_vals.shape[1]) % 4
+    cv, cl = _chunk_items(jnp.pad(all_vals, ((0, 0), (0, pad))),
+                          jnp.pad(all_lens, ((0, 0), (0, pad))), 4)
+    return _pack_bits(cv, cl, cap_words)
+
+
+def preslice_suffix(data, ms_len, scup, scc):
+    """Host-side slicing of the MEL/VLC suffix regions for _decode_device.
+
+    The per-lane shifted reads used to be device take_along_axis gathers
+    costing ~10 ns/element on this platform (3 x ~90 ms per 2048-lane 4K
+    batch = the majority of the decode program); a numpy fancy-index is
+    memory-speed. Returns (mel_region [N, scc_eff+8], vlc_rev
+    [N, scc_eff-1] reversed suffix, nib_byte [N])."""
+    Np, Lp = data.shape
+    scc_eff = min(scc, Lp, 4096)
+    rows = np.arange(Np)[:, None]
+    j = np.arange(scc_eff + 8, dtype=np.int64)[None, :]
+    mel_region = data[rows, np.clip(ms_len[:, None] + j, 0, Lp - 1)]
+    last = (np.asarray(ms_len) + np.asarray(scup) - 2).astype(np.int64)
+    nib_byte = data[np.arange(Np), np.clip(last, 0, Lp - 1)]
+    jr = np.arange(scc_eff - 1, dtype=np.int64)[None, :]
+    src_r = last[:, None] - 1 - jr
+    vlc_rev = np.where(src_r >= np.asarray(ms_len)[:, None],
+                       data[rows, np.clip(src_r, 0, Lp - 1)], 0
+                       ).astype(np.uint8)
+    return mel_region, vlc_rev, nib_byte
 
 
 # ------------------------------------------------------------ bit readers
@@ -196,9 +230,11 @@ def _suffix_val(pre, bits):
 
 
 # ------------------------------------------------------------ the decoder
-def _decode_device(data, ms_len, scup, heights, widths, bh, bw, caps):
-    """Traceable device decode: [N, L] uint8 segments -> [N, bh, bw] int32
-    coefficients + per-lane ok flags (False -> redo on host)."""
+def _decode_device(data, mel_region, vlc_rev, nib_byte, ms_len, scup,
+                   heights, widths, bh, bw, caps):
+    """Traceable device decode: [N, L] uint8 segments (+ host-presliced
+    suffix regions) -> [N, bh, bw] int32 coefficients + per-lane ok flags
+    (False -> redo on host)."""
     import jax
     import jax.numpy as jnp
 
@@ -208,9 +244,8 @@ def _decode_device(data, ms_len, scup, heights, widths, bh, bw, caps):
     qw = 2 * pw  # quad columns padded to whole pairs; extras are masked
 
     ms_words, ms_total = _unstuff_ms(data, ms_len, caps["ms_words"])
-    mel_words, _ = _unstuff_mel(data, ms_len, scup, caps["mel_bytes"],
-                                caps["mel_words"])
-    vlc_words, _ = _unstuff_vlc(data, ms_len, scup, caps["vlc_items"],
+    mel_words, _ = _unstuff_mel(mel_region, scup, caps["mel_words"])
+    vlc_words, _ = _unstuff_vlc(vlc_rev, nib_byte, scup,
                                 caps["vlc_words"])
     ms_words = jnp.pad(ms_words, ((0, 0), (0, 1)))
     mel_words = jnp.pad(mel_words, ((0, 0), (0, 1)))
@@ -338,7 +373,8 @@ def _decode_device(data, ms_len, scup, heights, widths, bh, bw, caps):
         (vpos, mpos, mk, mzero, mone, _, ok), (rho_s, uq_s, ek_s, e1_s) = (
             jax.lax.scan(make_pair_step(row_valid), inner0,
                          (resh(qi_cols), resh(kb), resh(cp),
-                          jnp.broadcast_to(line0, (pw,)))))
+                          jnp.broadcast_to(line0, (pw,))),
+                         unroll=4))
         rho = rho_s.transpose(1, 0, 2).reshape(n, qw)     # [N, qw]
         uq = uq_s.transpose(1, 0, 2).reshape(n, qw)
         ek = ek_s.transpose(1, 0, 2).reshape(n, qw)
@@ -437,9 +473,10 @@ def _build(n, L, bh, bw, ms_cap, scup_cap):
         "vlc_words": (8 * scup_cap + 31) // 32 + 1,
     }
 
-    def run(data, ms_len, scup, heights, widths):
-        return _decode_device(data, ms_len, scup, heights, widths,
-                              bh, bw, caps)
+    def run(data, mel_region, vlc_rev, nib_byte, ms_len, scup, heights,
+            widths):
+        return _decode_device(data, mel_region, vlc_rev, nib_byte, ms_len,
+                              scup, heights, widths, bh, bw, caps)
 
     return jax.jit(run)
 
@@ -506,9 +543,11 @@ def decode_cleanup_batch(data, lengths, heights, widths, bh, bw):
     else:
         heights_p, widths_p = heights, widths
     fn = _build(Nc, Lc, bh, bw, msc, scc)
-    out_dev, ok_dev = fn(jnp.asarray(data), jnp.asarray(ms_len),
-                         jnp.asarray(scup), jnp.asarray(heights_p),
-                         jnp.asarray(widths_p))
+    mel_region, vlc_rev, nib_byte = preslice_suffix(data, ms_len, scup, scc)
+    out_dev, ok_dev = fn(jnp.asarray(data), jnp.asarray(mel_region),
+                         jnp.asarray(vlc_rev), jnp.asarray(nib_byte),
+                         jnp.asarray(ms_len), jnp.asarray(scup),
+                         jnp.asarray(heights_p), jnp.asarray(widths_p))
     out = np.asarray(out_dev)[:n].astype(np.int64)
     ok_dev = np.asarray(ok_dev)[:n]
     out[~ok_hdr] = 0

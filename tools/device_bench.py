@@ -375,8 +375,11 @@ def main():
     dec_fn = ht_jax_dec._build(Nc, Lc, 64, 64, msc, scc)
     import jax.numpy as __jnp
 
+    mel_r, vlc_r, nib_b = ht_jax_dec.preslice_suffix(
+        ddata_p, ms_len_p, scup_p, scc)
     dec_args = tuple(jax.device_put(__jnp.asarray(x)) for x in
-                     (ddata_p, ms_len_p, scup_p, hs_p, ws_p))
+                     (ddata_p, mel_r, vlc_r, nib_b, ms_len_p, scup_p,
+                      hs_p, ws_p))
 
     def dec_digest(*a):
         out, ok = dec_fn(*a)
